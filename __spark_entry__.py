@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship WordCount-parity pipeline (the reference's
+one example job, ``WordCount.java:28-32``) on sf0.001. ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 via the
+registry in ``flink_emqx_connector_spark.plans``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Apply engine session confs on a driver-provided session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from flink_emqx_connector_spark.plans import QUERIES
+
+    _configure(spark)
+    return QUERIES["wordcount"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    BASELINE.json LLM-pipeline extensions)."""
+    from flink_emqx_connector_spark.plans import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(q):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return q.spark(_configure(spark), sf_dir)
+
+        return run
+
+    return {name: _wrap(q) for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle for each SQL-expressible query; probabilistic
+    operators (MinHash-LSH recall, LSH ANN, SimHash bit-voting) are omitted
+    → driver records the weaker rows-only check."""
+    from flink_emqx_connector_spark.plans import all_oracle_sql
+
+    return all_oracle_sql()

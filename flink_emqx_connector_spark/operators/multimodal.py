@@ -1,0 +1,102 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata (BASELINE.json extension; absent from the reference).
+
+Design: the media payload is a BINARY column (exactly like the MQTT
+``payload`` envelope field — same decode-layer posture as
+``EMQXSourceReader.java:71-82``), with a typed metadata struct alongside.
+Decode / feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` operators so each Python worker sees columnar batches, never
+single rows.
+
+The actual media codecs (PIL/ffmpeg/librosa) are NOT in this container, so
+the decode kernels are stubbed: ``decode_image_stub`` raises
+``NotImplementedError`` by design, and ``extract_features`` computes a
+deterministic fake feature set (byte length, md5, first byte) — the Spark
+plumbing (schema, batching, partition behavior) is real and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Metadata struct carried next to every media payload.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def attach_media_columns(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Pack a text column into (payload BINARY, media struct) — the shape a
+    real image/audio ingest produces. Pure column expressions."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media",
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(payload).cast("bigint").alias("n_bytes"),
+            F.col(source_col).alias("source"),
+        ),
+    )
+
+
+def decode_image_stub(payload: bytes) -> object:
+    """Media decode kernel — requires PIL/ffmpeg, not in this container."""
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg/librosa) are not installed; plug a real "
+        "decoder here — the mapInPandas plumbing around it is complete"
+    )
+
+
+FEATURE_SCHEMA = "doc_id bigint, byte_len bigint, fp string, first_byte bigint"
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake feature extraction over binary payloads via
+    ``mapInPandas`` — stands in for embed/resize/fingerprint kernels.
+
+    Batch-shaped: one pandas DataFrame per Arrow batch per partition; at
+    scale this is exactly how a GPU featurizer would consume the stream.
+    """
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "byte_len": payloads.map(len),
+                    "fp": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                    "first_byte": payloads.map(lambda b: int(b[0]) if len(b) else -1),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, n_frames_col: str, every_k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emit the sampled frame
+    indices (0, k, 2k, …) per document as an array — built-in ``sequence``,
+    no Python. A real pipeline maps each index through a decode kernel."""
+    n = F.col(n_frames_col)
+    idx = F.sequence(F.lit(0), n - 1, F.lit(every_k))
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_frames"),
+        idx.alias("frame_indices"),
+        F.size(idx).cast("bigint").alias("n_sampled"),
+    )

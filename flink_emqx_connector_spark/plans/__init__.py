@@ -1,0 +1,21 @@
+"""Query registry: every implemented operator from SURVEY.md §2 is exposed
+here as a (PySpark callable, DuckDB oracle SQL) pair for the driver's
+correctness gate."""
+
+from .registry import QUERIES, QueryDef, all_oracle_sql, all_queries, register
+
+# Importing the modules populates the registry.
+from . import core  # noqa: E402,F401
+from . import relational  # noqa: E402,F401
+from . import llm_text  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401
+
+__all__ = [
+    "QUERIES",
+    "QueryDef",
+    "register",
+    "all_queries",
+    "all_oracle_sql",
+]

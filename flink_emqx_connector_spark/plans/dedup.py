@@ -1,0 +1,123 @@
+"""Dedup queries over ``documents``/``embeddings`` (operators/dedup.py).
+
+Oracle coverage: exact dedup and n-gram Jaccard and embedding near-dup have
+full DuckDB oracles. MinHash-LSH and SimHash are probabilistic/bit-level
+operators with no reasonable SQL expression — registered without oracles
+(driver records the weaker rows-only check; their *verification* logic is
+still exact and tested in tests/).
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..operators import dedup as D
+from .registry import register
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup keep-list: one shuffle of 16-byte digests (never the "
+    "text). operators/dedup.py:exact_dedup.",
+    tags=("dedup",),
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+               AS bg
+      FROM documents
+    ),
+    sizes AS (SELECT doc, len(bg) AS n FROM sh),
+    ex AS (SELECT doc, unnest(bg) AS s FROM sh),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    """,
+    doc="Exact word-bigram Jaccard pairs ≥ 0.5 via shingle inverted index "
+    "(no cross join). operators/dedup.py:ngram_jaccard_pairs.",
+    tags=("dedup", "ngram"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, n=2)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # probabilistic recall — verified exactly in tests instead
+    doc="MinHash(32 hashes) + LSH banding (16 bands × 2 rows) candidate "
+    "generation, exact-Jaccard verification ≥ 0.5 on candidates only. "
+    "operators/dedup.py:minhash_lsh_pairs — the 100 TB near-dup path.",
+    tags=("dedup", "minhash", "approx"),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # 64-bit bit-voting fingerprint — not SQL-expressible
+    doc="SimHash-64 fingerprints (Arrow-vectorized pandas UDF), grouped into "
+    "identical-fingerprint clusters. operators/dedup.py:simhash_fingerprints.",
+    tags=("dedup", "simhash", "udf"),
+)
+def dedup_simhash(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    fps = D.simhash_fingerprints(_docs(spark, sf_dir))
+    return (
+        fps.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").cast("bigint").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs, blocked on the label/cluster key "
+    "to avoid the quadratic cross join. operators/dedup.py:"
+    "embedding_neardup_pairs.",
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return D.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.35)

@@ -1,0 +1,108 @@
+"""Similarity-search queries over ``embeddings`` (operators/similarity.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from .registry import register
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    """The embedding of vec_id=0 — a data-derived, deterministic query."""
+    row = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+@register(
+    "ann_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="Exact brute-force cosine top-10 to a query vector (the ANN "
+    "baseline): one scan + TakeOrdered, cosine via zip_with/aggregate "
+    "JVM-side. operators/similarity.py:cosine_topk.",
+    tags=("similarity", "topk"),
+)
+def ann_topk_cosine(spark, sf_dir):
+    q = _query_vec(spark, sf_dir)
+    return S.cosine_topk(_emb(spark, sf_dir), q, k=10, exclude_id=0)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate recall by design — exactness checked in tests
+    doc="Random-hyperplane LSH ANN: 8 seeded planes → 256 buckets, "
+    "multi-probe Hamming-1, exact re-rank of candidates. The scale path: "
+    "a query touches ~9/256 of the corpus. operators/similarity.py:"
+    "rp_lsh_topk.",
+    tags=("similarity", "approx", "lsh"),
+)
+def ann_lsh_topk(spark, sf_dir):
+    q = _query_vec(spark, sf_dir)
+    return S.rp_lsh_topk(_emb(spark, sf_dir), q, k=10, exclude_id=0)
+
+
+@register(
+    "knn_join_topk",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    WHERE rk <= 3
+    """,
+    doc="k-NN join: top-3 neighbors for each of the first 20 vectors — "
+    "broadcast the (tiny) query side, window re-rank per query. At scale "
+    "the candidate side is first restricted by LSH bucket.",
+    tags=("similarity", "knn", "join"),
+)
+def knn_join_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    qv = F.col("q_emb").cast("array<double>")
+    cv = F.col("c_emb").cast("array<double>")
+    dot = F.aggregate(F.zip_with(qv, cv, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    nq = F.sqrt(F.aggregate(F.transform(qv, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nc = F.sqrt(F.aggregate(F.transform(cv, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    scored = (
+        F.broadcast(queries)
+        .join(cand, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(dot / (nq * nc), 4).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
