@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": <sec>, ...}, "sf": <sf>}
+
+Each query executes end-to-end into the `noop` sink (full plan execution,
+no driver-side collect cost). The headline set covers every operator
+family: decode/WordCount parity, aggregation, joins (broadcast + fact-fact
++ as-of), windows, set ops, dedup (exact + MinHash-LSH + n-gram), text
+analysis, similarity (brute + LSH), multimodal mapInPandas plumbing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "wordcount",
+    "decode_json",
+    "rolling_sum",
+    "tumbling_window",
+    "sessionization",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "star_join_supplier_region",
+    "window_topk_orders_per_customer",
+    "asof_join_purchase_view",
+    "set_intersect_users",
+    "rollup_lineitem",
+    "distinct_counts",
+    "topk_global_lineitems",
+    "text_quality_scores",
+    "lang_id_confusion",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_cosine",
+    "ann_lsh_topk",
+    "multimodal_features",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    from flink_emqx_connector_spark.plans import QUERIES
+    from flink_emqx_connector_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+
+    # Warm the JVM/Python-worker pools once so per-query numbers measure the
+    # plan, not process spin-up.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES[name]
+        df = q.spark(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,7 +60,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def _shingle_table(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    sh = docs.select(F.col(id_col).alias("doc"), word_ngrams(F.col(text_col), n).alias("sh"))
+    # Repartition first: the docs table is often a single parquet file →
+    # one input partition → everything downstream (explode, join, agg)
+    # would run on one task. Spread by id before the expensive expression.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("doc"), word_ngrams(F.col(text_col), n).alias("sh")
+    )
     return sh
 
 
@@ -81,23 +87,28 @@ def ngram_jaccard_pairs(
 
     Returns ``doc_a, doc_b, jaccard`` (doc_a < doc_b, jaccard rounded 4).
     """
-    sh = _shingle_table(docs, text_col, id_col, n).persist()
-    sizes = sh.select(F.col("doc"), F.size("sh").alias("n_sh"))
-    ex = sh.select("doc", F.explode("sh").alias("s"))
+    sh = _shingle_table(docs, text_col, id_col, n)
+    # Carry the set size through the explode so no size-lookup join is
+    # needed later, and join on xxhash64 of the shingle, not the string:
+    # the self-join moves (8B key, 8B doc, 4B n) rows instead of text
+    # (collision odds over a shingle vocabulary are ~|V|²/2⁶⁴ — vanishing).
+    ex = sh.select(
+        "doc", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    ).select("doc", "n", F.xxhash64("s").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    return inter.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
 
 

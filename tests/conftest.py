@@ -1,0 +1,23 @@
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from flink_emqx_connector_spark.session import get_spark
+
+    spark = get_spark("tests", cpus=8, shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMALL

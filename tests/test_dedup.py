@@ -1,0 +1,72 @@
+"""Operator-level properties of the dedup family (beyond the oracle gate)."""
+
+from pyspark.sql import functions as F
+
+from flink_emqx_connector_spark.operators import dedup as D
+
+
+def _docs(spark, sf_dir):
+    from flink_emqx_connector_spark.session import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_word_ngrams_short_texts(spark):
+    """Texts shorter than n words yield empty shingle sets, not errors
+    (Spark's sequence() counts down when start > stop — guarded)."""
+    df = spark.createDataFrame(
+        [(1, "single"), (2, "two words"), (3, "a b c")], ["doc_id", "text"]
+    )
+    out = df.select(
+        "doc_id", D.word_ngrams(F.col("text"), 2).alias("sh")
+    ).collect()
+    by_id = {r.doc_id: r.sh for r in out}
+    assert by_id[1] == []
+    assert by_id[2] == ["two words"]
+    assert by_id[3] == ["a b", "b c"]
+
+
+def test_lsh_pairs_subset_of_exact(spark, sf_dir):
+    """LSH candidates are verified exactly → precision 1.0: every LSH pair
+    must appear in the exact all-pairs result with identical jaccard."""
+    docs = _docs(spark, sf_dir)
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v
+    # recall at these params (r=2, b=16) should be high on this corpus
+    assert len(lsh) >= 0.9 * len(exact), (len(lsh), len(exact))
+
+
+def test_simhash_deterministic_and_locality(spark):
+    """Same text → same fingerprint; near-identical texts → small Hamming
+    distance; disjoint texts → large."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over a lazy dog"),
+        (4, "completely different words entirely unrelated content here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = {r.doc_id: r.simhash for r in D.simhash_fingerprints(df).collect()}
+    assert fp[1] == fp[2]
+
+    def ham(a, b):
+        return bin((a & (2**64 - 1)) ^ (b & (2**64 - 1))).count("1")
+
+    assert ham(fp[1], fp[3]) < ham(fp[1], fp[4])
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa")], ["doc_id", "text"]
+    )
+    out = {r.keep_id: r.n_copies for r in D.exact_dedup(df).collect()}
+    assert out == {1: 3, 2: 1}

@@ -1,0 +1,58 @@
+"""Similarity-search operator properties: LSH recall vs brute force, and
+the multimodal stubs."""
+
+import pytest
+
+from flink_emqx_connector_spark.operators import similarity as S
+
+
+def _emb(spark, sf_dir):
+    from flink_emqx_connector_spark.session import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _query(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+def test_bruteforce_topk_deterministic(spark, sf_dir):
+    q = _query(spark, sf_dir)
+    a = S.cosine_topk(_emb(spark, sf_dir), q, k=5, exclude_id=0).collect()
+    b = S.cosine_topk(_emb(spark, sf_dir), q, k=5, exclude_id=0).collect()
+    assert [(r.vec_id, r.cos_sim) for r in a] == [(r.vec_id, r.cos_sim) for r in b]
+    # self-similarity excluded; scores sorted descending
+    sims = [r.cos_sim for r in a]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_lsh_topk_results_in_bruteforce_ranking(spark, sf_dir):
+    """Every LSH hit must carry the same score the exact scorer assigns
+    (LSH only restricts candidates; it never changes scores)."""
+    q = _query(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    brute = {r.vec_id: r.cos_sim for r in S.cosine_topk(emb, q, k=500, exclude_id=0).collect()}
+    lsh = S.rp_lsh_topk(emb, q, k=10, exclude_id=0).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert r.vec_id in brute
+        assert brute[r.vec_id] == pytest.approx(r.cos_sim, abs=1e-9)
+
+
+def test_bucket_determinism(spark, sf_dir):
+    b1 = {r.vec_id: r.bucket for r in S.rp_lsh_buckets(_emb(spark, sf_dir)).collect()}
+    b2 = {r.vec_id: r.bucket for r in S.rp_lsh_buckets(_emb(spark, sf_dir)).collect()}
+    assert b1 == b2
+    assert all(len(v) == 8 and set(v) <= {"0", "1"} for v in b1.values())
+
+
+def test_multimodal_decode_stub_raises():
+    from flink_emqx_connector_spark.operators.multimodal import decode_image_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG")
