@@ -11,6 +11,8 @@ from . import llm_text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import windows_extra  # noqa: E402,F401
+from . import text_extra  # noqa: E402,F401
 
 __all__ = [
     "QUERIES",

@@ -1,0 +1,108 @@
+"""Token counting with a BPE-ish regex and winnowing-style document
+fingerprinting (rolling-hash shingles → per-window minimum) — the remaining
+text-analysis items of the BASELINE.json extension surface.
+
+Everything is built-in regexp/array functions — codegen'd, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+def _docs(spark, sf_dir):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+# BPE-style pre-tokenization classes: letter runs, digit runs, punctuation
+# runs (the GPT-2 pattern family restricted to a Java/RE2-portable core).
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@register(
+    "text_regex_tokens",
+    oracle=f"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           round(avg(len(regexp_extract_all(text, '{_BPE_RE}'))), 4)
+             AS avg_bpe_tokens,
+           CAST(max(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+             AS max_bpe_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="BPE-ish regex pre-tokenization (letter/digit/punct runs) token "
+    "counting — the fast proxy for real tokenizer cost estimation over a "
+    "corpus; single scan, tiny shuffle.",
+    tags=("text", "tokens"),
+)
+def text_regex_tokens(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    ntok = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)"))
+    return d.groupBy("lang").agg(
+        F.sum(ntok).cast("bigint").alias("total_bpe_tokens"),
+        F.round(F.avg(ntok), 4).alias("avg_bpe_tokens"),
+        F.max(ntok).cast("bigint").alias("max_bpe_tokens"),
+    )
+
+
+_WINNOW_W = 5  # fingerprints = per-window minimum over 5 consecutive shingle hashes
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> md5(string_split(text, ' ')[i] || ' ' ||
+                          string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2])) AS h
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(h) - {_WINNOW_W} + 2),
+                 i -> list_min(h[i:i+{_WINNOW_W}-1]))) AS fps
+      FROM sh
+      WHERE len(h) >= {_WINNOW_W}
+    )
+    SELECT doc_id, unnest(fps) AS fp
+    FROM wins
+    """,
+    doc="Winnowing document fingerprints: word 3-gram rolling (md5) hashes, "
+    "per-5-window minima, distinct per doc. The standard near-dup sketch "
+    "whose fingerprint count is ~2/(w+1) of shingle count — the shuffle "
+    "shrinks accordingly at 100 TB.",
+    tags=("text", "fingerprint", "dedup"),
+)
+def doc_winnowing_fingerprints(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    # ordered (non-distinct) word 3-gram md5 hashes
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 3),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+                F.element_at(w, i + 3),
+            )
+        ),
+    )
+    sh = d.select("doc_id", F.when(F.size(w) >= 3, hashes).alias("h")).filter(
+        F.size("h") >= _WINNOW_W
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("h") - _WINNOW_W),
+            lambda i: F.array_min(F.slice("h", i + 1, _WINNOW_W)),
+        )
+    )
+    return sh.select("doc_id", F.explode(fps).alias("fp"))

@@ -58,21 +58,29 @@ class Message:
 
 
 class SpoolPublisher:
-    """Test-side publisher: one JSON file per message, monotonically
-    sequence-numbered via an atomically-renamed counter."""
+    """Publisher: one JSON file per message.
+
+    Sequence numbers order the spool (the broker's arrival order); a
+    per-publisher token makes filenames unique so CONCURRENT publishers
+    (e.g. foreachPartition sink tasks) can never overwrite each other —
+    colliding seqs are tolerated by the consumer (same offset position,
+    both delivered), matching how a broker serializes racing publishers
+    arbitrarily.
+    """
 
     def __init__(self, spool_dir: str):
+        import uuid
+
         self.dir = spool_dir
         os.makedirs(spool_dir, exist_ok=True)
-
-    def _next_seq(self) -> int:
-        # single-writer test publisher: scan once, then count up
+        self.token = uuid.uuid4().hex[:8]
+        self._n = 0
         seqs = [
             int(f.split("-", 1)[0])
             for f in os.listdir(self.dir)
             if f.endswith(".msg")
         ]
-        return (max(seqs) + 1) if seqs else 0
+        self._next = (max(seqs) + 1) if seqs else 0
 
     def publish(
         self,
@@ -82,7 +90,8 @@ class SpoolPublisher:
         retained: bool = False,
         properties: dict[str, str] | None = None,
     ) -> int:
-        seq = self._next_seq()
+        seq = self._next
+        self._next += 1
         rec = {
             "topic": topic,
             "qos": qos,
@@ -91,8 +100,9 @@ class SpoolPublisher:
             "payload_hex": payload.hex(),
             "timestamp": time.time(),
         }
-        tmp = os.path.join(self.dir, f".{seq:012d}.tmp")
-        dst = os.path.join(self.dir, f"{seq:012d}-m.msg")
+        tmp = os.path.join(self.dir, f".{seq:012d}-{self.token}.tmp")
+        dst = os.path.join(self.dir, f"{seq:012d}-{self.token}-{self._n}.msg")
+        self._n += 1
         with open(tmp, "w") as f:
             json.dump(rec, f)
         os.rename(tmp, dst)  # atomic publish
