@@ -219,18 +219,29 @@ def minhash_lsh_pairs(
 _SIMHASH_BITS = 64
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
 def _simhash_one(text: str) -> int:
     """64-bit SimHash over whitespace tokens, md5-based (seed-free,
-    deterministic everywhere)."""
-    acc = [0] * _SIMHASH_BITS
+    deterministic everywhere). Bit voting is numpy-vectorized; per-token
+    md5s are memoized (corpora share vocabularies heavily)."""
+    import numpy as np
+
+    hs = []
     for tok in text.split(" "):
-        (h,) = struct.unpack(">Q", hashlib.md5(tok.encode()).digest()[:8])
-        for i in range(_SIMHASH_BITS):
-            acc[i] += 1 if (h >> i) & 1 else -1
+        h = _TOKEN_HASH_CACHE.get(tok)
+        if h is None:
+            (h,) = struct.unpack(">Q", hashlib.md5(tok.encode()).digest()[:8])
+            _TOKEN_HASH_CACHE[tok] = h
+        hs.append(h)
+    arr = np.array(hs, dtype=np.uint64)
+    # bit i set in fp iff more tokens have bit i set than unset (tie → 0),
+    # identical to the per-bit ±1 accumulator formulation
+    bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(axis=0)
     fp = 0
-    for i in range(_SIMHASH_BITS):
-        if acc[i] > 0:
-            fp |= 1 << i
+    for i in np.nonzero(2 * bits > len(hs))[0]:
+        fp |= 1 << int(i)
     # wrap to signed 64-bit for Spark LongType
     return fp - (1 << 64) if fp >= (1 << 63) else fp
 
