@@ -13,6 +13,7 @@ from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import windows_extra  # noqa: E402,F401
 from . import text_extra  # noqa: E402,F401
+from . import joins_extra  # noqa: E402,F401
 
 __all__ = [
     "QUERIES",

@@ -1,0 +1,183 @@
+"""Join-type completeness (SURVEY.md §2.4 names every join family as a
+gap in the reference): outer, cross/nested-loop, interval/range — plus the
+approximate-aggregate surface (the 100 TB substitutes for exact distinct /
+percentile) and the CSV decode layer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+def _t(spark, sf_dir, name):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "full_outer_join_coverage",
+    oracle="""
+    SELECT coalesce(n.n_name, 'NO_NATION') AS nation,
+           count(s.s_suppkey)              AS n_suppliers
+    FROM nation n
+    FULL OUTER JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    doc="Full outer join: nations with zero suppliers survive with count 0 "
+    "(count over the null-extended side).",
+    tags=("join", "outer"),
+)
+def full_outer_join_coverage(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "full_outer")
+        .groupBy(F.coalesce("n_name", F.lit("NO_NATION")).alias("nation"))
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "left_outer_join_nulls",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    GROUP BY c.c_custkey
+    """,
+    doc="Left outer join with a join-side predicate (kept in the ON clause, "
+    "not WHERE — different semantics, easy to get wrong).",
+    tags=("join", "outer"),
+)
+def left_outer_join_nulls(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_orderpriority == "1-URGENT")
+    return (
+        c.join(o, cond, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "cross_join_grid",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus, count(*) AS n
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    GROUP BY 1, 2
+    """,
+    doc="Cross (nested-loop) join for small dimension grids — broadcast "
+    "NLJ; never for two large sides.",
+    tags=("join", "cross"),
+)
+def cross_join_grid(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    s = _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).groupBy("r_name", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "interval_join_event_pairs",
+    oracle="""
+    SELECT a.event_id AS first_id, b.event_id AS next_id,
+           date_diff('second', a.ts, b.ts) AS gap_s
+    FROM events a
+    JOIN events b
+      ON b.user_id = a.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+    doc="Interval/range join: purchases within 10 minutes after a view by "
+    "the same user. Equi-key + range predicate — Catalyst plans the hash "
+    "join on user_id and applies the band as a post-filter; at scale, "
+    "bucketize time into join keys to bound the band (operators/asof.py "
+    "discussion).",
+    tags=("join", "range"),
+)
+def interval_join_event_pairs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("first_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("next_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    )
+    cond = (
+        (F.col("b_user") == F.col("a_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return a.join(b, cond).select(
+        "first_id",
+        "next_id",
+        (F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")).alias("gap_s"),
+    )
+
+
+@register(
+    "approx_aggregates",
+    oracle=None,  # approximate by definition; exactness bound tested in tests/
+    doc="The 100 TB aggregation surface: HLL++ approx distinct and "
+    "approx percentiles — sketch-mergeable, constant memory per group, "
+    "no expand step. Property-tested against exact values within rated "
+    "error (tests/test_approx.py).",
+    tags=("agg", "approx"),
+)
+def approx_aggregates(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "decode_csv_payload",
+    oracle="""
+    SELECT CAST(string_split(csv, ',')[1] AS BIGINT) % 3 AS bucket,
+           count(*) AS cnt,
+           round(sum(CAST(string_split(csv, ',')[2] AS DOUBLE)), 2) AS total
+    FROM (SELECT CAST(user_id AS VARCHAR) || ',' || CAST(value AS VARCHAR) AS csv
+          FROM events)
+    GROUP BY 1
+    """,
+    doc="S8 decode layer, CSV codec: byte payload → from_csv struct "
+    "(schema-on-read like the JSON path).",
+    tags=("parity", "decode"),
+)
+def decode_csv_payload(spark, sf_dir):
+    from ..functions.decode import decode_csv
+
+    ev = _t(spark, sf_dir, "events")
+    payload = F.encode(
+        F.concat_ws(",", F.col("user_id").cast("string"), F.col("value").cast("string")),
+        "UTF-8",
+    )
+    dec = ev.select(
+        decode_csv(payload, "user_id BIGINT, value DOUBLE").alias("d")
+    )
+    return dec.groupBy((F.col("d.user_id") % 3).alias("bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("d.value"), 2).alias("total"),
+    )
