@@ -32,6 +32,11 @@ HEADLINE = [
     "sessionization",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
+    "q14_promo_share",
+    "q18_large_orders",
+    "grouping_sets_orders",
+    "sliding_window_events",
+    "json_functions_events",
     "star_join_supplier_region",
     "window_topk_orders_per_customer",
     "asof_join_purchase_view",
@@ -47,6 +52,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_topk_cosine",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "multimodal_features",
 ]
 
@@ -64,9 +70,12 @@ def main() -> int:
 
     spark = get_spark("bench", cpus=cpus)
 
-    # Warm the JVM/Python-worker pools once so per-query numbers measure the
-    # plan, not process spin-up.
+    # Warm the JVM and the Python-worker/Arrow pool once so per-query
+    # numbers measure the plan, not process spin-up.
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(cpus).repartition(cpus).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -328,7 +328,10 @@ def minhash_signatures(
 
     Shingles are hashed JVM-side with murmur3 (``F.hash``, fixed seed), then
     k universal-hash permutations are folded with ``array_min`` — one scan,
-    no shuffle until the caller aggregates.
+    no shuffle until the caller aggregates. (An Arrow/numpy formulation of
+    the same kernel was benchmarked and lost: the pipeline breaker plus
+    Python-worker round-trip cost more than the one-time ~3 s codegen of
+    the k-column expression, and downstream AQE plans degraded.)
     """
     params = _minhash_params(num_hashes)
     sh = _shingle_table(docs, text_col, id_col, n)
@@ -366,7 +369,13 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    # The band self-join consumes the signature table twice; persist it so
+    # the Arrow signature kernel runs once (on a cluster this is a tiny
+    # |docs|×(k+1) long table — cache it, don't recompute the corpus scan).
     sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     band_structs = F.array(
         *[
             F.struct(

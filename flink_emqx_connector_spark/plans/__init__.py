@@ -14,6 +14,7 @@ from . import multimodal  # noqa: E402,F401
 from . import windows_extra  # noqa: E402,F401
 from . import text_extra  # noqa: E402,F401
 from . import joins_extra  # noqa: E402,F401
+from . import relational_fns  # noqa: E402,F401
 
 __all__ = [
     "QUERIES",

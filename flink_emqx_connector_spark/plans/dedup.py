@@ -1,10 +1,10 @@
 """Dedup queries over ``documents``/``embeddings`` (operators/dedup.py).
 
-Oracle coverage: exact dedup and n-gram Jaccard and embedding near-dup have
-full DuckDB oracles. MinHash-LSH and SimHash are probabilistic/bit-level
-operators with no reasonable SQL expression — registered without oracles
-(driver records the weaker rows-only check; their *verification* logic is
-still exact and tested in tests/).
+Oracle coverage: exact dedup, n-gram Jaccard, embedding near-dup, and
+SimHash (md5-replica SQL) have full DuckDB oracles. MinHash-LSH's recall is
+probabilistic (murmur3-seeded permutations, not SQL-reproducible) — it is
+registered without an oracle (driver records the weaker rows-only check);
+its verification step is exact and pinned subset-of-exact in tests/.
 """
 
 from __future__ import annotations
@@ -87,7 +87,37 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @register(
     "dedup_simhash",
-    oracle=None,  # 64-bit bit-voting fingerprint — not SQL-expressible
+    # Full SQL replica of the md5-based bit-voting fingerprint: token hash =
+    # first 8 bytes of md5 (big-endian), bit i of fp set iff 2·ones > n.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok),1,16))::UBIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+             count(*) AS n
+      FROM th, (SELECT unnest(range(64)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN 2*ones > n THEN (1::HUGEINT << CAST(bit AS INTEGER))
+                      ELSE 0::HUGEINT END) AS fp_u
+      FROM votes GROUP BY doc_id
+    ),
+    fps AS (
+      SELECT doc_id,
+             CAST(CASE WHEN fp_u >= (1::HUGEINT << 63) THEN fp_u - (1::HUGEINT << 64)
+                       ELSE fp_u END AS BIGINT) AS simhash
+      FROM fp
+    )
+    SELECT simhash, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keeper
+    FROM fps GROUP BY simhash HAVING count(*) > 1
+    """,
     doc="SimHash-64 fingerprints (Arrow-vectorized pandas UDF), grouped into "
     "identical-fingerprint clusters. operators/dedup.py:simhash_fingerprints.",
     tags=("dedup", "simhash", "udf"),

@@ -1,0 +1,280 @@
+"""Second wave of relational + scalar-function coverage.
+
+Like plans/relational.py, everything here is a gap in the reference
+(SURVEY.md §2.4 — it borrows all relational operators from Flink's API and
+implements none): conditional aggregation, HAVING, GROUPING SETS, array /
+map / JSON scalar-function families, and sliding event-time windows. Each
+query is written scale-first: filters that push to the scan, broadcasts for
+dimension sides, one shuffle per aggregation, total orders on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+def _t(spark, sf_dir, name):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Conditional aggregation over a broadcast dimension join (TPC-H Q14 shape).
+# --------------------------------------------------------------------------
+@register(
+    "q14_promo_share",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    doc="Promo revenue share (TPC-H Q14 shape): broadcast the part dimension "
+    "into the fact scan, one conditional aggregate — no shuffle of lineitem "
+    "at all (partial agg + broadcast join).",
+    tags=("agg", "join", "conditional"),
+)
+def q14_promo_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped HAVING + semi-join back to the fact (TPC-H Q18 shape).
+# --------------------------------------------------------------------------
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, round(CAST(sum(l_quantity) AS DOUBLE), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 100
+    )
+    SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice,
+           total_qty
+    FROM orders JOIN big ON o_orderkey = l_orderkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="Large-quantity orders (TPC-H Q18 shape): aggregate-then-join — the "
+    "HAVING output is tiny, so it broadcasts into orders; never join the "
+    "raw fact tables first.",
+    tags=("agg", "having", "join", "topk"),
+)
+def q18_large_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 100)
+        .select("l_orderkey", F.round(F.col("raw_qty").cast("double"), 2).alias("total_qty"))
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with explicit level labels (cube/rollup cousins are in
+# joins_extra/windows_extra; this is the general form).
+# --------------------------------------------------------------------------
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END
+             AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END
+             AS priority,
+           count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="GROUPING SETS ((a,b),(a),()) with grouping() → '<all>' labels so "
+    "every level has a concrete key (no NULL ambiguity across engines). "
+    "One pass, Expand operator — not three scans.",
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_orders(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END
+                 AS status,
+               CASE WHEN grouping(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END
+                 AS priority,
+               count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Array function family: collect → sort → slice → higher-order aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "array_agg_order_quantities",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             list(l_quantity ORDER BY l_quantity DESC, l_linenumber) AS qs
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(qs) AS n_items,
+           round(list_sum(qs[1:3]), 2) AS top3_qty,
+           round(qs[1] - qs[-1], 2) AS qty_range
+    FROM per_order
+    """,
+    doc="Array-function family over per-order quantity vectors: "
+    "collect_list → sort_array(desc) → slice → aggregate (higher-order "
+    "fold), all JVM-side built-ins.",
+    tags=("array", "functions", "agg"),
+)
+def array_agg_order_quantities(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qs = F.sort_array(F.collect_list("l_quantity"), asc=False)
+    per_order = li.groupBy("l_orderkey").agg(qs.alias("qs"))
+    top3 = F.aggregate(
+        F.slice("qs", 1, 3), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("qs").cast("bigint").alias("n_items"),
+        F.round(top3, 2).alias("top3_qty"),
+        F.round(
+            F.element_at("qs", 1) - F.element_at("qs", -1), 2
+        ).alias("qty_range"),
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON scalar functions over the events payload column.
+# --------------------------------------------------------------------------
+@register(
+    "json_functions_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON path extraction (get_json_object) + typed aggregation over the "
+    "events props column — the payload-decode surface of SURVEY.md §1.2 "
+    "applied to a JSON field.",
+    tags=("json", "functions", "agg"),
+)
+def json_functions_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).cast("bigint").alias("n_big"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Map function family: build per-user event-type→count maps, then consume
+# them with map_keys/map_values + higher-order aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "map_functions_events",
+    oracle="""
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           count(*) AS total_events
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Map-function family: map_from_entries(collect_list(struct)) builds "
+    "a per-user event-type→count map; map_keys/map_values + aggregate fold "
+    "consume it. Oracle states the same result relationally.",
+    tags=("map", "functions", "agg"),
+)
+def map_functions_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "c"))
+        ).alias("m")
+    )
+    total = F.aggregate(
+        F.map_values("m"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return as_map.select(
+        "user_id",
+        F.size(F.map_keys("m")).cast("bigint").alias("n_types"),
+        total.alias("total_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding event-time window (10 min length, 5 min slide): each event lands
+# in exactly 2 windows. Streaming form is the same expression under
+# readStream + watermark.
+# --------------------------------------------------------------------------
+@register(
+    "sliding_window_events",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes'
+             AS window_start,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 2) AS total_value
+    FROM events, (SELECT unnest([0, 1]) AS k) k
+    GROUP BY 1, 2
+    """,
+    doc="Sliding window via window(ts, '10 minutes', '5 minutes'): the "
+    "built-in expands each event to its len/slide covering windows before "
+    "one grouped aggregation (oracle states the same expansion with an "
+    "explicit 2-phase bucket union).",
+    tags=("window", "sliding", "streaming-equivalent"),
+)
+def sliding_window_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )

@@ -62,6 +62,99 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 @register(
+    "ann_ivf_topk",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 16
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)
+               AS csim
+      FROM embeddings e, cents c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+        FROM scored WHERE vec_id < 5
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON p.cid = a.cid
+      WHERE a.vec_id <> p.query_id
+    ),
+    reranked AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(n.embedding AS DOUBLE[])), 4) AS cos_sim
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings n ON n.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM reranked
+    ) WHERE rk <= 5
+    """,
+    doc="IVF-style ANN: 16 deterministic coarse centroids (vec_id < 16 as "
+    "the 'trained' codebook), every vector assigned to its nearest centroid "
+    "(one broadcast nested-loop pass — the inverted file), queries probe "
+    "their nprobe=4 nearest cells and exactly re-rank only those cells' "
+    "members. At 100 TB the assignment is a write-once partitioning column: "
+    "probing reads ~nprobe/nlist of the corpus via partition pruning.",
+    tags=("similarity", "approx", "ivf"),
+)
+def ann_ivf_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+
+    def _cos(a, b):
+        av, bv = F.col(a).cast("array<double>"), F.col(b).cast("array<double>")
+        dot = F.aggregate(F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        na = F.sqrt(F.aggregate(F.transform(av, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+        nb = F.sqrt(F.aggregate(F.transform(bv, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+        return dot / (na * nb)
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", "embedding", F.round(_cos("embedding", "c_emb"), 6).alias("csim")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cid", F.col("embedding").alias("n_emb")
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < 5) & (F.col("rn") <= 4))
+        .select(F.col("vec_id").alias("query_id"), "cid", F.col("embedding").alias("q_emb"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(_cos("q_emb", "n_emb"), 4).alias("cos_sim"))
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+@register(
     "knn_join_topk",
     oracle="""
     WITH scored AS (

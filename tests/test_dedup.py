@@ -64,6 +64,45 @@ def test_simhash_deterministic_and_locality(spark):
     assert ham(fp[1], fp[3]) < ham(fp[1], fp[4])
 
 
+def test_dense_jaccard_matches_inverted_index(spark, sf_dir):
+    """The broadcast-bitmap matmul strategy and the shingle inverted index
+    are alternative physical plans for the same operator — results must be
+    bit-identical (pairs AND rounded jaccard values)."""
+    docs = _docs(spark, sf_dir)
+    dense = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs_dense(docs, threshold=0.5).collect()
+    )
+    inverted = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    assert dense == inverted
+    # the auto selector must pick one of them, not change results
+    auto = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs_auto(docs, threshold=0.5).collect()
+    )
+    assert auto == inverted
+
+
+def test_simhash_batch_matches_reference():
+    """The vectorized batch kernel must agree with the one-doc reference
+    implementation, including edge cases (empty text, single token)."""
+    import pandas as pd
+
+    texts = [
+        "hello world hello",
+        "",
+        "a",
+        "x y z w x y",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    got = list(D._simhash_batch(pd.Series(texts)))
+    want = [D._simhash_one(t) for t in texts]
+    assert got == want
+
+
 def test_exact_dedup_counts(spark):
     df = spark.createDataFrame(
         [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa")], ["doc_id", "text"]
