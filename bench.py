@@ -35,6 +35,8 @@ HEADLINE = [
     "q14_promo_share",
     "q18_large_orders",
     "grouping_sets_orders",
+    "regression_per_segment",
+    "zscore_per_priority",
     "sliding_window_events",
     "json_functions_events",
     "star_join_supplier_region",

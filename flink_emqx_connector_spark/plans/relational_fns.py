@@ -240,6 +240,87 @@ def map_functions_events(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Built-in linear-regression aggregates (no UDF, no collect).
+# --------------------------------------------------------------------------
+@register(
+    "regression_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           round(regr_slope(o_totalprice, epoch(o_orderdate)), 6) AS slope,
+           round(regr_r2(o_totalprice, epoch(o_orderdate)), 6) AS r2,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Per-segment OLS slope/R² of order totals over time via the "
+    "built-in regr_* aggregates — single-shuffle, map-side partials; the "
+    "idiomatic replacement for collect-and-fit loops.",
+    tags=("agg", "regression", "functions"),
+)
+def regression_per_segment(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = F.unix_timestamp("o_orderdate").cast("double")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.regr_slope(F.col("o_totalprice"), x), 6).alias("slope"),
+            F.round(F.regr_r2(F.col("o_totalprice"), x), 6).alias("r2"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# applyInPandas: arbitrary per-group Python (grouped-map API surface).
+# --------------------------------------------------------------------------
+@register(
+    "zscore_per_priority",
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderkey, o_orderpriority,
+             (o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderpriority))
+               / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderpriority) AS z
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, round(z, 4) AS z
+    FROM stats WHERE abs(z) > 1.5
+    """,
+    doc="Per-group z-score outliers via applyInPandas (grouped-map pandas "
+    "API — the escape hatch for per-group logic SQL can't express; here "
+    "deliberately a SQL-checkable kernel so the oracle can verify the "
+    "plumbing end-to-end). Groups are whole partitions; skew-safe for "
+    "low-cardinality keys only — high-cardinality grouped-map goes through "
+    "window functions instead.",
+    tags=("udf", "pandas", "grouped-map"),
+)
+def zscore_per_priority(spark, sf_dir):
+    import pandas as pd
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = (pdf["o_totalprice"] - pdf["o_totalprice"].mean()) / pdf[
+            "o_totalprice"
+        ].std(ddof=1)
+        out = pdf[["o_orderkey", "o_orderpriority"]].copy()
+        out["z"] = z
+        return out[abs(z) > 1.5]
+
+    grouped = orders.groupBy("o_orderpriority").applyInPandas(
+        _z, "o_orderkey bigint, o_orderpriority string, z double"
+    )
+    # Round JVM-side: F.round is half-up like DuckDB's round (pandas'
+    # .round is banker's — a silent oracle-parity hazard).
+    return grouped.select(
+        "o_orderkey", "o_orderpriority", F.round("z", 4).alias("z")
+    )
+
+
+# --------------------------------------------------------------------------
 # Sliding event-time window (10 min length, 5 min slide): each event lands
 # in exactly 2 windows. Streaming form is the same expression under
 # readStream + watermark.

@@ -1,0 +1,99 @@
+"""Physical-plan regression tests: the 100 TB posture, pinned.
+
+Correctness says the query returns the right rows; these tests say it
+returns them with the right *plan* — filters pushed to the parquet scan,
+dimension joins broadcast, partial aggregation before the shuffle, top-k as
+TakeOrderedAndProject instead of a global sort. A regression here is a
+silent 10-100× slowdown at scale that sf0.001 correctness tests would
+never notice.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from flink_emqx_connector_spark.plans import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    def get(name):
+        return plan_of(QUERIES[name].spark(spark, sf_dir))
+
+    return get
+
+
+def test_q1_filter_pushed_to_scan(plans):
+    p = plans("q1_pricing_summary")
+    assert "PushedFilters" in p
+    assert "LessThanOrEqual(l_shipdate" in p, p
+
+
+def test_q1_partial_aggregation(plans):
+    """Two HashAggregates (partial + final) — the shuffle carries
+    |groups|×partitions rows, not the fact table."""
+    p = plans("q1_pricing_summary")
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_star_join_broadcasts_dimensions(plans):
+    p = plans("star_join_supplier_region")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_q3_broadcasts_customer_filter(plans):
+    p = plans("q3_top_revenue_orders")
+    assert "BroadcastHashJoin" in p, p
+    # the dimension filter must reach its scan, not sit above the join
+    assert "EqualTo(c_mktsegment,BUILDING)" in p.replace(" ", ""), p
+
+
+def test_global_topk_is_take_ordered(plans):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    top-k + merge), never a full global Sort."""
+    p = plans("topk_global_lineitems")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_scan_prunes_columns(plans):
+    """q1 reads 7 of lineitem's 11 columns; the scan schema must not
+    contain the unused join keys."""
+    p = plans("q1_pricing_summary")
+    scan = p[p.index("ReadSchema") :].splitlines()[0]
+    assert "l_partkey" not in scan and "l_suppkey" not in scan, scan
+
+
+def test_q18_aggregates_before_join(plans):
+    """Aggregate-then-join: the HAVING aggregate must appear below the
+    join (we broadcast the aggregated side), so the plan has a
+    BroadcastHashJoin whose build side contains the HashAggregate."""
+    p = plans("q18_large_orders")
+    assert "BroadcastHashJoin" in p, p
+    assert p.index("HashAggregate") > p.index("BroadcastHashJoin") or (
+        p.count("HashAggregate") >= 2
+    ), p
+
+
+def test_wordcount_partial_aggregation(plans):
+    p = plans("wordcount")
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_exact_dedup_shuffles_digests_not_text(plans):
+    """The md5 projection must be computed below the exchange: the shuffle
+    moves 16-byte digests, never the document text."""
+    p = plans("dedup_exact")
+    proj_idx = p.find("md5")
+    ex_idx = p.find("Exchange")
+    assert proj_idx != -1 and ex_idx != -1
+    # formatted explain lists operators root-first: Exchange prints before
+    # the scan-side projection that feeds it
+    assert ex_idx < proj_idx, p
