@@ -240,6 +240,38 @@ def map_functions_events(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Skew-mitigated aggregation: identical results to a plain groupBy, but the
+# hot key is spread over 16 reducers in phase 1.
+# --------------------------------------------------------------------------
+@register(
+    "salted_user_activity",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Two-phase salted aggregation (operators/skew.py:salted_agg): key ⊕ "
+    "salt∈[0,16) partials, then final re-aggregation by key — the remedy "
+    "when one hot key would pin a reducer at 100 TB. Result is provably "
+    "identical to the plain groupBy (algebraic aggregates re-aggregate "
+    "losslessly), which is exactly what the oracle states.",
+    tags=("agg", "skew", "salting"),
+)
+def salted_user_activity(spark, sf_dir):
+    from ..operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        key_cols=["user_id"],
+        aggs={"n_events": "count:*", "raw_total": "sum:value"},
+        buckets=16,
+    )
+    return out.select(
+        "user_id", "n_events", F.round("raw_total", 2).alias("total_value")
+    )
+
+
+# --------------------------------------------------------------------------
 # Built-in linear-regression aggregates (no UDF, no collect).
 # --------------------------------------------------------------------------
 @register(
