@@ -240,6 +240,92 @@ def map_functions_events(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Time-interval RANGE window frame (trailing 1 h per user).
+# --------------------------------------------------------------------------
+@register(
+    "range_frame_trailing_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_1h
+    FROM events
+    """,
+    doc="RANGE BETWEEN INTERVAL frame: per-user trailing 1-hour sum — the "
+    "event-time rolling aggregate shape (vs ROWS frames in "
+    "window_running_total). One shuffle on user_id serves the whole frame.",
+    tags=("window", "range-frame"),
+)
+def range_frame_trailing_sum(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_rf")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ), 2) AS trailing_1h
+        FROM events_rf
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# posexplode: 1→N generator with position (ordinality).
+# --------------------------------------------------------------------------
+@register(
+    "posexplode_doc_tokens",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 10
+    )
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, len(w))) - 1 AS BIGINT) AS pos,
+           unnest(w) AS token
+    FROM ws
+    """,
+    doc="posexplode (generator with ordinality) over tokenized text — the "
+    "1→N flatMap of WordCount (SURVEY.md §2.2 T1) with positions kept.",
+    tags=("explode", "generator", "text"),
+)
+def posexplode_doc_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+
+
+# --------------------------------------------------------------------------
+# Edit-distance fuzzy matching (data-cleaning / entity-resolution surface).
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_match_nations",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+    FROM nation a JOIN nation b ON a.n_name < b.n_name
+    WHERE levenshtein(a.n_name, b.n_name) <= 2
+    """,
+    doc="Levenshtein fuzzy self-match on the nation dimension — the "
+    "entity-resolution primitive; at scale the cross join is first blocked "
+    "(prefix/soundex/LSH) exactly like dedup blocking.",
+    tags=("string", "fuzzy", "join"),
+)
+def fuzzy_match_nations(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 2)
+        .select("name_a", "name_b", dist.cast("bigint").alias("dist"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Skew-mitigated aggregation: identical results to a plain groupBy, but the
 # hot key is spread over 16 reducers in phase 1.
 # --------------------------------------------------------------------------
