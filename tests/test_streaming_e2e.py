@@ -111,28 +111,26 @@ def test_redelivery_without_commit(tmp_path):
     for i in range(10):
         pub.publish("t/1", str(i).encode(), qos=1)
 
+    def drain(reader):
+        rows = []
+        for p in reader.partitions(reader.initialOffset(), reader.latestOffset()):
+            for batch in reader.read(p):  # pyarrow RecordBatches
+                rows.extend(batch.to_pylist())
+        return rows
+
     opts = {"transport": "spool", "spool_dir": spool, "partitions": "2"}
     r1 = EMQXStreamReader(None, opts)
     end = r1.latestOffset()
     assert end == {"seq": 10}
-    got1 = []
-    for p in r1.partitions(r1.initialOffset(), end):
-        got1.extend(r1.read(p))
+    got1 = drain(r1)
     assert len(got1) == 10
     # crash before commit → nothing acked → full redelivery
-    r2 = EMQXStreamReader(None, opts)
-    got2 = []
-    for p in r2.partitions(r2.initialOffset(), r2.latestOffset()):
-        got2.extend(r2.read(p))
-    assert sorted(m[4] for m in got2) == sorted(m[4] for m in got1)
+    got2 = drain(EMQXStreamReader(None, opts))
+    assert sorted(m["payload"] for m in got2) == sorted(m["payload"] for m in got1)
 
     # now commit → backlog acked → no redelivery
-    r2.commit(end)
-    r3 = EMQXStreamReader(None, opts)
-    got3 = []
-    for p in r3.partitions(r3.initialOffset(), r3.latestOffset()):
-        got3.extend(r3.read(p))
-    assert got3 == []
+    r1.commit(end)
+    assert drain(EMQXStreamReader(None, opts)) == []
 
 
 def test_broker_offline_at_start(spark, tmp_path):
