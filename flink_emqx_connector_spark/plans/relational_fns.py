@@ -298,6 +298,87 @@ def posexplode_doc_tokens(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Python UDTF: user-defined table function in a SQL lateral join.
+# --------------------------------------------------------------------------
+@register(
+    "udtf_tokenize",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 10
+    )
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, len(w))) - 1 AS BIGINT) AS pos,
+           unnest(w) AS token
+    FROM ws
+    """,
+    doc="Python UDTF (spark.udtf.register) applied via LATERAL join — the "
+    "user-defined 1→N surface (vs the built-in posexplode in "
+    "posexplode_doc_tokens, which is the plan to prefer when built-ins "
+    "suffice).",
+    tags=("udtf", "udf", "generator"),
+)
+def udtf_tokenize(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split(" ")):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM docs_udtf d, LATERAL tokenize_udtf(d.text) t
+        WHERE d.doc_id < 10
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Multiset (bag) set operations: INTERSECT ALL / EXCEPT ALL.
+# --------------------------------------------------------------------------
+@register(
+    "multiset_ops_users",
+    oracle="""
+    SELECT 'intersect_all' AS op, count(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'view'
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, count(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'view'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+    doc="Bag semantics set ops (intersectAll/exceptAll — duplicate "
+    "multiplicities preserved), complementing the distinct-set ops in "
+    "set_intersect_users/set_except_users.",
+    tags=("setops", "multiset"),
+)
+def multiset_ops_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    ia = (
+        purchases.intersectAll(views)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "n")
+    )
+    ea = (
+        views.exceptAll(purchases)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "n")
+    )
+    return ia.unionAll(ea)
+
+
+# --------------------------------------------------------------------------
 # Edit-distance fuzzy matching (data-cleaning / entity-resolution surface).
 # --------------------------------------------------------------------------
 @register(

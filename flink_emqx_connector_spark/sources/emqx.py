@@ -86,6 +86,9 @@ class EMQXStreamReader(DataSourceStreamReader):
             if not self.spool_dir:
                 raise ValueError("spool transport requires spool_dir")
             self._spool = SpoolTransport(self.spool_dir)
+            # Seed batch planning at the acked frontier so a restarted
+            # reader ramps from the committed position, not seq 0.
+            self._planned = self._spool.frontier()
         elif self.transport_kind == "paho":
             self._spool = None
         else:
@@ -99,7 +102,15 @@ class EMQXStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         if self._spool is not None:
-            return {"seq": self._spool.latest_seq()}
+            # Admission control (Kafka's maxOffsetsPerTrigger analogue):
+            # after a restart with a deep un-acked backlog, cap each
+            # micro-batch at max_records_per_batch × partitions instead of
+            # swallowing the whole log in one giant batch — bounded batch
+            # memory and steady checkpoint cadence at any backlog depth.
+            head = self._spool.latest_seq()
+            cap = self._planned + self.max_per_batch * self.num_partitions
+            self._planned = min(head, max(cap, self._planned))
+            return {"seq": self._planned}
         # paho: no driver-visible log — each latestOffset names the next
         # micro-batch; executors drain whatever arrived (ST7).
         self._batch += 1

@@ -133,6 +133,41 @@ def test_redelivery_without_commit(tmp_path):
     assert drain(EMQXStreamReader(None, opts)) == []
 
 
+def test_backlog_admission_control(tmp_path):
+    """A deep backlog is consumed in bounded micro-batches
+    (max_records_per_batch × partitions per trigger), not one giant batch —
+    the maxOffsetsPerTrigger analogue."""
+    spool = _spool(tmp_path)
+    pub = SpoolPublisher(spool)
+    for i in range(5000):
+        pub.publish("t/1", str(i).encode(), qos=1)
+
+    r = EMQXStreamReader(
+        None,
+        {
+            "transport": "spool",
+            "spool_dir": spool,
+            "partitions": "2",
+            "max_records_per_batch": "1000",
+        },
+    )
+    ends = [r.latestOffset()["seq"] for _ in range(4)]
+    assert ends == [2000, 4000, 5000, 5000], ends
+
+    # a restarted reader with everything committed plans from the frontier
+    r.commit({"seq": 5000})
+    r2 = EMQXStreamReader(
+        None,
+        {
+            "transport": "spool",
+            "spool_dir": spool,
+            "partitions": "2",
+            "max_records_per_batch": "1000",
+        },
+    )
+    assert r2.latestOffset()["seq"] == 5000
+
+
 def test_broker_offline_at_start(spark, tmp_path):
     """Query starts with no broker (spool dir absent), survives, and
     delivers all 10 messages once the broker appears (reference :303-364)."""
