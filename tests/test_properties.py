@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis): custom operator kernels vs
+independent reference implementations on randomized inputs — the corpus
+tests can't cover the weird shapes (empty strings, repeated tokens,
+unsorted timestamps, ties)."""
+
+import string
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from flink_emqx_connector_spark.operators import dedup as D
+from flink_emqx_connector_spark.operators.asof import asof_join
+
+_WORD = st.text(alphabet=string.ascii_lowercase, min_size=0, max_size=4)
+_TEXT = st.lists(_WORD, min_size=0, max_size=12).map(lambda ws: " ".join(ws))
+
+
+def _ref_ngrams(text: str, n: int) -> list[str]:
+    """Independent python reference for word_ngrams: distinct n-grams in
+    first-appearance order."""
+    w = text.split(" ")
+    grams = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+    seen, out = set(), []
+    for g in grams:
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(texts=st.lists(_TEXT, min_size=1, max_size=30), n=st.integers(1, 3))
+def test_word_ngrams_matches_reference(spark, texts, n):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: list(r.sh)
+        for r in df.select("doc_id", D.word_ngrams(F.col("text"), n).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_ngrams(t, n), (t, n, got[i])
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1,
+        max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_pandas(spark, left, right):
+    """asof_join (join + window dedup) vs pandas merge_asof per key.
+    Right-side time ties are broken by the tie_break column, mirrored in
+    the reference by sorting and keeping the last."""
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], ["lid", "key", "lt"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right], ["rkey", "rt", "val"]
+    )
+    got = {
+        r.lid: (r.rt, r.val)
+        for r in asof_join(
+            ldf, rdf, "key", "rkey", "lt", "rt", left_key="lid", tie_break="val"
+        ).collect()
+    }
+    # reference: per left row, latest right (rt <= lt) on the same key;
+    # ties on rt broken by the largest val (matching tie_break desc)
+    for i, (k, lt) in enumerate(left):
+        cands = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= lt]
+        want = max(cands, key=lambda x: (x[0], x[1])) if cands else None
+        assert got.get(i) == want, (i, k, lt, got.get(i), want)
