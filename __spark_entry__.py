@@ -51,7 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle for each SQL-expressible query; probabilistic
-    operators (MinHash-LSH recall, LSH ANN, SimHash bit-voting) are omitted
+    operators (MinHash-LSH recall, LSH ANN, HLL sketches) are omitted
     → driver records the weaker rows-only check."""
     from flink_emqx_connector_spark.plans import all_oracle_sql
 

@@ -31,6 +31,65 @@ def _source(spark, spool, partitions=2):
     )
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time range bound
+    (the streaming form of the batch interval join): purchases join views
+    of the same user within 10 minutes before the purchase."""
+    views_spool = str(tmp_path / "views")
+    buys_spool = str(tmp_path / "buys")
+    vp, bp = SpoolPublisher(views_spool), SpoolPublisher(buys_spool)
+    base = 1_700_000_000  # fixed epoch so event times are deterministic
+
+    def _payload(user, epoch):
+        return f"{user},{epoch}".encode()
+
+    # user 1: view then buy 5 min later (match); user 2: view 30 min
+    # before buy (outside bound); user 3: buy with no view.
+    vp.publish("v/1", _payload(1, base + 0))
+    vp.publish("v/1", _payload(2, base - 1800))
+    bp.publish("b/1", _payload(1, base + 300))
+    bp.publish("b/1", _payload(2, base + 0))
+    bp.publish("b/1", _payload(3, base + 0))
+
+    def decode(df, prefix):
+        cols = F.split(F.col("payload").cast("string"), ",")
+        return df.select(
+            cols.getItem(0).cast("bigint").alias(f"{prefix}_user"),
+            F.timestamp_seconds(cols.getItem(1).cast("bigint")).alias(
+                f"{prefix}_ts"
+            ),
+        ).withWatermark(f"{prefix}_ts", "1 minute")
+
+    views = decode(_source(spark, views_spool), "v")
+    buys = decode(_source(spark, buys_spool), "b")
+    joined = views.join(
+        buys,
+        F.expr(
+            """
+            v_user = b_user AND
+            b_ts >= v_ts AND b_ts <= v_ts + interval 10 minutes
+            """
+        ),
+        "inner",
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait(
+            lambda: spark.sql(f"SELECT count(*) AS c FROM {name}").head()["c"] >= 1
+        )
+        rows = spark.sql(f"SELECT v_user, b_user FROM {name}").collect()
+        assert {(r.v_user, r.b_user) for r in rows} == {(1, 1)}, rows
+    finally:
+        q.stop()
+
+
 def test_rolling_sum_with_state(spark, tmp_path):
     """Keyed-state rolling sum accumulates across micro-batches (Flink
     keyBy().sum() parity at the state level, WordCount.java:32)."""
