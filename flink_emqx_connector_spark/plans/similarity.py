@@ -116,9 +116,59 @@ def ann_lsh_topk(spark, sf_dir):
     tags=("similarity", "approx", "ivf"),
 )
 def ann_ivf_topk(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
     emb = _emb(spark, sf_dir)
-    cents = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    # The 'trained' codebook is tiny by construction — collect and close
+    # over it (the broadcast-build-side of the assignment). Columns are
+    # ordered by cid, so numpy argmax/stable-argsort tie-break = smallest
+    # cid, matching the oracle's ORDER BY csim DESC, cid.
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    C = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    c_norm = np.sqrt((C * C).sum(axis=1))
+
+    def _round_half_away(x, decimals):
+        # DuckDB/Spark round() semantics; np.round is banker's.
+        p = 10.0**decimals
+        return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+    def _cell_kernel(nprobe):
+        def kernel(iterator):
+            for pdf in iterator:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+                v_norm = np.sqrt((V * V).sum(axis=1))
+                sims = _round_half_away(
+                    (V @ C.T) / (v_norm[:, None] * c_norm[None, :]), 6
+                )
+                # stable argsort on -sims: ties keep cid-ascending order
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+                ids = pdf["vec_id"].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids, nprobe),
+                        "cid": cids[top].ravel(),
+                    }
+                )
+
+        return kernel
+
+    # Inverted file: every vector → its nearest cell. One numpy GEMM per
+    # Arrow batch — at 100 TB this is the write-once partitioning pass.
+    assign = emb.select("vec_id", "embedding").mapInPandas(
+        _cell_kernel(1), "vec_id long, cid long"
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    probes = (
+        emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .mapInPandas(_cell_kernel(4), "vec_id long, cid long")
+        .withColumnRenamed("vec_id", "query_id")
     )
 
     def _cos(a, b):
@@ -128,22 +178,14 @@ def ann_ivf_topk(spark, sf_dir):
         nb = F.sqrt(F.aggregate(F.transform(bv, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
         return dot / (na * nb)
 
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", "embedding", F.round(_cos("embedding", "c_emb"), 6).alias("csim")
-    )
-    w_assign = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
-    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), "cid", F.col("embedding").alias("n_emb")
-    )
-    probes = (
-        ranked.filter((F.col("vec_id") < 5) & (F.col("rn") <= 4))
-        .select(F.col("vec_id").alias("query_id"), "cid", F.col("embedding").alias("q_emb"))
-    )
+    q_emb = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    n_emb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
     cand = (
         F.broadcast(probes)
         .join(assign, "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q_emb.filter(F.col("query_id") < 5)), "query_id")
+        .join(n_emb, "neighbor_id")
         .select("query_id", "neighbor_id", F.round(_cos("q_emb", "n_emb"), 4).alias("cos_sim"))
     )
     w_rank = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
