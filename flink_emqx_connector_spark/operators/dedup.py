@@ -509,28 +509,25 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-dup pairs within a blocking key.
 
     The blocking key (cluster id / LSH bucket) turns the quadratic cross
-    join into per-block joins — the only scalable shape. Cosine is computed
-    with built-in higher-order functions (zip_with/aggregate), JVM-side.
+    join into per-block joins — the only scalable shape. Pair cosine runs
+    in an Arrow-batched numpy kernel (HOF lambdas are interpreted per
+    element — see operators/similarity.py).
     """
-    v = F.col(f"a.{vec_col}").cast("array<double>")
-    w = F.col(f"b.{vec_col}").cast("array<double>")
-    dot = F.aggregate(F.zip_with(v, w, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    norm = lambda u: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(u, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-    )
-    cos = dot / (norm(v) * norm(w))
+    from .similarity import cosine_pairs_vectorized
+
     a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("vec_a"),
+        F.col(f"b.{id_col}").alias("vec_b"),
+        F.col(f"a.{vec_col}").alias("emb_a"),
+        F.col(f"b.{vec_col}").alias("emb_b"),
+    )
     return (
-        a.join(
-            b,
-            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
-            cos.alias("cos_sim"),
-        )
+        cosine_pairs_vectorized(pairs, "emb_a", "emb_b")
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
     )

@@ -11,8 +11,13 @@ BASELINE.json extension — absent from the reference. Two tiers:
   the candidates only. At 100 TB the bucket id is the partition/cluster
   key, so a query touches a handful of partitions instead of the corpus.
 
-Cosine is computed with built-in higher-order functions (zip_with +
-aggregate) — JVM-side; no Python in the per-row path.
+Cosine is computed in Arrow-batched numpy kernels (one GEMM / rowwise dot
+per batch). Spark's higher-order functions (zip_with + aggregate) express
+the same math "JVM-side" but their lambdas are evaluated *interpreted, per
+array element* — measured ~100× slower per row on 64-dim vectors — so for
+vector math the vectorized-Python path is the scale path, not the
+exception. The HOF forms are kept only for tiny candidate sets where a
+pipeline breaker costs more than it saves.
 """
 
 from __future__ import annotations
@@ -40,6 +45,67 @@ def cosine_to_query(vec_col: Column, query: list[float]) -> Column:
     return _dot(v, q) / (_norm(v) * _norm(q))
 
 
+def cosine_scores_to_query(
+    emb: DataFrame,
+    query: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, cos_sim)`` against a constant query vector — one numpy
+    matrix-vector product per Arrow batch."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+
+    def kernel(iterator):
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            cs = (V @ q) / (np.sqrt((V * V).sum(axis=1)) * qn)
+            yield pd.DataFrame({id_col: pdf[id_col], "cos_sim": cs})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    return emb.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def cosine_pairs_vectorized(
+    df: DataFrame, a_col: str, b_col: str, out_col: str = "cos_sim"
+) -> DataFrame:
+    """Append the cosine of two array columns (dropping them) via a numpy
+    kernel — the pair-scoring hot path for near-dup and k-NN joins."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_fields = [f for f in df.schema.fields if f.name not in (a_col, b_col)]
+    keep = [f.name for f in out_fields]
+    schema = T.StructType(out_fields + [T.StructField(out_col, T.DoubleType())])
+
+    def kernel(iterator):
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            A = np.array(pdf[a_col].to_list(), dtype=np.float64)
+            B = np.array(pdf[b_col].to_list(), dtype=np.float64)
+            cs = (A * B).sum(axis=1) / (
+                np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            )
+            out = pdf[keep].copy()
+            out[out_col] = cs
+            yield out
+
+    return df.mapInPandas(kernel, schema)
+
+
 def cosine_topk(
     emb: DataFrame,
     query: list[float],
@@ -50,9 +116,8 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force top-k by cosine. Deterministic: ranked on the
     rounded score with the id as tie-break."""
-    scored = emb.select(
-        F.col(id_col),
-        F.round(cosine_to_query(F.col(vec_col), query), 4).alias("cos_sim"),
+    scored = cosine_scores_to_query(emb, query, id_col, vec_col).select(
+        F.col(id_col), F.round("cos_sim", 4).alias("cos_sim")
     )
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
@@ -65,15 +130,6 @@ def _rp_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rs.standard_normal((n_planes, dim))
 
 
-def rp_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
-    """LSH bucket id = sign-bit string of the hyperplane projections."""
-    bits = [
-        F.when(_dot(vec_col.cast("array<double>"), F.array(*[F.lit(float(x)) for x in p])) >= 0, "1").otherwise("0")
-        for p in planes
-    ]
-    return F.concat(*bits)
-
-
 def rp_lsh_buckets(
     emb: DataFrame,
     n_planes: int = 8,
@@ -81,10 +137,31 @@ def rp_lsh_buckets(
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Attach the deterministic LSH ``bucket`` column (2^n_planes buckets).
-    At scale: ``.repartition("bucket")`` / partitioned write by bucket."""
+    """Attach the deterministic LSH ``bucket`` column (2^n_planes buckets)
+    with one numpy projection per Arrow batch. At scale:
+    ``.repartition("bucket")`` / partitioned write by bucket."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
     planes = _rp_planes(dim, n_planes, seed)
-    return emb.withColumn("bucket", rp_bucket_col(F.col(vec_col), planes))
+    schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField("bucket", T.StringType())]
+    )
+
+    def kernel(iterator):
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            bits = (V @ planes.T) >= 0  # B × n_planes
+            out = pdf.copy()
+            out["bucket"] = [
+                "".join("1" if b else "0" for b in row) for row in bits
+            ]
+            yield out
+
+    return emb.mapInPandas(kernel, schema)
 
 
 def _hamming1_neighbors(bucket: str) -> list[str]:

@@ -220,20 +220,20 @@ def ann_ivf_topk(spark, sf_dir):
     tags=("similarity", "knn", "join"),
 )
 def knn_join_topk(spark, sf_dir):
+    from ..operators.similarity import cosine_pairs_vectorized
+
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    qv = F.col("q_emb").cast("array<double>")
-    cv = F.col("c_emb").cast("array<double>")
-    dot = F.aggregate(F.zip_with(qv, cv, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    nq = F.sqrt(F.aggregate(F.transform(qv, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    nc = F.sqrt(F.aggregate(F.transform(cv, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    scored = (
+    pairs = (
         F.broadcast(queries)
         .join(cand, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(dot / (nq * nc), 4).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+    )
+    scored = cosine_pairs_vectorized(pairs, "q_emb", "c_emb").select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
