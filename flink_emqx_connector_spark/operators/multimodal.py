@@ -86,6 +86,46 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, in_w bigint, in_h bigint, out_w bigint, out_h bigint, "
+    "resized_bytes bigint"
+)
+
+
+def resize_plan(
+    df: DataFrame, w_col: str, h_col: str, target: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Image-resize plumbing: fit-within-``target`` geometry (aspect
+    preserved, integer math so every engine agrees bit-for-bit) + the
+    resized buffer size a real decoder would allocate (w×h×3). The pixel
+    kernel itself is the stubbed part (no PIL in this container); the
+    Arrow batch shape, metadata math, and schema are the real pipeline.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            w = pdf[w_col].to_numpy().astype("int64")
+            h = pdf[h_col].to_numpy().astype("int64")
+            mx = np.maximum(w, h)
+            big = mx > target
+            out_w = np.where(big, (w * target) // mx, w)
+            out_h = np.where(big, (h * target) // mx, h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "in_w": w,
+                    "in_h": h,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "resized_bytes": out_w * out_h * 3,
+                }
+            )
+
+    return df.select(id_col, w_col, h_col).mapInPandas(kernel, RESIZE_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, n_frames_col: str, every_k: int, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -53,3 +53,43 @@ def multimodal_frame_sample(spark, sf_dir):
     return M.sample_frames(d, "n_frames", every_k=5).select(
         "doc_id", "n_frames", "n_sampled"
     )
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             320 + n_chars % 1024 AS in_w,
+             240 + n_chars % 768  AS in_h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(in_w AS BIGINT) AS in_w,
+           CAST(in_h AS BIGINT) AS in_h,
+           CAST(CASE WHEN greatest(in_w, in_h) > 224
+                     THEN (in_w * 224) // greatest(in_w, in_h) ELSE in_w END
+                AS BIGINT) AS out_w,
+           CAST(CASE WHEN greatest(in_w, in_h) > 224
+                     THEN (in_h * 224) // greatest(in_w, in_h) ELSE in_h END
+                AS BIGINT) AS out_h,
+           CAST((CASE WHEN greatest(in_w, in_h) > 224
+                      THEN (in_w * 224) // greatest(in_w, in_h) ELSE in_w END)
+              * (CASE WHEN greatest(in_w, in_h) > 224
+                      THEN (in_h * 224) // greatest(in_w, in_h) ELSE in_h END)
+              * 3 AS BIGINT) AS resized_bytes
+    FROM dims
+    """,
+    doc="Image-resize plumbing: fit-within-224 geometry (aspect preserved, "
+    "integer-exact) + resized buffer size, as an Arrow-batched kernel; "
+    "in-dims synthesized from n_chars since the container has no image "
+    "decode. operators/multimodal.py:resize_plan.",
+    tags=("multimodal", "udf"),
+)
+def multimodal_resize_plan(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (320 + F.col("n_chars") % 1024).alias("in_w"),
+        (240 + F.col("n_chars") % 768).alias("in_h"),
+    )
+    return M.resize_plan(d, "in_w", "in_h", target=224)
