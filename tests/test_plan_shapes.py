@@ -13,6 +13,8 @@ from contextlib import redirect_stdout
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from flink_emqx_connector_spark.plans import QUERIES
 
 
@@ -85,6 +87,44 @@ def test_q18_aggregates_before_join(plans):
 def test_wordcount_partial_aggregation(plans):
     p = plans("wordcount")
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Pre-bucketing both join sides on the key removes the Exchange from
+    the join entirely — the co-located fact-fact join pattern that saves
+    the dominant shuffle at 100 TB."""
+    from flink_emqx_connector_spark.session import load_table
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS buckdb LOCATION '{tmp_path / 'wh'}'"
+    )
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        for name, df, key in (
+            ("b_orders", orders, "o_orderkey"),
+            ("b_lineitem", li, "l_orderkey"),
+        ):
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(f"buckdb.{name}")
+            )
+        # hint forces the shuffle-eligible strategy (at test SF Catalyst
+        # would broadcast the small side and hide the effect being pinned)
+        joined = spark.table("buckdb.b_lineitem").join(
+            spark.table("buckdb.b_orders").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p
+        # and it actually runs
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
 
 
 def test_exact_dedup_shuffles_digests_not_text(plans):
