@@ -97,6 +97,93 @@ def q18_large_orders(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Six-table snowflake join (TPC-H Q5 shape): the heaviest relational
+# pattern — two fact tables + four dimension hops.
+# --------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="Local-supplier volume (TPC-H Q5 shape): 6-table snowflake — the "
+    "two facts shuffle-join on orderkey, every dimension broadcasts, the "
+    "region filter prunes nations before they ever touch a fact row.",
+    tags=("join", "snowflake", "agg"),
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(dims), supp.s_nationkey == dims.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Binary codec functions: base64/hex round-trips on the payload path.
+# --------------------------------------------------------------------------
+@register(
+    "codec_roundtrip_docs",
+    oracle="""
+    SELECT doc_id,
+           substr(to_base64(encode(text)), 1, 16) AS b64_prefix,
+           substr(lower(hex(encode(text))), 1, 16) AS hex_prefix,
+           md5(decode(from_base64(to_base64(encode(text))))) AS roundtrip_fp
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="Payload codec surface (SURVEY.md §1.2 decode layer): "
+    "base64/unbase64/hex round-trips, verifying binary fidelity via md5 of "
+    "the decoded bytes.",
+    tags=("codec", "functions", "binary"),
+)
+def codec_roundtrip_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    raw = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.substring(F.base64(raw), 1, 16).alias("b64_prefix"),
+        F.substring(F.lower(F.hex(raw)), 1, 16).alias("hex_prefix"),
+        F.md5(F.unbase64(F.base64(raw))).alias("roundtrip_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
 # GROUPING SETS with explicit level labels (cube/rollup cousins are in
 # joins_extra/windows_extra; this is the general form).
 # --------------------------------------------------------------------------
