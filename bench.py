@@ -32,6 +32,7 @@ HEADLINE = [
     "sessionization",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
+    "q5_local_supplier_volume",
     "q14_promo_share",
     "q18_large_orders",
     "grouping_sets_orders",
