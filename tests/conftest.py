@@ -14,7 +14,15 @@ SF_SMALL = "/root/testdata/sf0.001"
 def spark():
     from flink_emqx_connector_spark.session import get_spark
 
-    spark = get_spark("tests", cpus=8, shuffle_partitions=8)
+    import tempfile
+
+    spark = get_spark(
+        "tests",
+        cpus=8,
+        shuffle_partitions=8,
+        # keep managed-table tests (bucketed joins) out of the repo tree
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="wh-")},
+    )
     yield spark
 
 
