@@ -55,3 +55,40 @@ def rolling_sum_with_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rolling_sum_transform_with_state(
+    keyed: DataFrame,
+    key_col: str = "word",
+    value_col: str = "n",
+) -> DataFrame:
+    """Same semantics as ``rolling_sum_with_state`` on the Spark 4
+    ``transformWithStateInPandas`` API (StatefulProcessor + typed value
+    state, RocksDB-backed) — the forward path for custom stateful
+    operators: multiple named states, timers, and TTL per state, none of
+    which ``applyInPandasWithState`` offers."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningSum(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._sum = handle.getValueState("total", "total bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._sum.get()[0] if self._sum.exists() else 0
+            for pdf in rows:
+                total += int(pdf[value_col].sum())
+            self._sum.update((total,))
+            yield pd.DataFrame({key_col: [key[0]], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return keyed.groupBy(key_col).transformWithStateInPandas(
+        RunningSum(),
+        outputStructType=f"{key_col} string, total bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -5,6 +5,8 @@ source."""
 import time
 import uuid
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_emqx_connector_spark.sources import register_emqx_source
@@ -133,6 +135,109 @@ def test_rolling_sum_with_state(spark, tmp_path):
                 for r in spark.sql(f"SELECT * FROM {name}").collect()
             }
         ), spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+
+def _protobuf_available() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas's driver worker requires "
+    "google.protobuf (not shipped in this container); the operator is "
+    "import-gated the same way the paho transport is",
+)
+def test_rolling_sum_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor + RocksDB
+    state store) computes the same rolling per-key sums."""
+    from flink_emqx_connector_spark.streaming.stateful import (
+        rolling_sum_transform_with_state,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        spool = str(tmp_path / "spool")
+        pub = SpoolPublisher(spool)
+        for w in ["a", "b", "a", "a", "b"]:
+            pub.publish("t/1", w.encode(), qos=1)
+        keyed = _source(spark, spool).select(
+            F.col("payload").cast("string").alias("word"), F.lit(1).alias("n")
+        )
+        out = rolling_sum_transform_with_state(keyed)
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            assert _wait(
+                lambda: {
+                    r.word: r.total
+                    for r in spark.sql(
+                        f"SELECT word, max(total) AS total FROM {name} GROUP BY word"
+                    ).collect()
+                }
+                == {"a": 3, "b": 2}
+            ), spark.sql(f"SELECT * FROM {name}").collect()
+        finally:
+            q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: redelivered duplicates inside the
+    watermark horizon are absorbed with BOUNDED state — the 100 TB-safe
+    form of the exactly-once-via-dedup pattern (plain dropDuplicates keys
+    grow forever)."""
+    spool = str(tmp_path / "spool")
+    pub = SpoolPublisher(spool)
+    for mid in ["m1", "m2", "m1", "m3", "m2", "m1"]:  # duplicates interleaved
+        pub.publish("t/1", mid.encode(), qos=1)
+    deduped = (
+        _source(spark, spool)
+        .select(
+            F.col("payload").cast("string").alias("msg_id"),
+            F.col("timestamp").alias("ts"),
+        )
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark(["msg_id"])
+    )
+    name = f"ddw_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ddw"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait(
+            lambda: spark.sql(
+                f"SELECT count(DISTINCT msg_id) AS c FROM {name}"
+            ).head()["c"]
+            == 3
+        )
+        rows = spark.sql(f"SELECT msg_id, count(*) AS c FROM {name} GROUP BY msg_id").collect()
+        assert {r.msg_id: r.c for r in rows} == {"m1": 1, "m2": 1, "m3": 1}, rows
     finally:
         q.stop()
 
