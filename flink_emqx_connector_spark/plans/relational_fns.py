@@ -494,6 +494,52 @@ def fuzzy_match_nations(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Reproducible stratified sampling / data mixing (training-data primitive):
+# hash-bucket sampling — no RNG, so the sample is stable across runs,
+# engines, and cluster layouts, and any engine can audit it.
+# --------------------------------------------------------------------------
+@register(
+    "stratified_sample_docs",
+    oracle="""
+    WITH bucketed AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+    FROM bucketed
+    WHERE bucket < CASE lang WHEN 'en' THEN 80
+                             WHEN 'de' THEN 50
+                             WHEN 'fr' THEN 50
+                             ELSE 20 END
+    """,
+    doc="Deterministic stratified sampling for training-data mixing: keep "
+    "probability per language stratum, membership decided by an md5 hash "
+    "bucket of the stable id — reproducible across runs/engines/cluster "
+    "layouts (unlike rand()-based sampleBy) and auditable by any engine, "
+    "which is exactly what the oracle does.",
+    tags=("sampling", "training-mix", "dedup-adjacent"),
+)
+def stratified_sample_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 80)
+        .when(F.col("lang").isin("de", "fr"), 50)
+        .otherwise(20)
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+# --------------------------------------------------------------------------
 # Skew-mitigated aggregation: identical results to a plain groupBy, but the
 # hot key is spread over 16 reducers in phase 1.
 # --------------------------------------------------------------------------
