@@ -80,9 +80,17 @@ def main() -> int:
         lambda it: (pdf for pdf in it), "id long"
     ).collect()
 
+    # Each query runs twice: the first execution pays one-time whole-stage-
+    # codegen compilation (1-3 s on the widest plans — a fixed cost that
+    # amortizes to zero at real data scale), the second is the measured
+    # steady-state run. Both numbers are reported.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES[name]
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
         df = q.spark(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
@@ -96,6 +104,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_total": round(sum(cold.values()), 3),
+                "cold_queries": cold,
                 "sf": sf,
                 "cpus": cpus,
             }
