@@ -82,27 +82,23 @@ _WINNOW_W = 5  # fingerprints = per-window minimum over 5 consecutive shingle ha
     tags=("text", "fingerprint", "dedup"),
 )
 def doc_winnowing_fingerprints(spark, sf_dir):
+    # Both stages use zip_with folds over shifted slice views — indexed
+    # element_at/slice inside a HOF lambda is interpreted per element and
+    # measured ~8× slower on this corpus (see operators/dedup.word_ngrams).
     d = _docs(spark, sf_dir)
     w = F.split(F.col("text"), " ")
     # ordered (non-distinct) word 3-gram md5 hashes
-    hashes = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 3),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
-                F.element_at(w, i + 3),
-            )
-        ),
-    )
-    sh = d.select("doc_id", F.when(F.size(w) >= 3, hashes).alias("h")).filter(
-        F.size("h") >= _WINNOW_W
-    )
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("h") - _WINNOW_W),
-            lambda i: F.array_min(F.slice("h", i + 1, _WINNOW_W)),
+    n_tri = F.greatest(F.size(w) - F.lit(2), F.lit(0))
+    tri = F.slice(w, 1, n_tri)
+    for j in (1, 2):
+        tri = F.zip_with(
+            tri, F.slice(w, 1 + j, n_tri), lambda a, b: F.concat_ws(" ", a, b)
         )
-    )
-    return sh.select("doc_id", F.explode(fps).alias("fp"))
+    hashes = F.transform(tri, lambda g: F.md5(g))
+    sh = d.select("doc_id", hashes.alias("h")).filter(F.size("h") >= _WINNOW_W)
+    # per-5-window minima: fold least() over 5 shifted views of h
+    n_win = F.size(F.col("h")) - F.lit(_WINNOW_W - 1)
+    mins = F.slice("h", 1, n_win)
+    for j in range(1, _WINNOW_W):
+        mins = F.zip_with(mins, F.slice("h", 1 + j, n_win), lambda a, b: F.least(a, b))
+    return sh.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
