@@ -38,8 +38,8 @@ def _query_vec(spark, sf_dir) -> list[float]:
     LIMIT 10
     """,
     doc="Exact brute-force cosine top-10 to a query vector (the ANN "
-    "baseline): one scan + TakeOrdered, cosine via zip_with/aggregate "
-    "JVM-side. operators/similarity.py:cosine_topk.",
+    "baseline): one scan + TakeOrdered, scoring as one numpy matvec per "
+    "Arrow batch. operators/similarity.py:cosine_topk.",
     tags=("similarity", "topk"),
 )
 def ann_topk_cosine(spark, sf_dir):

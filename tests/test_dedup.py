@@ -86,6 +86,22 @@ def test_dense_jaccard_matches_inverted_index(spark, sf_dir):
     assert auto == inverted
 
 
+def test_jaccard_auto_selector_falls_back_to_inverted(spark, sf_dir, monkeypatch):
+    """With the dense budget forced to zero the auto strategy must take the
+    inverted-index path and still return identical results."""
+    monkeypatch.setattr(D, "_DENSE_MAX_CELLS", 0)
+    docs = _docs(spark, sf_dir)
+    via_auto = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs_auto(docs, threshold=0.5).collect()
+    )
+    direct = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    assert via_auto == direct
+
+
 def test_simhash_batch_matches_reference():
     """The vectorized batch kernel must agree with the one-doc reference
     implementation, including edge cases (empty text, single token)."""

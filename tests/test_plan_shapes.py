@@ -127,6 +127,25 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout + a partition-key filter → the scan
+    lists only the matching directories (PartitionFilters), which at 100 TB
+    is the difference between reading one language and the whole corpus."""
+    from flink_emqx_connector_spark.session import load_table
+
+    out = str(tmp_path / "docs_by_lang")
+    load_table(spark, sf_dir, "documents").write.partitionBy("lang").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("lang") == "en").select("doc_id")
+    p = plan_of(df)
+    flat = p.replace(" ", "")
+    assert "PartitionFilters:[isnotnull(lang" in flat and "(lang#" in flat, p
+    # the lang predicate must be a partition filter, not a data filter
+    # (the scan may have no DataFilters section at all — even better)
+    if "DataFilters:" in flat:
+        data_filters = flat[flat.index("DataFilters:") :].splitlines()[0]
+        assert "lang" not in data_filters, p
+
+
 def test_exact_dedup_shuffles_digests_not_text(plans):
     """The md5 projection must be computed below the exchange: the shuffle
     moves 16-byte digests, never the document text."""
