@@ -69,18 +69,25 @@ def window_functions_family(spark, sf_dir):
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    doc="Exact continuous percentiles (percentile_cont ≡ DuckDB "
-    "quantile_cont). The 100 TB path swaps in approx_percentile — same "
-    "plan shape, sketch-mergeable.",
+    doc="Exact continuous percentiles (percentile ≡ percentile_cont ≡ "
+    "DuckDB quantile_cont, linear interpolation), both quantiles from ONE "
+    "sort buffer via the array form. The 100 TB path swaps in "
+    "approx_percentile — same plan shape, sketch-mergeable.",
     tags=("agg", "percentile"),
 )
 def percentiles_lineitem(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    pcts = F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 4).alias("p50"),
-        F.round(F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"), 4).alias("p95"),
+        pcts.alias("pcts"),
         F.round(F.min("l_extendedprice"), 2).alias("lo"),
         F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    ).select(
+        "l_returnflag",
+        F.round(F.element_at("pcts", 1), 4).alias("p50"),
+        F.round(F.element_at("pcts", 2), 4).alias("p95"),
+        "lo",
+        "hi",
     )
 
 
