@@ -48,6 +48,43 @@ def test_word_ngrams_matches_reference(spark, texts, n):
 
 
 @settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_salted_agg_matches_plain(spark, rows):
+    """Two-phase salted aggregation is result-identical to the plain
+    groupBy for algebraic aggregates, on arbitrary (skewed or not) data."""
+    from flink_emqx_connector_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, ["k", "v"])
+    salted = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in salted_agg(
+            df,
+            key_cols=["k"],
+            aggs={"n": "count:*", "s": "sum:v", "mn": "min:v", "mx": "max:v"},
+            buckets=4,
+        ).collect()
+    }
+    want = {}
+    for k, v in rows:
+        n, s, mn, mx = want.get(k, (0, 0, None, None))
+        want[k] = (
+            n + 1,
+            s + v,
+            v if mn is None else min(mn, v),
+            v if mx is None else max(mx, v),
+        )
+    assert salted == want
+
+
+@settings(
     max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
 )
 @given(
