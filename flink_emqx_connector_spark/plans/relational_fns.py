@@ -494,6 +494,44 @@ def fuzzy_match_nations(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Column profiling: the data-quality pass every ingestion pipeline runs
+# before training — null rates, cardinalities, length stats, one scan.
+# --------------------------------------------------------------------------
+@register(
+    "profile_documents",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(count(*) - count(text) AS BIGINT) AS null_text,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(CASE WHEN length(text) = n_chars THEN 1.0 ELSE 0.0 END), 4)
+             AS len_consistency
+    FROM documents
+    """,
+    doc="Single-scan corpus profile: null rates, column cardinalities, "
+    "length stats, and a metadata-consistency rate (declared n_chars vs "
+    "actual length) — the pre-training data-quality gate.",
+    tags=("profiling", "quality", "agg"),
+)
+def profile_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    consistent = F.when(F.length("text") == F.col("n_chars"), 1.0).otherwise(0.0)
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("text")).cast("bigint").alias("null_text"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(consistent), 4).alias("len_consistency"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Reproducible stratified sampling / data mixing (training-data primitive):
 # hash-bucket sampling — no RNG, so the sample is stable across runs,
 # engines, and cluster layouts, and any engine can audit it.
