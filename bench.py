@@ -50,6 +50,7 @@ HEADLINE = [
     "lang_id_confusion",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk_cosine",

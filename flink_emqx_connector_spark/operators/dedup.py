@@ -499,6 +499,56 @@ def simhash_fingerprints(
     return docs.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup *clustering*: connected components over a near-dup pair list,
+    as iterative min-label propagation (each node adopts the smallest
+    component id among itself and its neighbors until fixpoint).
+
+    This is the step that turns pairwise dedup output into keep-groups
+    (keep min doc per component). It is inherently iterative — no single
+    SQL query expresses it at scale — so it runs as a driver-side loop of
+    DataFrame joins (the Pregel pattern): iterations = O(cluster diameter),
+    which for near-dup clusters is tiny. Each round ``localCheckpoint``\\ s
+    the labels to truncate lineage, and the loop exits as soon as a round
+    changes nothing. Deterministic: component id = min doc_id reachable.
+    """
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    labels = (
+        edges.select("a")
+        .distinct()
+        .select(F.col("a").alias("node"), F.col("a").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        updated = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.col("comp").alias("old_comp"),
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = updated.select("node", "comp")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), "comp")
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float,

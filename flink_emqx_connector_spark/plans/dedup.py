@@ -134,6 +134,57 @@ def dedup_simhash(spark, sf_dir):
 
 
 @register(
+    "dedup_clusters",
+    # Oracle: transitive closure by recursive CTE over the same exact
+    # n-gram-Jaccard edge list, component id = min reachable doc id.
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+               AS bg
+      FROM documents
+    ),
+    sizes AS (SELECT doc, len(bg) AS n FROM sh),
+    ex AS (SELECT doc, unnest(bg) AS s FROM sh),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc, CAST(least(src, min(dst)) AS BIGINT) AS comp
+    FROM reach GROUP BY src
+    """,
+    doc="Near-dup clustering: connected components (iterative min-label "
+    "propagation, Pregel-style driver loop) over the exact n-gram-Jaccard "
+    "pair list — turns pairwise dedup into keep-groups. Oracle replays it "
+    "as a recursive-CTE transitive closure. operators/dedup.py:"
+    "connected_components.",
+    tags=("dedup", "clustering", "iterative"),
+)
+def dedup_clusters(spark, sf_dir):
+    pairs = D.ngram_jaccard_pairs_auto(_docs(spark, sf_dir), threshold=0.5, n=2)
+    return D.connected_components(pairs)
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

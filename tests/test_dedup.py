@@ -86,6 +86,18 @@ def test_dense_jaccard_matches_inverted_index(spark, sf_dir):
     assert auto == inverted
 
 
+def test_connected_components_shapes(spark):
+    """Chains, triangles and disjoint pairs all collapse to min-id
+    components; propagation must cross multiple hops."""
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {r.doc: r.comp for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_jaccard_auto_selector_falls_back_to_inverted(spark, sf_dir, monkeypatch):
     """With the dense budget forced to zero the auto strategy must take the
     inverted-index path and still return identical results."""
