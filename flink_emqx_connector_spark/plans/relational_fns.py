@@ -494,6 +494,69 @@ def fuzzy_match_nations(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# The composed cleaning pipeline: quality gate → exact dedup → stratified
+# sample → corpus stats. One query chaining the training-data primitives
+# the way a real ingestion job would.
+# --------------------------------------------------------------------------
+@register(
+    "cleaning_pipeline_counts",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE n_chars BETWEEN 100 AND 2000
+        AND len(string_split(text, ' ')) >= 20
+    ),
+    deduped AS (
+      SELECT * FROM gated
+      WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY md5(text))
+    ),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+            < CASE lang WHEN 'en' THEN 80 ELSE 40 END
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM sampled
+    GROUP BY lang
+    """,
+    doc="End-to-end cleaning pipeline composition: length/token quality "
+    "gate (pushed to the scan) → exact dedup keep-list (16-byte digest "
+    "shuffle) → deterministic hash-bucket stratified sample → per-language "
+    "corpus stats. Every stage is one of the registry's primitives; "
+    "chaining them stays a single declarative plan Catalyst optimizes "
+    "end-to-end.",
+    tags=("pipeline", "dedup", "sampling", "quality"),
+)
+def cleaning_pipeline_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    gated = (
+        d.filter(F.col("n_chars").between(100, 2000))
+        .withColumn("n_tokens", n_tokens)
+        .filter(F.col("n_tokens") >= 20)
+    )
+    keepers = gated.groupBy(F.md5(F.encode("text", "UTF-8"))).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    deduped = gated.join(F.broadcast(keepers), "doc_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 80).otherwise(40)
+    sampled = deduped.filter(bucket < rate)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Column profiling: the data-quality pass every ingestion pipeline runs
 # before training — null rates, cardinalities, length stats, one scan.
 # --------------------------------------------------------------------------
