@@ -47,6 +47,69 @@ def test_word_ngrams_matches_reference(spark, texts, n):
         assert got[i] == _ref_ngrams(t, n), (t, n, got[i])
 
 
+def _mqtt_ref_match(filt: str, topic: str) -> bool:
+    """Independent MQTT 3.1.1/5 matching reference: level-by-level walk
+    (no regex), '+' one level, '#' final-only suffix incl. parent,
+    leading-wildcard filters never match '$'-topics."""
+    f, t = filt.split("/"), topic.split("/")
+    if f[0] in ("+", "#") and t[0].startswith("$"):
+        return False
+    for i in range(len(f)):
+        if f[i] == "#":
+            return True
+        if i >= len(t):
+            return False
+        if f[i] == "+":
+            continue
+        if f[i] != t[i]:
+            return False
+    return len(t) == len(f)
+
+
+_LEVEL = st.sampled_from(["a", "b", "ab", "", "$sys", "x1"])
+_TOPIC = st.lists(_LEVEL, min_size=1, max_size=4).map("/".join)
+_FLEVEL = st.sampled_from(["a", "b", "ab", "", "+", "x1"])
+
+
+@st.composite
+def _filter(draw):
+    parts = draw(st.lists(_FLEVEL, min_size=1, max_size=4))
+    if draw(st.booleans()):
+        parts.append("#")
+    return "/".join(parts)
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    cases=st.lists(st.tuples(_filter(), _TOPIC), min_size=1, max_size=25)
+)
+def test_topic_matching_vs_independent_reference(spark, cases):
+    """Both the python matcher and the compiled rlike Column must agree
+    with a regex-free level-walk reference on randomized filters/topics."""
+    from flink_emqx_connector_spark.functions.topics import (
+        topic_matches_col,
+        topic_matches_py,
+    )
+
+    rows = [(i, f, t) for i, (f, t) in enumerate(cases)]
+    df = spark.createDataFrame(rows, ["i", "filt", "topic"])
+    for filt in {f for f, _ in cases}:
+        spark_hits = {
+            r.i
+            for r in df.filter(F.col("filt") == filt)
+            .filter(topic_matches_col(F.col("topic"), filt))
+            .collect()
+        }
+        for i, (f, t) in enumerate(cases):
+            if f != filt:
+                continue
+            want = _mqtt_ref_match(f, t)
+            assert topic_matches_py(f, t) == want, (f, t)
+            assert (i in spark_hits) == want, (f, t)
+
+
 @settings(
     max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
 )
