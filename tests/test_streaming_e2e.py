@@ -133,6 +133,24 @@ def test_redelivery_without_commit(tmp_path):
     assert drain(EMQXStreamReader(None, opts)) == []
 
 
+def test_concurrent_publishers_all_delivered(tmp_path):
+    """Two racing publishers (e.g. parallel sink tasks) may collide on
+    seqs; the consumer tolerates collisions and delivers every message —
+    the broker-serializes-racing-publishers semantics."""
+    spool = _spool(tmp_path)
+    p1, p2 = SpoolPublisher(spool), SpoolPublisher(spool)
+    for i in range(10):
+        (p1 if i % 2 == 0 else p2).publish("t/1", f"m{i}".encode(), qos=1)
+
+    opts = {"transport": "spool", "spool_dir": spool, "partitions": "2"}
+    r = EMQXStreamReader(None, opts)
+    payloads = []
+    for p in r.partitions(r.initialOffset(), r.latestOffset()):
+        for batch in r.read(p):
+            payloads.extend(bytes(row["payload"]) for row in batch.to_pylist())
+    assert sorted(payloads) == sorted(f"m{i}".encode() for i in range(10))
+
+
 def test_backlog_admission_control(tmp_path):
     """A deep backlog is consumed in bounded micro-batches
     (max_records_per_batch × partitions per trigger), not one giant batch —
