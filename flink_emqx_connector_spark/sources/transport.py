@@ -85,9 +85,11 @@ def _scan_segments(spool_dir: str):
     return closed, open_
 
 
-def _read_segment_lines(path: str) -> list[dict]:
-    """Parse the NDJSON lines of a segment; a torn trailing line (publisher
-    mid-write) is skipped — it will be complete on the next poll."""
+def _scan_segment_seqs(path: str) -> list[tuple[int, str]]:
+    """(seq, json_body) per line WITHOUT parsing the JSON — each line is
+    ``{seq:012d} {json}``, so consumers can claim/filter on the cheap
+    integer prefix and json-parse only the lines they own. A torn trailing
+    line (publisher mid-write) is skipped — complete on the next poll."""
     try:
         with open(path) as f:
             raw = f.read()
@@ -95,10 +97,21 @@ def _read_segment_lines(path: str) -> list[dict]:
         return []  # acked/GC'd concurrently
     out = []
     for line in raw.splitlines():
-        if not line:
+        if len(line) < 14 or line[12] != " ":
             continue
         try:
-            out.append(json.loads(line))
+            out.append((int(line[:12]), line[13:]))
+        except ValueError:
+            continue
+    return out
+
+
+def _read_segment_lines(path: str) -> list[dict]:
+    """Fully-parsed records of a segment (publisher-restart scans)."""
+    out = []
+    for _seq, body in _scan_segment_seqs(path):
+        try:
+            out.append(json.loads(body))
         except json.JSONDecodeError:
             continue
     return out
@@ -160,7 +173,7 @@ class SpoolPublisher:
                 self.dir, f"{seq:012d}-{self.token}.openseg"
             )
             self._fd = open(self._open_path, "a")
-        self._fd.write(json.dumps(rec) + "\n")
+        self._fd.write(f"{seq:012d} {json.dumps(rec)}\n")
         self._fd.flush()
         self._open_count += 1
         if self._open_count >= self.segment_size:
@@ -215,8 +228,8 @@ class SpoolTransport:
         closed, open_ = _scan_segments(self.dir)
         last = max((c[1] for c in closed), default=-1)
         for path in open_:
-            for rec in _read_segment_lines(path):
-                last = max(last, rec["seq"])
+            for seq, _body in _scan_segment_seqs(path):
+                last = max(last, seq)
         return last + 1
 
     def read_range(
@@ -233,9 +246,14 @@ class SpoolTransport:
         paths.extend(open_)
         out = []
         for path in paths:
-            for rec in _read_segment_lines(path):
-                seq = rec["seq"]
+            # claim on the integer line prefix; json-parse ONLY owned lines
+            # (otherwise every partition pays the full parse cost N times)
+            for seq, body in _scan_segment_seqs(path):
                 if lo <= seq < end and seq % num_partitions == partition_id:
+                    try:
+                        rec = json.loads(body)
+                    except json.JSONDecodeError:
+                        continue  # torn trailing line
                     out.append(
                         Message(
                             topic=rec["topic"],
