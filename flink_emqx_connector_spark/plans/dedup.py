@@ -185,6 +185,77 @@ def dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "dedup_keep_list",
+    # Same recursive-closure components as dedup_clusters, left-joined back
+    # to the corpus: keep = not a non-minimal member of any near-dup cluster.
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+               AS bg
+      FROM documents
+    ),
+    sizes AS (SELECT doc, len(bg) AS n FROM sh),
+    ex AS (SELECT doc, unnest(bg) AS s FROM sh),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comps AS (
+      SELECT src AS doc, least(src, min(dst)) AS comp
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS comp,
+           (c.comp IS NULL OR c.comp = d.doc_id) AS keep
+    FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc
+    """,
+    doc="The end artifact of the dedup pipeline: a corpus-wide keep/drop "
+    "decision per document — keep the minimal member of each near-dup "
+    "cluster (connected components over exact n-gram-Jaccard pairs) and "
+    "every singleton. operators/dedup.py:connected_components joined back "
+    "to the corpus.",
+    tags=("dedup", "clustering", "keep-list"),
+)
+def dedup_keep_list(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs_auto(docs, threshold=0.5, n=2)
+    comps = D.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(comps), docs.doc_id == comps.doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).cast("bigint").alias("comp"),
+            (F.col("comp").isNull() | (F.col("comp") == F.col("doc_id"))).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
