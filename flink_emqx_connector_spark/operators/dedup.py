@@ -204,6 +204,10 @@ def ngram_jaccard_pairs_dense(
     # is just the work assignment.
     n_blocks = max(1, min(n_docs, spark.sparkContext.defaultParallelism * 2))
     block = (n_docs + n_blocks - 1) // n_blocks
+    # Bound the per-task uint64 scratch (3 × rows × n_docs × 8 B) to ~64 MB
+    # regardless of corpus size — at the _DENSE_MAX_CELLS ceiling a whole
+    # block would otherwise allocate gigabytes.
+    rows_cap = max(1, (64 << 20) // (max(n_docs, 1) * 8 * 3))
 
     _M1 = np.uint64(0x5555555555555555)
     _M2 = np.uint64(0x3333333333333333)
@@ -215,50 +219,53 @@ def ngram_jaccard_pairs_dense(
         n_words = f_words.shape[1]
         for pdf in iterator:
             for bid in pdf["id"]:
-                lo = int(bid) * block
-                hi = min(lo + block, n_docs)
-                b = hi - lo
-                if b <= 0:
-                    continue
-                # Loop over uint64 word-columns with preallocated scratch:
-                # peak temp = 3 × (b × n_docs × 8 B), instead of one giant
-                # b × n_docs × n_words cube that thrashes the allocator.
-                inter = np.zeros((b, n_docs), dtype=np.uint64)
-                x = np.empty((b, n_docs), dtype=np.uint64)
-                t = np.empty((b, n_docs), dtype=np.uint64)
-                for wi in range(n_words):
-                    np.bitwise_and(
-                        f_words[lo:hi, wi, None], f_words[None, :, wi], out=x
-                    )
-                    # in-place SWAR popcount of x
-                    np.right_shift(x, np.uint64(1), out=t)
-                    t &= _M1
-                    x -= t
-                    np.right_shift(x, np.uint64(2), out=t)
-                    t &= _M2
-                    x &= _M2
-                    x += t
-                    np.right_shift(x, np.uint64(4), out=t)
-                    x += t
-                    x &= _M4
-                    x *= _H
-                    np.right_shift(x, np.uint64(56), out=x)
-                    inter += x
-                inter_i = inter.astype(np.int64)
-                union = f_n[lo:hi, None] + f_n[None, :] - inter_i
-                blk_doc = f_docs[lo:hi, None]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    jac = np.where(union > 0, inter_i / union, 0.0)
-                mask = (jac >= threshold) & (blk_doc < f_docs[None, :])
-                ai, bi = np.nonzero(mask)
-                if len(ai):
-                    yield pd.DataFrame(
-                        {
-                            "doc_a": blk_doc[ai, 0],
-                            "doc_b": f_docs[bi],
-                            "jac_raw": jac[ai, bi],
-                        }
-                    )
+                b_lo = int(bid) * block
+                b_hi = min(b_lo + block, n_docs)
+                for lo in range(b_lo, b_hi, rows_cap):
+                    hi = min(lo + rows_cap, b_hi)
+                    b = hi - lo
+                    if b <= 0:
+                        continue
+                    # Loop over uint64 word-columns with preallocated
+                    # scratch: peak temp = 3 × (b × n_docs × 8 B), instead
+                    # of one giant b × n_docs × n_words cube that thrashes
+                    # the allocator.
+                    inter = np.zeros((b, n_docs), dtype=np.uint64)
+                    x = np.empty((b, n_docs), dtype=np.uint64)
+                    t = np.empty((b, n_docs), dtype=np.uint64)
+                    for wi in range(n_words):
+                        np.bitwise_and(
+                            f_words[lo:hi, wi, None], f_words[None, :, wi], out=x
+                        )
+                        # in-place SWAR popcount of x
+                        np.right_shift(x, np.uint64(1), out=t)
+                        t &= _M1
+                        x -= t
+                        np.right_shift(x, np.uint64(2), out=t)
+                        t &= _M2
+                        x &= _M2
+                        x += t
+                        np.right_shift(x, np.uint64(4), out=t)
+                        x += t
+                        x &= _M4
+                        x *= _H
+                        np.right_shift(x, np.uint64(56), out=x)
+                        inter += x
+                    inter_i = inter.astype(np.int64)
+                    union = f_n[lo:hi, None] + f_n[None, :] - inter_i
+                    blk_doc = f_docs[lo:hi, None]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        jac = np.where(union > 0, inter_i / union, 0.0)
+                    mask = (jac >= threshold) & (blk_doc < f_docs[None, :])
+                    ai, bi = np.nonzero(mask)
+                    if len(ai):
+                        yield pd.DataFrame(
+                            {
+                                "doc_a": blk_doc[ai, 0],
+                                "doc_b": f_docs[bi],
+                                "jac_raw": jac[ai, bi],
+                            }
+                        )
 
     pair_schema = T.StructType(
         [
