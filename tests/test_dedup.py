@@ -86,6 +86,29 @@ def test_dense_jaccard_matches_inverted_index(spark, sf_dir):
     assert auto == inverted
 
 
+def test_dense_jaccard_degenerate_texts(spark):
+    """Empty strings and sub-n-gram texts produce empty shingle sets and
+    must never pair; identical short texts still pair at jaccard 1.0 —
+    on both physical strategies."""
+    rows = [
+        (1, ""),
+        (2, "one"),
+        (3, "two words here"),
+        (4, "two words here"),
+        (5, "totally different content words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    dense = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs_dense(df, threshold=0.5).collect()
+    )
+    inverted = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    )
+    assert dense == inverted == [(3, 4, 1.0)]
+
+
 def test_connected_components_shapes(spark):
     """Chains, triangles and disjoint pairs all collapse to min-id
     components; propagation must cross multiple hops."""
