@@ -409,9 +409,11 @@ def minhash_lsh_pairs(
     # Verify candidates only: join each side's shingle set and compute exact
     # Jaccard with array_intersect — O(candidates), not O(pairs). Shingles
     # are xxhash64'd first so set ops compare 8-byte ints, not strings
-    # (collision odds ~|V|²/2⁶⁴ — vanishing). The slim (doc_a, doc_b)
-    # candidate list is broadcast into the first scan; the second join is
-    # left to AQE, which broadcasts the per-doc shingle side when small.
+    # (collision odds ~|V|²/2⁶⁴ — vanishing). Join strategy is left to AQE:
+    # it broadcasts whichever side is actually small at runtime (measured
+    # identical to an explicit hint here) and — unlike a hint — degrades
+    # safely to a shuffle join when adversarially-similar data makes the
+    # candidate list huge.
     sh = _shingle_table(docs, text_col, id_col, n).select(
         "doc", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
     )
@@ -421,7 +423,7 @@ def minhash_lsh_pairs(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        sa.join(F.broadcast(cand), "doc_a")
+        sa.join(cand, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
