@@ -244,7 +244,7 @@ def dedup_keep_list(spark, sf_dir):
     comps = D.connected_components(pairs)
     return (
         docs.select("doc_id")
-        .join(F.broadcast(comps), docs.doc_id == comps.doc, "left")
+        .join(comps, docs.doc_id == comps.doc, "left")
         .select(
             "doc_id",
             F.coalesce("comp", F.col("doc_id")).cast("bigint").alias("comp"),

@@ -97,7 +97,7 @@ def q3_top_revenue_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     joined = li.join(
         orders, li.l_orderkey == orders.o_orderkey, "inner"
-    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+    ).join(cust, orders.o_custkey == cust.c_custkey, "inner")
     return (
         joined.groupBy("l_orderkey", "o_orderdate")
         .agg(

@@ -34,9 +34,9 @@ def _t(spark, sf_dir, name):
            count(*) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
-    doc="Promo revenue share (TPC-H Q14 shape): broadcast the part dimension "
-    "into the fact scan, one conditional aggregate — no shuffle of lineitem "
-    "at all (partial agg + broadcast join).",
+    doc="Promo revenue share (TPC-H Q14 shape): the part dimension joins into "
+    "the fact scan (AQE broadcasts it while it is small; no hint, so huge "
+    "part tables degrade safely), one conditional aggregate.",
     tags=("agg", "join", "conditional"),
 )
 def q14_promo_share(spark, sf_dir):
@@ -45,7 +45,7 @@ def q14_promo_share(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share"),
             F.count("*").alias("n_lines"),
@@ -70,8 +70,8 @@ def q14_promo_share(spark, sf_dir):
     LIMIT 20
     """,
     doc="Large-quantity orders (TPC-H Q18 shape): aggregate-then-join — the "
-    "HAVING output is tiny, so it broadcasts into orders; never join the "
-    "raw fact tables first.",
+    "HAVING output is small, so AQE broadcasts it into orders at runtime; "
+    "never join the raw fact tables first.",
     tags=("agg", "having", "join", "topk"),
 )
 def q18_large_orders(spark, sf_dir):
@@ -84,7 +84,7 @@ def q18_large_orders(spark, sf_dir):
         .select("l_orderkey", F.round(F.col("raw_qty").cast("double"), 2).alias("total_qty"))
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .select(
             "o_orderkey",
             "o_orderdate",
@@ -118,7 +118,8 @@ def q18_large_orders(spark, sf_dir):
     GROUP BY n_name
     """,
     doc="Local-supplier volume (TPC-H Q5 shape): 6-table snowflake — the "
-    "two facts shuffle-join on orderkey, every dimension broadcasts, the "
+    "two facts shuffle-join on orderkey, dimensions broadcast (fixed-size "
+    "nation/region by hint, data-proportional sides by AQE), the "
     "region filter prunes nations before they ever touch a fact row.",
     tags=("join", "snowflake", "agg"),
 )
@@ -138,9 +139,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -542,7 +543,7 @@ def cleaning_pipeline_counts(spark, sf_dir):
     keepers = gated.groupBy(F.md5(F.encode("text", "UTF-8"))).agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
-    deduped = gated.join(F.broadcast(keepers), "doc_id")
+    deduped = gated.join(keepers, "doc_id")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
@@ -695,7 +696,7 @@ def regression_per_segment(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     x = F.unix_timestamp("o_orderdate").cast("double")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.round(F.regr_slope(F.col("o_totalprice"), x), 6).alias("slope"),
