@@ -328,6 +328,75 @@ def map_functions_events(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Time-series resample + gap-fill (the IoT/sensor-stream shape: regularize
+# an irregular event stream onto a 1-minute grid, forward-filling holes).
+# --------------------------------------------------------------------------
+@register(
+    "resample_gapfill_events",
+    oracle="""
+    WITH per_min AS (
+      SELECT user_id, date_trunc('minute', ts) AS m, round(sum(value), 2) AS v
+      FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(m) AS mn, max(m) AS mx FROM per_min GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 minute')) AS minute
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.user_id, s.minute, p.v
+      FROM spine s LEFT JOIN per_min p
+        ON p.user_id = s.user_id AND p.m = s.minute
+    )
+    SELECT user_id, minute,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY minute
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           (v IS NULL) AS gap_filled
+    FROM joined
+    """,
+    doc="Resample an irregular event stream to a per-user 1-minute grid "
+    "(sequence spine from each user's own bounds — no global cross join) "
+    "and forward-fill gaps with last(ignorenulls) — the sensor/MQTT "
+    "time-series regularization every downstream window op assumes.",
+    tags=("timeseries", "resample", "gapfill", "window"),
+)
+def resample_gapfill_events(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    spine = (
+        per_min.groupBy("user_id")
+        .agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(mn, mx, interval 1 minute)")).alias("minute"),
+        )
+    )
+    joined = spine.join(
+        per_min,
+        (spine.user_id == per_min.user_id) & (spine.minute == per_min.m),
+        "left",
+    ).select(spine.user_id, "minute", "v")
+    w = W.partitionBy("user_id").orderBy("minute").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return joined.select(
+        "user_id",
+        "minute",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("v").isNull().alias("gap_filled"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Time-interval RANGE window frame (trailing 1 h per user).
 # --------------------------------------------------------------------------
 @register(
