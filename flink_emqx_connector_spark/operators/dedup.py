@@ -171,6 +171,8 @@ def ngram_jaccard_pairs_dense(
                 dense = np.zeros((len(pdf), nbytes * 8), dtype=bool)
                 sizes = np.zeros(len(pdf), dtype=np.int64)
                 for i, shingles in enumerate(pdf["sh"]):
+                    if shingles is None:  # NULL text → empty shingle set
+                        continue
                     idx = [v[s] for s in shingles]
                     sizes[i] = len(idx)
                     dense[i, idx] = True
@@ -468,7 +470,7 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
 
     if not len(texts):
         return pd.Series([], dtype="int64")
-    tok_lists = [t.split(" ") for t in texts]
+    tok_lists = [(t or "").split(" ") for t in texts]
     counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
     all_toks = np.array(
         [tok for toks in tok_lists for tok in toks], dtype=object

@@ -86,6 +86,28 @@ def test_dense_jaccard_matches_inverted_index(spark, sf_dir):
     assert auto == inverted
 
 
+def test_null_text_tolerated_everywhere(spark):
+    """NULL text (undecodable/missing documents in real corpora) flows
+    through every dedup operator as an empty document, never an error."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = spark.createDataFrame([(1, None), (2, "a b c"), (3, "a b c")], schema)
+    assert sorted(
+        (r.keep_id, r.n_copies) for r in D.exact_dedup(df).collect()
+    ) == [(1, 1), (2, 2)]
+    for fn in (D.ngram_jaccard_pairs, D.ngram_jaccard_pairs_dense):
+        assert sorted(
+            (r.doc_a, r.doc_b, r.jaccard) for r in fn(df, threshold=0.5).collect()
+        ) == [(2, 3, 1.0)]
+    fps = {r[0]: r[1] for r in D.simhash_fingerprints(df).collect()}
+    assert set(fps) == {1, 2, 3} and fps[2] == fps[3]
+    lsh = D.minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert sorted((r.doc_a, r.doc_b) for r in lsh) == [(2, 3)]
+
+
 def test_dense_jaccard_degenerate_texts(spark):
     """Empty strings and sub-n-gram texts produce empty shingle sets and
     must never pair; identical short texts still pair at jaccard 1.0 —
