@@ -62,6 +62,7 @@ def cosine_scores_to_query(
 
     def kernel(iterator):
         for pdf in iterator:
+            pdf = pdf[pdf[vec_col].notna()]  # NULL embeddings: no score
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].to_list(), dtype=np.float64)
@@ -92,6 +93,7 @@ def cosine_pairs_vectorized(
 
     def kernel(iterator):
         for pdf in iterator:
+            pdf = pdf[pdf[a_col].notna() & pdf[b_col].notna()]
             if not len(pdf):
                 continue
             A = np.array(pdf[a_col].to_list(), dtype=np.float64)
@@ -151,6 +153,7 @@ def rp_lsh_buckets(
 
     def kernel(iterator):
         for pdf in iterator:
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].to_list(), dtype=np.float64)

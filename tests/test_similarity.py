@@ -51,6 +51,28 @@ def test_bucket_determinism(spark, sf_dir):
     assert all(len(v) == 8 and set(v) <= {"0", "1"} for v in b1.values())
 
 
+def test_null_embeddings_excluded_not_fatal(spark):
+    """NULL embedding rows (failed featurization upstream) are excluded
+    from scoring/bucketing rather than crashing the kernels."""
+    from pyspark.sql import types as T
+
+    from flink_emqx_connector_spark.operators import similarity as S
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [0.9, 0.1])], schema
+    )
+    got = [r.vec_id for r in S.cosine_topk(df, [1.0, 0.0], k=3).collect()]
+    assert got == [2, 3]
+    buckets = S.rp_lsh_buckets(df, n_planes=4, dim=2).collect()
+    assert {r.vec_id for r in buckets} == {2, 3}
+
+
 def test_multimodal_decode_stub_raises():
     from flink_emqx_connector_spark.operators.multimodal import decode_image_stub
 
