@@ -397,6 +397,67 @@ def resample_gapfill_events(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# OHLC downsampling: open/high/low/close per user-hour — the other half of
+# the time-series story (resample_gapfill_events regularizes; this
+# summarizes). first/last are made deterministic with an explicit
+# (ts, event_id) total order, not engine-dependent arg_min ties.
+# --------------------------------------------------------------------------
+@register(
+    "ohlc_per_user_hour",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             row_number() OVER w_asc  AS rn_open,
+             row_number() OVER w_desc AS rn_close
+      FROM events
+      WINDOW
+        w_asc  AS (PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts, event_id),
+        w_desc AS (PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC)
+    )
+    SELECT user_id, h,
+           round(min(CASE WHEN rn_open  = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(min(CASE WHEN rn_close = 1 THEN value END), 2) AS close,
+           count(*) AS n_events
+    FROM ranked
+    GROUP BY user_id, h
+    """,
+    doc="OHLC per user-hour: open/close via row_number over an explicit "
+    "(ts, event_id) total order — deterministic across engines, unlike "
+    "bare first()/arg_min on tied timestamps — plus min/max/count; one "
+    "shuffle on (user, hour).",
+    tags=("timeseries", "downsample", "window", "agg"),
+)
+def ohlc_per_user_hour(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "h", F.date_trunc("hour", "ts")
+    )
+    w_asc = W.partitionBy("user_id", "h").orderBy("ts", "event_id")
+    w_desc = W.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id",
+        "h",
+        "value",
+        F.row_number().over(w_asc).alias("rn_open"),
+        F.row_number().over(w_desc).alias("rn_close"),
+    )
+    return ranked.groupBy("user_id", "h").agg(
+        F.round(F.min(F.when(F.col("rn_open") == 1, F.col("value"))), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.min(F.when(F.col("rn_close") == 1, F.col("value"))), 2).alias("close"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Time-interval RANGE window frame (trailing 1 h per user).
 # --------------------------------------------------------------------------
 @register(
