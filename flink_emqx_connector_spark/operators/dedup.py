@@ -557,6 +557,12 @@ def connected_components(
         labels = updated.select("node", "comp")
         if changed == 0:
             break
+    else:
+        # silently-wrong labels would poison the keep-list downstream
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(cluster diameter exceeds max_iter) — raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc"), "comp")
 
 
