@@ -47,13 +47,49 @@ def ann_topk_cosine(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), q, k=10, exclude_id=0)
 
 
+def _lsh_oracle_sql() -> str:
+    """Full SQL replica of the RP-LSH query: the 8 seeded hyperplanes are
+    deterministic constants, so they inline as DOUBLE[] literals; the
+    query's bucket and its Hamming-1 multi-probe are computed in SQL."""
+    planes = S._rp_planes(64, 8, 42)
+    plane_cols = ", ".join(
+        f"[{', '.join(repr(float(x)) for x in planes[i])}]::DOUBLE[] AS p{i}"
+        for i in range(8)
+    )
+    bucket_expr = " || ".join(
+        f"(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.p{i}) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for i in range(8)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN substr(b.bucket,{i+1},1) <> substr(q.qb,{i+1},1) "
+        "THEN 1 ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+    WITH p AS (SELECT {plane_cols}),
+    b AS (
+      SELECT e.vec_id, e.embedding, {bucket_expr} AS bucket
+      FROM embeddings e, p
+    ),
+    q AS (SELECT bucket AS qb, CAST(embedding AS DOUBLE[]) AS qv FROM b WHERE vec_id = 0)
+    SELECT b.vec_id,
+           round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim
+    FROM b, q
+    WHERE b.vec_id <> 0 AND ({ham}) <= 1
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT 10
+    """
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate recall by design — exactness checked in tests
+    oracle=_lsh_oracle_sql(),
     doc="Random-hyperplane LSH ANN: 8 seeded planes → 256 buckets, "
     "multi-probe Hamming-1, exact re-rank of candidates. The scale path: "
-    "a query touches ~9/256 of the corpus. operators/similarity.py:"
-    "rp_lsh_topk.",
+    "a query touches ~9/256 of the corpus. Fully deterministic, so the "
+    "oracle replays it in SQL with the planes inlined as literals. "
+    "operators/similarity.py:rp_lsh_topk.",
     tags=("similarity", "approx", "lsh"),
 )
 def ann_lsh_topk(spark, sf_dir):
