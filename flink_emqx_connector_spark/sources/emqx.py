@@ -148,12 +148,14 @@ class EMQXStreamReader(DataSourceStreamReader):
 
     def read(self, partition: EMQXPartition):
         if self.transport_kind == "spool":
-            msgs = SpoolTransport(self.spool_dir).read_range(
+            cols = SpoolTransport(self.spool_dir).read_range_columns(
                 partition.start,
                 partition.end,
                 partition.index,
                 partition.num_partitions,
             )
+            yield from columns_to_record_batches(cols, self.max_per_batch)
+            return
         else:
             t = PahoTransport.get(
                 self.host,
@@ -173,13 +175,10 @@ class EMQXStreamReader(DataSourceStreamReader):
         yield from messages_to_record_batches(msgs, self.max_per_batch)
 
 
-def messages_to_record_batches(msgs: list[Message], chunk: int = 10000):
-    """Convert a drained message list to pyarrow RecordBatches matching
-    EMQX_MESSAGE_SCHEMA (topic, qos, retained, properties, payload,
-    timestamp[us])."""
+def _arrow_schema():
     import pyarrow as pa
 
-    arrow_schema = pa.schema(
+    return pa.schema(
         [
             pa.field("topic", pa.string()),
             pa.field("qos", pa.int32()),
@@ -189,6 +188,37 @@ def messages_to_record_batches(msgs: list[Message], chunk: int = 10000):
             pa.field("timestamp", pa.timestamp("us")),
         ]
     )
+
+
+def columns_to_record_batches(cols: dict[str, list], chunk: int = 10000):
+    """Columnar spool output → pyarrow RecordBatches matching
+    EMQX_MESSAGE_SCHEMA; no per-message objects anywhere on this path."""
+    import pyarrow as pa
+
+    schema = _arrow_schema()
+    n = len(cols["topic"])
+    for i in range(0, n, chunk):
+        sl = slice(i, i + chunk)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols["topic"][sl], pa.string()),
+                pa.array(cols["qos"][sl], pa.int32()),
+                pa.array(cols["retained"][sl], pa.bool_()),
+                pa.array(cols["properties"][sl], pa.map_(pa.string(), pa.string())),
+                pa.array(cols["payload"][sl], pa.binary()),
+                pa.array(cols["timestamp"][sl], pa.timestamp("us")),
+            ],
+            schema=schema,
+        )
+
+
+def messages_to_record_batches(msgs: list[Message], chunk: int = 10000):
+    """Convert a drained message list (paho path) to pyarrow RecordBatches
+    matching EMQX_MESSAGE_SCHEMA (topic, qos, retained, properties,
+    payload, timestamp[us])."""
+    import pyarrow as pa
+
+    schema = _arrow_schema()
     for i in range(0, len(msgs), chunk):
         blk = msgs[i : i + chunk]
         yield pa.RecordBatch.from_arrays(
@@ -206,7 +236,7 @@ def messages_to_record_batches(msgs: list[Message], chunk: int = 10000):
                     pa.timestamp("us"),
                 ),
             ],
-            schema=arrow_schema,
+            schema=schema,
         )
 
 
