@@ -133,6 +133,62 @@ def test_redelivery_without_commit(tmp_path):
     assert drain(EMQXStreamReader(None, opts)) == []
 
 
+def test_restart_mid_backlog_exactly_once(spark, tmp_path):
+    """Replayable-offset source + checkpointed micro-batches = exactly-once
+    counts across a restart that lands mid-backlog (admission control
+    splits the backlog into several batches; the kill hits between them).
+    Stronger than the broker path's at-least-once — the spool IS a
+    seekable log, like Kafka."""
+    spool = _spool(tmp_path)
+    pub = SpoolPublisher(spool)
+    N = 4000
+    for i in range(N):
+        pub.publish("t/1", f"w{i % 7}".encode(), qos=1)
+
+    from flink_emqx_connector_spark.streaming import start_wordcount_stream
+
+    name = f"eo_{uuid.uuid4().hex[:8]}"
+    opts = {
+        "transport": "spool",
+        "spool_dir": spool,
+        "partitions": "2",
+        "qos": "1",
+        "max_records_per_batch": "250",  # 500/batch → ~8 batches
+    }
+    ckpt = str(tmp_path / "ckpt_eo")
+    q = start_wordcount_stream(
+        spark, opts, query_name=name, checkpoint_dir=ckpt, trigger_ms=50
+    )
+    try:
+        # wait until part of the backlog is consumed, then kill (usually
+        # mid-backlog; if the machine races through all batches first the
+        # restart still must not double-count)
+        assert _wait(
+            lambda: (
+                lambda s: s is not None and 0 < s <= N
+            )(spark.sql(f"SELECT sum(cnt) AS s FROM {name}").head()["s"]),
+            timeout=60,
+        )
+    finally:
+        q.stop()
+
+    name2 = f"eo2_{uuid.uuid4().hex[:8]}"
+    q2 = start_wordcount_stream(
+        spark, opts, query_name=name2, checkpoint_dir=ckpt, trigger_ms=50
+    )
+    try:
+        assert _wait(
+            lambda: spark.sql(f"SELECT sum(cnt) AS s FROM {name2}").head()["s"] == N,
+            timeout=60,
+        ), spark.sql(f"SELECT sum(cnt) AS s FROM {name2}").head()
+        rows = {r.word: r.cnt for r in spark.sql(f"SELECT * FROM {name2}").collect()}
+        # exact per-key counts — no loss, no duplicates
+        want = {f"w{k}": N // 7 + (1 if k < N % 7 else 0) for k in range(7)}
+        assert rows == want, rows
+    finally:
+        q2.stop()
+
+
 def test_concurrent_publishers_all_delivered(tmp_path):
     """Two racing publishers (e.g. parallel sink tasks) may collide on
     seqs; the consumer tolerates collisions and delivers every message —
