@@ -232,6 +232,79 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _knn_graph_oracle_sql() -> str:
+    """kNN-graph oracle: same inlined-plane bucketing as ann_lsh_topk, then
+    per-vector top-3 within the bucket by (rounded cosine desc, id)."""
+    planes = S._rp_planes(64, 8, 42)
+    plane_cols = ", ".join(
+        f"[{', '.join(repr(float(x)) for x in planes[i])}]::DOUBLE[] AS p{i}"
+        for i in range(8)
+    )
+    bucket_expr = " || ".join(
+        f"(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.p{i}) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for i in range(8)
+    )
+    return f"""
+    WITH p AS (SELECT {plane_cols}),
+    b AS (
+      SELECT e.vec_id, e.embedding, {bucket_expr} AS bucket
+      FROM embeddings e, p
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, c.vec_id AS dst,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    )
+    SELECT src, dst, cos_sim, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY src
+                                   ORDER BY cos_sim DESC, dst) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """
+
+
+@register(
+    "knn_graph_lsh",
+    oracle=_knn_graph_oracle_sql(),
+    doc="Self-kNN graph: every vector's top-3 neighbors within its LSH "
+    "bucket — the blocked all-pairs shape that builds the neighbor graph "
+    "for graph-based clustering/dedup at scale (bucket = join key = "
+    "partition key; no quadratic cross join). Deterministic seeded planes "
+    "→ fully SQL-replayable oracle.",
+    tags=("similarity", "knn", "graph", "lsh"),
+)
+def knn_graph_lsh(spark, sf_dir):
+    from ..operators.similarity import cosine_pairs_vectorized, rp_lsh_buckets
+
+    b = rp_lsh_buckets(_emb(spark, sf_dir), n_planes=8, dim=64).select(
+        "vec_id", "embedding", "bucket"
+    )
+    a = b.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_c"),
+    )
+    pairs = a.join(
+        c, (a.bucket == c.bucket_c) & (F.col("src") != F.col("dst"))
+    ).select("src", "dst", "emb_a", "emb_b")
+    scored = cosine_pairs_vectorized(pairs, "emb_a", "emb_b").select(
+        "src", "dst", F.round("cos_sim", 4).alias("cos_sim")
+    )
+    w = W.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst", "cos_sim", "rk")
+    )
+
+
 @register(
     "knn_join_topk",
     oracle="""
