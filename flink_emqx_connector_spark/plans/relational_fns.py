@@ -726,6 +726,44 @@ def profile_documents(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Quality-gate drop diagnostics: WHY each rejected document was rejected —
+# the debugging view every cleaning pipeline needs next to its keep-list.
+# --------------------------------------------------------------------------
+@register(
+    "quality_drop_reasons",
+    oracle="""
+    WITH checked AS (
+      SELECT doc_id,
+             concat(
+               CASE WHEN n_chars < 100 THEN 'too_short;' ELSE '' END,
+               CASE WHEN n_chars > 2000 THEN 'too_long;' ELSE '' END,
+               CASE WHEN len(string_split(text, ' ')) < 20 THEN 'too_few_tokens;' ELSE '' END
+             ) AS reasons
+      FROM documents
+    )
+    SELECT doc_id, reasons
+    FROM checked WHERE reasons <> ''
+    """,
+    doc="Drop diagnostics for the cleaning gate: each rejected doc with its "
+    "concatenated failure reasons (fixed check order → deterministic "
+    "string). The complement of cleaning_pipeline_counts' keep set.",
+    tags=("quality", "profiling", "pipeline"),
+)
+def quality_drop_reasons(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    reasons = F.concat(
+        F.when(F.col("n_chars") < 100, F.lit("too_short;")).otherwise(F.lit("")),
+        F.when(F.col("n_chars") > 2000, F.lit("too_long;")).otherwise(F.lit("")),
+        F.when(n_tokens < 20, F.lit("too_few_tokens;")).otherwise(F.lit("")),
+    )
+    return (
+        d.select("doc_id", reasons.alias("reasons"))
+        .filter(F.col("reasons") != "")
+    )
+
+
+# --------------------------------------------------------------------------
 # Reproducible stratified sampling / data mixing (training-data primitive):
 # hash-bucket sampling — no RNG, so the sample is stable across runs,
 # engines, and cluster layouts, and any engine can audit it.
