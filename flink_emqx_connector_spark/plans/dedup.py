@@ -185,6 +185,43 @@ def dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "embedding_clusters",
+    # Connected components over the blocked-cosine near-dup pairs — the
+    # embedding-modality twin of dedup_clusters.
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a
+      JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.35
+    ),
+    edges AS (
+      SELECT va AS a, vb AS b FROM pairs
+      UNION
+      SELECT vb, va FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc, CAST(least(src, min(dst)) AS BIGINT) AS comp
+    FROM reach GROUP BY src
+    """,
+    doc="Embedding-modality near-dup clustering: connected components over "
+    "the blocked-cosine pair list (embedding_neardup_pairs ≥ 0.35) — same "
+    "min-label propagation operator, different edge generator. Oracle is "
+    "the recursive-CTE closure over the same pairs.",
+    tags=("dedup", "embedding", "clustering", "iterative"),
+)
+def embedding_clusters(spark, sf_dir):
+    pairs = D.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.35)
+    return D.connected_components(pairs, a_col="vec_a", b_col="vec_b")
+
+
+@register(
     "dedup_keep_list",
     # Same recursive-closure components as dedup_clusters, left-joined back
     # to the corpus: keep = not a non-minimal member of any near-dup cluster.
