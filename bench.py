@@ -58,6 +58,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "multimodal_features",
 ]
+N_CURATED = len(HEADLINE)  # stdout line reports this stable prefix only
 
 
 def main() -> int:
@@ -85,7 +86,10 @@ def main() -> int:
     # Each query runs twice: the first execution pays one-time whole-stage-
     # codegen compilation (1-3 s on the widest plans — a fixed cost that
     # amortizes to zero at real data scale), the second is the measured
-    # steady-state run. Both numbers are reported.
+    # steady-state run. Both timers cover plan CONSTRUCTION as well as
+    # execution: for iterative queries (connected components) the driver
+    # loop inside q.spark() IS the computation, so timing only the final
+    # .write would understate them ~450x.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -93,26 +97,43 @@ def main() -> int:
         t0 = time.perf_counter()
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        df = q.spark(spark, sf_dir)
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-                "sf": sf,
-                "cpus": cpus,
-            }
-        )
-    )
+    # Full per-query detail goes to a side file; the stdout line must stay
+    # short (the driver captures only a bounded tail of stdout — an
+    # oversized line gets decapitated and parses as nothing).
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "sf": sf,
+        "cpus": cpus,
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    curated = HEADLINE[:N_CURATED]
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in curated if k in timings},
+        "n_queries": len(timings),
+        "sf": sf,
+        "cpus": cpus,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    while len(line) > 1800 and summary["queries"]:
+        summary["queries"].popitem()
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line, flush=True)
     return 0
 
 
