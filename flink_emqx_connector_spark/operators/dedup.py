@@ -79,6 +79,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold via shingle inverted index.
 
@@ -89,8 +90,10 @@ def ngram_jaccard_pairs(
     (``minhash_lsh_pairs``) replaces it when even that is too dense.
 
     Returns ``doc_a, doc_b, jaccard`` (doc_a < doc_b, jaccard rounded 4).
+    ``shingles``: optional precomputed ``_shingle_table`` output (the auto
+    selector passes its stats-pass table so the corpus isn't re-shingled).
     """
-    sh = _shingle_table(docs, text_col, id_col, n)
+    sh = shingles if shingles is not None else _shingle_table(docs, text_col, id_col, n)
     # Carry the set size through the explode so no size-lookup join is
     # needed later, and join on xxhash64 of the shingle, not the string:
     # the self-join moves (8B key, 8B doc, 4B n) rows instead of text
@@ -127,6 +130,7 @@ def ngram_jaccard_pairs_dense(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via broadcast bitmap + blocked matmul.
 
@@ -156,7 +160,12 @@ def ngram_jaccard_pairs_dense(
 
     spark = docs.sparkSession
     # One shingle computation feeds both driver-side jobs (vocab, pack).
-    sh = _shingle_table(docs, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # A caller-provided table (the auto selector's, already persisted) is
+    # used as-is; otherwise shingle + persist here and release in finally.
+    owned = shingles is None
+    sh = _shingle_table(docs, text_col, id_col, n) if owned else shingles
+    if owned:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         vocab_rows = sh.select(F.explode("sh").alias("s")).distinct().collect()
         vocab = {s: i for i, s in enumerate(sorted(r["s"] for r in vocab_rows))}
@@ -191,7 +200,8 @@ def ngram_jaccard_pairs_dense(
         # bounded by _DENSE_MAX_CELLS/8 bytes — broadcast-sized
         full = sh.mapInPandas(_pack, packed_schema).collect()
     finally:
-        sh.unpersist()
+        if owned:
+            sh.unpersist()
 
     n_docs = len(full)
     full_docs = np.array([r["doc"] for r in full], dtype=np.int64)
@@ -283,32 +293,82 @@ def ngram_jaccard_pairs_dense(
     )
 
 
+#: Inverted-index budget: the shingle self-join produces Σ df(s)² rows;
+#: above this the exact join shuffle is the bottleneck and the selector
+#: routes to MinHash-LSH (precision still 1.0 — candidates are verified
+#: with exact Jaccard — only recall becomes probabilistic, ~0.99 at the
+#: threshold with the default band geometry).
+_INVERTED_MAX_ROWS = 2_000_000_000
+
+
 def ngram_jaccard_pairs_auto(
     docs: DataFrame,
     threshold: float,
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Cost-based strategy pick for exact n-gram Jaccard.
+    """Cost-based strategy pick for n-gram Jaccard pair generation.
 
-    Cheap statistics pass (docs count + approx vocab), then: dense broadcast
-    bitmap matmul when docs×vocab fits the budget, else the shuffle-based
-    shingle inverted index. Mirrors Spark's own broadcast-vs-shuffle join
-    choice; both strategies return identical results.
+    ONE statistics pass over a persisted shingle table (docs, approx vocab,
+    exact Σ df² join-row estimate), then three regimes — mirroring Spark's
+    own broadcast-vs-shuffle join choice:
+
+    1. **dense** broadcast-bitmap matmul while docs×vocab fits the
+       broadcast budget (identical results, zero shuffle);
+    2. **inverted index** exact self-join while the estimated join size
+       Σ df(s)² fits ``_INVERTED_MAX_ROWS``;
+    3. **MinHash-LSH** above that — the 100 TB regime where any exact
+       all-pairs plan is join-bound; precision stays 1.0 (exact verify),
+       recall is probabilistic.
+
+    The persisted stats-pass table is handed to the chosen strategy so the
+    corpus is shingled once, not three times; it is unpersisted before
+    return (the lazy strategies recompute the scan once at execution — net
+    two scans worst-case, and no session-lifetime cache leak).
+    ``stats``, when passed, records the decision for tests/observability.
     """
-    sh = _shingle_table(docs, text_col, id_col, n)
-    stats = (
-        sh.select("doc", F.explode_outer("sh").alias("s"))
-        .agg(
+    from pyspark import StorageLevel
+
+    sh = _shingle_table(docs, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        ex = sh.select("doc", F.explode_outer("sh").alias("s"))
+        row = ex.agg(
             F.approx_count_distinct("doc").alias("docs"),
             F.approx_count_distinct("s").alias("vocab"),
+        ).collect()[0]
+        n_docs, vocab = row["docs"] or 0, row["vocab"] or 0
+        decision = {"docs": n_docs, "vocab": vocab, "join_rows": None}
+        if n_docs * vocab <= _DENSE_MAX_CELLS:
+            decision["strategy"] = "dense"
+            if stats is not None:
+                stats.update(decision)
+            return ngram_jaccard_pairs_dense(
+                docs, threshold, n, text_col, id_col, shingles=sh
+            )
+        join_rows = (
+            ex.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .agg(F.sum(F.col("df") * F.col("df")).alias("jr"))
+            .collect()[0]["jr"]
+        ) or 0
+        decision["join_rows"] = int(join_rows)
+        if join_rows <= _INVERTED_MAX_ROWS:
+            decision["strategy"] = "inverted"
+            if stats is not None:
+                stats.update(decision)
+            return ngram_jaccard_pairs(
+                docs, threshold, n, text_col, id_col, shingles=sh
+            )
+        decision["strategy"] = "minhash_lsh"
+        if stats is not None:
+            stats.update(decision)
+        return minhash_lsh_pairs(
+            docs, threshold=threshold, n=n, text_col=text_col, id_col=id_col
         )
-        .collect()[0]
-    )
-    if (stats["docs"] or 0) * (stats["vocab"] or 0) <= _DENSE_MAX_CELLS:
-        return ngram_jaccard_pairs_dense(docs, threshold, n, text_col, id_col)
-    return ngram_jaccard_pairs(docs, threshold, n, text_col, id_col)
+    finally:
+        sh.unpersist()
 
 
 def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -335,27 +395,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: ``doc, mh0..mh{k-1}``.
 
-    Shingles are hashed JVM-side with murmur3 (``F.hash``, fixed seed), then
-    k universal-hash permutations are folded with ``array_min`` — one scan,
-    no shuffle until the caller aggregates. (An Arrow/numpy formulation of
-    the same kernel was benchmarked and lost: the pipeline breaker plus
-    Python-worker round-trip cost more than the one-time ~3 s codegen of
-    the k-column expression, and downstream AQE plans degraded.)
+    Shingles are exploded, hashed JVM-side with murmur3 (``F.hash``, fixed
+    seed), and the k universal-hash permutations fold as ``min()``
+    aggregates over the exploded rows. Every expression is plain arithmetic
+    — whole-stage-codegen'd — where the earlier ``transform``/``array_min``
+    HOF form ran interpreted lambdas per array element; and the groupBy's
+    partial (map-side) aggregation means the shuffle moves only
+    |docs|×(k+1) longs, never the exploded shingle stream. Docs whose text
+    yields no shingles (< n words) have no signature row — they cannot
+    near-dup anything. (An Arrow/numpy formulation was also benchmarked
+    and lost: the Python-worker round-trip cost more than the JVM kernel.)
     """
     params = _minhash_params(num_hashes)
     sh = _shingle_table(docs, text_col, id_col, n)
     # murmur3 of each shingle, lifted to non-negative 64-bit
-    hashed = sh.select(
-        "doc",
-        F.transform("sh", lambda s: (F.hash(s).cast("bigint") + F.lit(1 << 32))).alias("hs"),
+    ex = sh.select("doc", F.explode("sh").alias("s")).select(
+        "doc", (F.hash("s").cast("bigint") + F.lit(1 << 32)).alias("h")
     )
-    cols = [
-        F.array_min(
-            F.transform("hs", lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
-        ).alias(f"mh{j}")
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{j}")
         for j, (a, b) in enumerate(params)
     ]
-    return hashed.select("doc", *cols)
+    return ex.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -371,20 +432,69 @@ def minhash_lsh_pairs(
 
     rows-per-band r = num_hashes/bands; a pair with Jaccard s collides in
     ≥1 band with prob 1-(1-s^r)^bands (r=2, b=16 → 0.99 at s=0.5). The
-    band join shuffles |docs|·bands short rows — this is the 100 TB path
-    where the exact inverted index (``ngram_jaccard_pairs``) gets too
-    dense. Candidates are then verified with exact Jaccard, so precision
-    is 1.0 and only recall is probabilistic.
+    band shuffle moves |distinct texts|·bands short rows — this is the
+    100 TB path where the exact inverted index (``ngram_jaccard_pairs``)
+    gets too dense. Candidates are verified with exact Jaccard, so
+    precision is 1.0 and only recall is probabilistic.
+
+    **Exact-dup canonicalization first**: real corpora are heavily
+    duplicated (this repo's synthetic one is ~90% exact copies), and LSH
+    over raw docs puts every copy of a text in the same buckets — pair
+    blowup quadratic in copy count (367k candidates at sf0.1, ~0.1%
+    precision). So: group docs by content digest, run the whole LSH
+    pipeline over one representative per distinct text, then expand pairs
+    back over group members — identical texts have identical shingle sets,
+    so cross-group member pairs inherit the representatives' exact
+    Jaccard, and within-group pairs are exactly 1.0. Output is identical
+    to LSH-over-raw-docs (with strictly better recall: jac-1.0 pairs are
+    now found with probability 1), while the quadratic stages see only
+    distinct texts.
+
+    Docs whose text has < n words produce no shingles and cannot pair
+    (Jaccard on two empty sets is 0/0): excluded up front.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # The band self-join consumes the signature table twice; persist it so
-    # the Arrow signature kernel runs once (on a cluster this is a tiny
-    # |docs|×(k+1) long table — cache it, don't recompute the corpus scan).
-    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col)
-    from pyspark import StorageLevel
+    spark = docs.sparkSession
 
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    base = docs.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias(text_col)
+    ).filter(F.size(F.split(F.col(text_col), " ")) >= F.lit(n))
+    # Cheap probe: canonicalization only pays when the corpus actually has
+    # exact copies — on an already-distinct corpus the group/expansion
+    # stages are pure overhead (an extra corpus-wide join ahead of the
+    # signature scan).
+    probe = base.agg(
+        F.count("*").alias("n"), F.approx_count_distinct(text_col).alias("nd")
+    ).collect()[0]
+    groups = None
+    if (probe["nd"] or 0) < 0.95 * (probe["n"] or 0):
+        groups = (
+            base.select("doc", F.md5(F.encode(text_col, "UTF-8")).alias("fp"))
+            .groupBy("fp")
+            .agg(F.min("doc").alias("rep"), F.collect_list("doc").alias("members"))
+            # consumed three times below (rep filter, 2-sided member
+            # expansion, within-group pairs); one row per distinct text —
+            # same eager-driver-step pattern as connected_components
+            .localCheckpoint()
+        )
+        rep_ids = groups.select(F.col("rep").alias("doc"))
+        # no broadcast hint: |distinct texts| is data-proportional — AQE
+        # broadcasts when it is actually small, shuffles when it isn't
+        docs = base.join(rep_ids, "doc")
+    else:
+        docs = base
+    id_col = "doc"
+    # Candidate generation: one shuffle of (band, bucket-hash, doc) short
+    # rows, grouped per bucket, pairs exploded from the collected set.
+    # The signature table is localCheckpoint'ed so the whole pipeline
+    # computes it exactly ONCE (bucketing + the estimated-Jaccard filter
+    # below both consume it); the earlier explicit persist leaked a
+    # CacheManager entry for the session lifetime. Bucket membership lists
+    # are per-distinct-text thanks to the canonicalization above; an
+    # adversarial templated corpus still collides heavily at r rows/band —
+    # which the estimator filter absorbs.
+    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col).localCheckpoint()
     band_structs = F.array(
         *[
             F.struct(
@@ -397,26 +507,57 @@ def minhash_lsh_pairs(
     buckets = sigs.select("doc", F.explode(band_structs).alias("b")).select(
         "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        buckets.groupBy("band", "bh")
+        .agg(F.collect_set("doc").alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    # Verify candidates only: join each side's shingle set and compute exact
-    # Jaccard with array_intersect — O(candidates), not O(pairs). Shingles
-    # are xxhash64'd first so set ops compare 8-byte ints, not strings
-    # (collision odds ~|V|²/2⁶⁴ — vanishing). Join strategy is left to AQE:
-    # it broadcasts whichever side is actually small at runtime (measured
-    # identical to an explicit hint here) and — unlike a hint — degrades
-    # safely to a shuffle join when adversarially-similar data makes the
-    # candidate list huge.
-    sh = _shingle_table(docs, text_col, id_col, n).select(
+    # Estimated-Jaccard prefilter: sig agreement fraction ≈ Jaccard, and
+    # the signatures are already checkpointed — so screening the raw
+    # band-collision candidates costs two narrow joins + 32 equality
+    # terms, all codegen. A templated corpus floods the buckets with
+    # low-similarity collisions (367k candidates on 50k docs at sf0.1,
+    # ~0.1% precision); screening at (threshold − 0.15) drops ~99% of
+    # them before the expensive exact-shingle verify, while a true pair
+    # at s = threshold survives w.p. ~0.99 (Binomial(k, s) tail).
+    est_floor = max(threshold - 0.15, 0.0)
+    siga = sigs.select(
+        F.col("doc").alias("doc_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)]
+    )
+    sigb = sigs.select(
+        F.col("doc").alias("doc_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)]
+    )
+    est = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    ) / F.lit(num_hashes)
+    cand = (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .filter(est >= F.lit(est_floor))
+        .select("doc_a", "doc_b")
+        # Materialize the screened candidate list (small by construction —
+        # LSH + the estimator filter exist to make it small): the verify
+        # stage consumes it twice (pair list + doc filter), and without
+        # the checkpoint each consumer would re-run the bucketing. Same
+        # eager-driver-step pattern as connected_components.
+        .localCheckpoint()
+    )
+    # Verify candidates only: shingle ONLY the docs that appear in some
+    # candidate pair (id filter pushed into the scan; AQE broadcasts it
+    # when small), join each side's shingle set, and compute exact Jaccard
+    # with array_intersect — O(candidate docs), not O(corpus). Shingles
+    # are xxhash64'd so set ops compare 8-byte ints, not strings
+    # (collision odds ~|V|²/2⁶⁴ — vanishing).
+    cand_ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+    ).distinct()
+    cand_docs = docs.join(cand_ids, id_col)
+    sh = _shingle_table(cand_docs, text_col, id_col, n).select(
         "doc", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
     )
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -424,12 +565,37 @@ def minhash_lsh_pairs(
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    rep_pairs = (
         sa.join(cand, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+    if groups is None:  # corpus already distinct — nothing to expand
+        return rep_pairs
+    # Expand representative pairs back over exact-dup group members.
+    mem = groups.select(F.col("rep"), F.explode("members").alias("m"))
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("doc_a"), F.col("m").alias("ma")), "doc_a"
+        )
+        .join(
+            mem.select(F.col("rep").alias("doc_b"), F.col("m").alias("mb")), "doc_b"
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        groups.filter(F.size("members") > 1)
+        .select(F.explode("members").alias("doc_a"), "members")
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.union(within)
 
 
 _SIMHASH_BITS = 64
@@ -515,46 +681,79 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Dedup *clustering*: connected components over a near-dup pair list,
-    as iterative min-label propagation (each node adopts the smallest
-    component id among itself and its neighbors until fixpoint).
+    """Dedup *clustering*: connected components over a near-dup pair list.
 
     This is the step that turns pairwise dedup output into keep-groups
     (keep min doc per component). It is inherently iterative — no single
     SQL query expresses it at scale — so it runs as a driver-side loop of
-    DataFrame joins (the Pregel pattern): iterations = O(cluster diameter),
-    which for near-dup clusters is tiny. Each round ``localCheckpoint``\\ s
-    the labels to truncate lineage, and the loop exits as soon as a round
-    changes nothing. Deterministic: component id = min doc_id reachable.
+    DataFrame joins (the Pregel pattern). Three scale decisions:
+
+    - **edges are localCheckpoint'ed once, eagerly**: the pair list is the
+      output of a whole near-dup pipeline (Jaccard / cosine); without the
+      checkpoint every round would re-execute that pipeline from the scan.
+    - **min-label propagation + pointer jumping** per round: each node
+      takes the min label over itself and its neighbors, then follows the
+      label one hop (``comp ← label(comp)``, path halving). Jumping cuts
+      convergence from O(diameter) rounds to O(log diameter) — on a
+      100-node chain, 8 rounds instead of 99 (pinned by
+      ``tests/test_dedup.py``). Same round bound as the published
+      large-star/small-star alternating algorithm, with labels instead of
+      edge rewrites, so the edge set stays immutable (checkpointed once).
+    - **one Spark action per round**: the new label frame is marked for
+      lazy localCheckpoint and the convergence count runs on top of it —
+      that single job both materializes/truncates the lineage and returns
+      the changed-row count.
+
+    Deterministic: at fixpoint every label equals the min doc_id reachable
+    (labels only move down, never leave the component, and the component
+    min's label can never change). ``stats["rounds"]`` reports the round
+    count when a dict is passed.
     """
     e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()  # edge generation (the expensive part) runs ONCE
+    )
     labels = (
         edges.select("a")
         .distinct()
         .select(F.col("a").alias("node"), F.col("a").alias("comp"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        prop = labels.join(nbr_min, labels.node == nbr_min.a, "left").select(
+            "node",
+            F.col("comp").alias("old_comp"),
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("mid"),
+        )
+        # pointer jump: follow the candidate label one hop so long paths
+        # halve every round (comp values are node ids by invariant)
+        jump = labels.select(
+            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+        )
         updated = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            prop.join(jump, prop.mid == jump.jnode, "left")
             .select(
                 "node",
-                F.col("comp").alias("old_comp"),
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
-                    "comp"
-                ),
+                "old_comp",
+                F.least(F.col("mid"), F.coalesce("jcomp", F.col("mid"))).alias("comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # the ONE action of the round: materializes the checkpoint and
+        # returns the convergence signal together
         changed = updated.filter(F.col("comp") != F.col("old_comp")).count()
         labels = updated.select("node", "comp")
+        if stats is not None:
+            stats["rounds"] = it + 1
         if changed == 0:
             break
     else:

@@ -65,6 +65,10 @@ class Message:
 #: are ~100 files, not 50k.
 SEGMENT_SIZE = 512
 
+#: An .openseg below the frontier must ALSO have been quiet this long
+#: before ack GC may unlink it (a live publisher could still append).
+OPENSEG_GC_QUIET_S = 300.0
+
 
 def _scan_segments(spool_dir: str):
     """(closed, open_) segment listings.
@@ -142,7 +146,12 @@ class SpoolPublisher:
         for path in open_:
             for rec in _read_segment_lines(path):
                 last = max(last, rec["seq"])
-        self._next = last + 1
+        # The FRONTIER file is the durable floor: after ack_upto GCs all
+        # closed segments, the segment scan alone would restart seqs BELOW
+        # the acked frontier — and read_range clamps lo to the frontier, so
+        # those messages would be permanently masked (silent loss). The
+        # frontier outlives exactly the segments it subsumes.
+        self._next = max(last + 1, SpoolTransport(spool_dir).frontier())
         self._fd = None
         self._open_path = ""
         self._open_start = 0
@@ -314,9 +323,27 @@ class SpoolTransport:
                 f.write(str(end))
             os.rename(tmp, tmp[: -len(".tmp")])
         n = 0
-        closed, _ = _scan_segments(self.dir)
+        closed, open_ = _scan_segments(self.dir)
         for _first, last, path in closed:
             if last < end:
+                try:
+                    os.remove(path)
+                    n += 1
+                except FileNotFoundError:
+                    pass
+        # Dead open segments (crashed publisher, never rolled): collectable
+        # once every line is below the frontier AND the file has been quiet
+        # for a while — a LIVE publisher may still hold the fd and append
+        # seqs ≥ frontier, which an unlink would silently drop.
+        for path in open_:
+            seqs = [s for s, _b in _scan_segment_seqs(path)]
+            if not seqs or max(seqs) >= end:
+                continue
+            try:
+                quiet = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue
+            if quiet >= OPENSEG_GC_QUIET_S:
                 try:
                     os.remove(path)
                     n += 1

@@ -182,3 +182,102 @@ def test_exact_dedup_counts(spark):
     )
     out = {r.keep_id: r.n_copies for r in D.exact_dedup(df).collect()}
     assert out == {1: 3, 2: 1}
+
+
+def test_connected_components_chain_logarithmic_rounds(spark):
+    """Pointer jumping must converge a high-diameter graph in O(log d)
+    rounds, not O(d): a 100-node chain needs ≤8 rounds (plain min-label
+    propagation would need 99)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], ["doc_a", "doc_b"]
+    )
+    stats: dict = {}
+    comp = {
+        r.doc: r.comp
+        for r in D.connected_components(chain, max_iter=12, stats=stats).collect()
+    }
+    assert comp == {i: 0 for i in range(101)}
+    assert stats["rounds"] <= 8, stats
+
+
+def test_jaccard_auto_selector_three_regimes(spark, sf_dir, monkeypatch):
+    """The selector must pick dense / inverted / minhash_lsh as the budgets
+    shrink, and every regime's output stays within the exact result set."""
+    docs = _docs(spark, sf_dir)
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+
+    stats: dict = {}
+    D.ngram_jaccard_pairs_auto(docs, threshold=0.5, stats=stats)
+    assert stats["strategy"] == "dense"
+
+    monkeypatch.setattr(D, "_DENSE_MAX_CELLS", 0)
+    stats = {}
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs_auto(docs, threshold=0.5, stats=stats).collect()
+    }
+    assert stats["strategy"] == "inverted"
+    assert stats["join_rows"] > 0
+    assert got == exact
+
+    monkeypatch.setattr(D, "_INVERTED_MAX_ROWS", 0)
+    stats = {}
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs_auto(docs, threshold=0.5, stats=stats).collect()
+    }
+    assert stats["strategy"] == "minhash_lsh"
+    # LSH: exact-verified candidates → subset with identical jaccard
+    assert set(got) <= set(exact)
+    assert all(exact[k] == v for k, v in got.items())
+    assert len(got) >= 0.9 * len(exact)
+
+
+def test_minhash_lsh_leaves_no_cache_behind(spark, sf_dir):
+    """minhash_lsh_pairs must not register session-lifetime caches: the
+    old implementation persisted the signature table per invocation and
+    never unpersisted (CacheManager grows forever under repeated calls,
+    e.g. the bench's double pass)."""
+    spark.catalog.clearCache()
+    docs = _docs(spark, sf_dir)
+    D.minhash_lsh_pairs(docs, threshold=0.5).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    # and the verify stage runs on the checkpointed candidate list — the
+    # signature/bucketing pipeline must NOT reappear in the returned plan
+    plan = (
+        D.minhash_lsh_pairs(docs, threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("mh31") == 0, plan.count("mh31")
+
+
+def test_lsh_exact_dup_canonicalization(spark, sf_dir):
+    """On a corpus with exact copies the LSH pipeline canonicalizes (LSH
+    over distinct texts, pairs expanded over copy groups): results must
+    still be a subset of exact all-pairs with identical jaccard, and every
+    exact-copy pair must be present with jaccard 1.0."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text").limit(200)
+    shift = 1_000_000
+    dup = docs.union(
+        docs.select((F.col("doc_id") + shift).alias("doc_id"), "text")
+    )
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(dup, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(dup, threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+    # every (id, id+shift) copy pair found with jaccard exactly 1.0
+    for r in docs.select("doc_id", "text").collect():
+        if len((r.text or "").split(" ")) >= 2:
+            assert lsh.get((r.doc_id, r.doc_id + shift)) == 1.0, r.doc_id
+    assert len(lsh) >= 0.9 * len(exact), (len(lsh), len(exact))

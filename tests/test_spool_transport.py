@@ -1,0 +1,99 @@
+"""Unit tests for the segment-log spool transport (no Spark needed).
+
+Regression coverage for the publisher/frontier interaction: the FRONTIER
+file is the only durable record of position once ack GC has collected the
+segments it subsumes, so publisher seq recovery must honor it.
+"""
+
+import os
+import time
+
+from flink_emqx_connector_spark.sources.transport import (
+    SpoolPublisher,
+    SpoolTransport,
+)
+
+
+def test_publisher_seq_resumes_from_frontier_after_gc(tmp_path):
+    """A fresh publisher after full ack+GC must NOT restart below the
+    frontier — read_range clamps lo to the frontier, so seqs below it
+    would be permanently masked (silent message loss)."""
+    spool = str(tmp_path / "spool")
+    pub = SpoolPublisher(spool, segment_size=2)
+    for i in range(6):
+        pub.publish("t/1", str(i).encode())
+    pub.close()
+
+    t = SpoolTransport(spool)
+    msgs = t.read_range(0, t.latest_seq(), 0, 1)
+    assert [m.payload for m in msgs] == [str(i).encode() for i in range(6)]
+    t.ack_upto(6)
+    # every closed segment is below the frontier → all GC'd
+    assert not [f for f in os.listdir(spool) if f.endswith(".seg")]
+
+    pub2 = SpoolPublisher(spool)
+    seq = pub2.publish("t/1", b"after-gc")
+    pub2.close()
+    assert seq == 6  # not 0
+    msgs = t.read_range(0, t.latest_seq(), 0, 1)
+    assert [m.payload for m in msgs] == [b"after-gc"]
+
+
+def test_consume_republish_reconsume_pipeline(tmp_path):
+    """The long-running consume→ack→publish→consume loop never loses a
+    message across publisher incarnations (the sink creates one publisher
+    per partition per micro-batch)."""
+    spool = str(tmp_path / "spool")
+    t = SpoolTransport(spool)
+    seen = []
+    for round_ in range(5):
+        pub = SpoolPublisher(spool, segment_size=2)
+        for i in range(3):
+            pub.publish("t/1", f"{round_}-{i}".encode())
+        pub.close()
+        end = t.latest_seq()
+        seen.extend(m.payload.decode() for m in t.read_range(0, end, 0, 1))
+        t.ack_upto(end)
+    assert seen == [f"{r}-{i}" for r in range(5) for i in range(3)]
+
+
+def test_ack_gc_collects_stale_open_segment(tmp_path):
+    """A crashed publisher's .openseg (never rolled) is collected once all
+    its seqs are below the frontier AND it has been quiet long enough;
+    a recently-written one is left alone (a live publisher may append)."""
+    spool = str(tmp_path / "spool")
+    pub = SpoolPublisher(spool)
+    pub.publish("t/1", b"a")
+    pub.publish("t/1", b"b")
+    # no close(): simulates a crash leaving an .openseg behind
+    open_segs = [f for f in os.listdir(spool) if f.endswith(".openseg")]
+    assert len(open_segs) == 1
+
+    t = SpoolTransport(spool)
+    t.ack_upto(2)
+    # fresh file: NOT collected (quiet-period guard)
+    assert [f for f in os.listdir(spool) if f.endswith(".openseg")] == open_segs
+
+    stale = os.path.join(spool, open_segs[0])
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+    t.ack_upto(2)
+    assert not [f for f in os.listdir(spool) if f.endswith(".openseg")]
+
+
+def test_sink_partition_seals_segments(tmp_path):
+    """The sink's per-partition publisher closes (rolls) its segment so
+    ack GC can collect it."""
+    from flink_emqx_connector_spark.sinks.emqx import _publish_partition
+
+    spool = str(tmp_path / "spool")
+    rows = [{"topic": "t/1", "payload": f"m{i}".encode()} for i in range(3)]
+    _publish_partition(iter(rows), "spool", spool, "", 0, qos=1)
+    files = os.listdir(spool)
+    assert not [f for f in files if f.endswith(".openseg")]
+    assert [f for f in files if f.endswith(".seg")]
+    t = SpoolTransport(spool)
+    got = t.read_range(0, t.latest_seq(), 0, 1)
+    assert [m.payload for m in got] == [b"m0", b"m1", b"m2"]
+    assert t.ack_upto(t.latest_seq()) >= 1
+    assert not [f for f in os.listdir(spool) if f.endswith(".seg")]
