@@ -34,8 +34,9 @@ def _publish_partition(rows, transport: str, spool_dir: str, host: str, port: in
             # stream publishing one per partition per micro-batch).
             pub.close()
     else:
-        import paho.mqtt.client as mqtt
+        from ..sources.transport import _load_mqtt
 
+        mqtt, _pkt, _props = _load_mqtt()
         cli = mqtt.Client(mqtt.CallbackAPIVersion.VERSION2, protocol=mqtt.MQTTv5)
         cli.connect(host, port)
         cli.loop_start()

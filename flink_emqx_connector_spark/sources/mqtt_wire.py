@@ -1,0 +1,700 @@
+"""Minimal MQTT 5 wire implementation: codec, embedded broker, and a
+paho-interface-compatible client — pure stdlib, real TCP sockets.
+
+Written from the public OASIS MQTT 5.0 specification. Purpose: the
+reference's whole test suite is live-broker integration
+(``EMQXSourceIntegrationTest.java:63-364``, Testcontainers EMQX 5.10.0);
+this environment has neither docker nor paho-mqtt, so the embedded broker
+plus this client let the same four scenarios run end-to-end over real
+network sockets with no fake-client shims. ``PahoTransport`` uses real
+paho when it is installed and falls back to :class:`Client` below (same
+callback surface) when it isn't — either way the protocol on the wire is
+MQTT 5.
+
+Scope — exactly the protocol surface the connector semantics need
+(``EMQXSourceReader.java:92-117,168-202``):
+
+- CONNECT/CONNACK with clean-start, session expiry, session-present;
+- SUBSCRIBE/SUBACK incl. shared subscriptions (``$share/<group>/<filter>``,
+  broker round-robins a message to ONE live group member);
+- PUBLISH/PUBACK QoS 0/1, manual acks, DUP redelivery of un-acked
+  messages on session resume, MQTT 5 user properties;
+- persistent sessions: a second CONNECT with a live clientid takes the
+  session over (the old connection is closed — EMQX behavior);
+- PINGREQ/PINGRESP, DISCONNECT.
+
+Out of scope (unused by the connector): QoS 2 handshake, retained-message
+store, will messages, topic aliases, auth, session-expiry timers.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+import time
+import uuid
+from collections import deque
+
+from ..functions.topics import strip_share, topic_matches_py
+
+CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
+SUBSCRIBE, SUBACK, PINGREQ, PINGRESP, DISCONNECT = 8, 9, 12, 13, 14
+
+
+# --------------------------------------------------------------------------
+# codec
+# --------------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n % 128
+        n //= 128
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _varint_from(buf: bytes, i: int) -> tuple[int, int]:
+    mult, val = 1, 0
+    while True:
+        b = buf[i]
+        i += 1
+        val += (b & 0x7F) * mult
+        if not b & 0x80:
+            return val, i
+        mult *= 128
+
+
+def _mqtt_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">H", len(b)) + b
+
+
+def _parse_str(buf: bytes, i: int) -> tuple[str, int]:
+    (n,) = struct.unpack_from(">H", buf, i)
+    i += 2
+    return buf[i : i + n].decode("utf-8"), i + n
+
+
+def _props_bytes(session_expiry: int | None = None, user_props=None) -> bytes:
+    out = b""
+    if session_expiry is not None:
+        out += b"\x11" + struct.pack(">I", session_expiry)
+    for k, v in user_props or []:
+        out += b"\x26" + _mqtt_str(k) + _mqtt_str(v)
+    return _varint(len(out)) + out
+
+
+#: property id → value class, per the MQTT 5 property table. A generic
+#: parser keeps the broker compatible with real paho clients that send
+#: properties we never act on (receive-maximum, topic-alias-maximum, ...).
+_BYTE_PROPS = {0x01, 0x17, 0x19, 0x24, 0x25, 0x28, 0x29, 0x2A}
+_U16_PROPS = {0x13, 0x21, 0x22, 0x23}
+_U32_PROPS = {0x02, 0x11, 0x18, 0x27}
+_STR_PROPS = {0x03, 0x08, 0x12, 0x15, 0x1A, 0x1C, 0x1F}
+_BIN_PROPS = {0x09, 0x16}
+
+
+def _parse_props(buf: bytes, i: int) -> tuple[dict, int]:
+    length, i = _varint_from(buf, i)
+    end = i + length
+    props: dict = {"user": []}
+    while i < end:
+        pid = buf[i]
+        i += 1
+        if pid == 0x26:
+            k, i = _parse_str(buf, i)
+            v, i = _parse_str(buf, i)
+            props["user"].append((k, v))
+        elif pid in _BYTE_PROPS:
+            props[pid] = buf[i]
+            i += 1
+        elif pid in _U16_PROPS:
+            (props[pid],) = struct.unpack_from(">H", buf, i)
+            i += 2
+        elif pid in _U32_PROPS:
+            (props[pid],) = struct.unpack_from(">I", buf, i)
+            i += 4
+        elif pid == 0x0B:
+            props[pid], i = _varint_from(buf, i)
+        elif pid in _STR_PROPS:
+            props[pid], i = _parse_str(buf, i)
+        elif pid in _BIN_PROPS:
+            (n,) = struct.unpack_from(">H", buf, i)
+            i += 2 + n
+        else:
+            raise ValueError(f"unknown MQTT property id 0x{pid:02x}")
+    return props, end
+
+
+def _packet(ptype: int, flags: int, body: bytes) -> bytes:
+    return bytes([(ptype << 4) | flags]) + _varint(len(body)) + body
+
+
+def connect_packet(
+    clientid: str, clean_start: bool, keepalive: int, session_expiry: int | None
+) -> bytes:
+    body = (
+        _mqtt_str("MQTT")
+        + b"\x05"
+        + bytes([0x02 if clean_start else 0x00])
+        + struct.pack(">H", keepalive)
+        + _props_bytes(session_expiry=session_expiry)
+        + _mqtt_str(clientid)
+    )
+    return _packet(CONNECT, 0, body)
+
+
+def connack_packet(session_present: bool, reason: int = 0) -> bytes:
+    return _packet(
+        CONNACK, 0, bytes([1 if session_present else 0, reason]) + _varint(0)
+    )
+
+
+def publish_packet(
+    topic: str,
+    payload: bytes,
+    qos: int,
+    pid: int | None = None,
+    retain: bool = False,
+    dup: bool = False,
+    user_props=None,
+) -> bytes:
+    flags = (8 if dup else 0) | (qos << 1) | (1 if retain else 0)
+    body = _mqtt_str(topic)
+    if qos:
+        body += struct.pack(">H", pid)
+    body += _props_bytes(user_props=user_props) + payload
+    return _packet(PUBLISH, flags, body)
+
+
+def puback_packet(pid: int) -> bytes:
+    # remaining length 2: success reason code + empty props implied (spec
+    # allows omitting both when reason is 0 and there are no properties)
+    return _packet(PUBACK, 0, struct.pack(">H", pid))
+
+
+def subscribe_packet(pid: int, topic_filter: str, qos: int) -> bytes:
+    body = struct.pack(">H", pid) + _varint(0) + _mqtt_str(topic_filter) + bytes([qos])
+    return _packet(SUBSCRIBE, 2, body)
+
+
+def suback_packet(pid: int, reasons: list[int]) -> bytes:
+    return _packet(SUBACK, 0, struct.pack(">H", pid) + _varint(0) + bytes(reasons))
+
+
+def _hard_close(sock: socket.socket) -> None:
+    """shutdown+close: close() alone, while another thread is blocked in
+    recv on the fd, defers kernel teardown — no FIN reaches the peer."""
+    try:
+        sock.shutdown(socket.SHUT_RDWR)
+    except OSError:
+        pass
+    try:
+        sock.close()
+    except OSError:
+        pass
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    data = b""
+    while len(data) < n:
+        chunk = sock.recv(n - len(data))
+        if not chunk:
+            raise ConnectionError("socket closed")
+        data += chunk
+    return data
+
+
+def read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
+    h = _recv_exact(sock, 1)
+    ptype, flags = h[0] >> 4, h[0] & 0x0F
+    mult, length = 1, 0
+    while True:
+        b = _recv_exact(sock, 1)[0]
+        length += (b & 0x7F) * mult
+        if not b & 0x80:
+            break
+        mult *= 128
+    body = _recv_exact(sock, length) if length else b""
+    return ptype, flags, body
+
+
+# --------------------------------------------------------------------------
+# embedded broker
+# --------------------------------------------------------------------------
+
+
+class _Session:
+    __slots__ = ("clientid", "subs", "queue", "inflight", "next_pid", "conn")
+
+    def __init__(self, clientid: str):
+        self.clientid = clientid
+        self.subs: dict[str, tuple[int, str | None]] = {}  # filter → (qos, group)
+        self.queue: deque = deque()  # (topic, payload, qos, retain, uprops, dup)
+        self.inflight: dict[int, tuple] = {}
+        self.next_pid = 1
+        self.conn: "_BrokerConn | None" = None
+
+
+class _BrokerConn:
+    def __init__(self, broker: "EmbeddedBroker", sock: socket.socket):
+        self.broker = broker
+        self.sock = sock
+        self.session: _Session | None = None
+        self._wlock = threading.Lock()
+
+    def send(self, data: bytes) -> None:
+        with self._wlock:
+            self.sock.sendall(data)
+
+    def run(self) -> None:
+        try:
+            while True:
+                ptype, flags, body = read_packet(self.sock)
+                self.broker._handle(self, ptype, flags, body)
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            self.broker._detach(self)
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+
+
+class EmbeddedBroker:
+    """In-process MQTT 5 broker over real TCP sockets.
+
+    ``stop()`` closes the listener and all live connections but keeps
+    session state on the object, so ``start()`` again on the same port
+    models broker downtime with persistent sessions (the docker
+    pause/unpause of ``EMQXSourceIntegrationTest.java:303-364``).
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self.host = host
+        self.port = port
+        self.sessions: dict[str, _Session] = {}
+        self._rr: dict[tuple[str, str], int] = {}
+        self._lock = threading.RLock()
+        self._srv: socket.socket | None = None
+        self._conns: set[_BrokerConn] = set()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "EmbeddedBroker":
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((self.host, self.port))
+        self.port = srv.getsockname()[1]
+        srv.listen(64)
+        self._srv = srv
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        srv, self._srv = self._srv, None
+        if srv is not None:
+            try:
+                srv.close()
+            except OSError:
+                pass
+        with self._lock:
+            conns = list(self._conns)
+        for c in conns:
+            _hard_close(c.sock)
+
+    def _accept_loop(self) -> None:
+        srv = self._srv
+        while srv is not None:
+            try:
+                sock, _ = srv.accept()
+            except OSError:
+                return
+            conn = _BrokerConn(self, sock)
+            with self._lock:
+                self._conns.add(conn)
+            threading.Thread(target=conn.run, daemon=True).start()
+
+    # -- packet handling ---------------------------------------------------
+
+    def _handle(self, conn: _BrokerConn, ptype: int, flags: int, body: bytes) -> None:
+        if ptype == CONNECT:
+            self._on_connect(conn, body)
+        elif ptype == SUBSCRIBE:
+            self._on_subscribe(conn, body)
+        elif ptype == PUBLISH:
+            self._on_publish(conn, flags, body)
+        elif ptype == PUBACK:
+            (pid,) = struct.unpack_from(">H", body, 0)
+            with self._lock:
+                if conn.session is not None:
+                    conn.session.inflight.pop(pid, None)
+        elif ptype == PINGREQ:
+            conn.send(_packet(PINGRESP, 0, b""))
+        elif ptype == DISCONNECT:
+            raise ConnectionError("client disconnect")
+
+    def _on_connect(self, conn: _BrokerConn, body: bytes) -> None:
+        proto, i = _parse_str(body, 0)
+        level = body[i]
+        i += 1
+        connect_flags = body[i]
+        i += 1
+        clean_start = bool(connect_flags & 0x02)
+        i += 2  # keepalive (ignored: the embedded broker never times out)
+        _props, i = _parse_props(body, i)
+        clientid, i = _parse_str(body, i)
+        if not clientid:
+            clientid = f"auto-{uuid.uuid4().hex[:12]}"
+        with self._lock:
+            existing = self.sessions.get(clientid)
+            session_present = existing is not None and not clean_start
+            if existing is None or clean_start:
+                self.sessions[clientid] = _Session(clientid)
+            session = self.sessions[clientid]
+            if session.conn is not None and session.conn is not conn:
+                # session takeover (EMQX closes the old connection)
+                _hard_close(session.conn.sock)
+            session.conn = conn
+            conn.session = session
+            conn.send(connack_packet(session_present))
+            self._resume(session)
+
+    def _resume(self, session: _Session) -> None:
+        """Redeliver inflight (DUP) then drain the offline queue."""
+        inflight = [session.inflight[pid] for pid in sorted(session.inflight)]
+        session.inflight.clear()
+        for msg in reversed(inflight):
+            topic, payload, qos, retain, uprops, _dup = msg
+            session.queue.appendleft((topic, payload, qos, retain, uprops, True))
+        while session.queue and session.conn is not None:
+            self._deliver(session, session.queue.popleft())
+
+    def _on_subscribe(self, conn: _BrokerConn, body: bytes) -> None:
+        (pid,) = struct.unpack_from(">H", body, 0)
+        _props, i = _parse_props(body, 2)
+        reasons = []
+        with self._lock:
+            while i < len(body):
+                filt, i = _parse_str(body, i)
+                opts = body[i]
+                i += 1
+                qos = opts & 0x03
+                group, bare = strip_share(filt)
+                if conn.session is not None:
+                    conn.session.subs[filt] = (qos, group if group else None)
+                reasons.append(qos)
+            conn.send(suback_packet(pid, reasons))
+
+    def _on_publish(self, conn: _BrokerConn, flags: int, body: bytes) -> None:
+        qos = (flags >> 1) & 0x03
+        retain = bool(flags & 0x01)
+        topic, i = _parse_str(body, 0)
+        pid = None
+        if qos:
+            (pid,) = struct.unpack_from(">H", body, i)
+            i += 2
+        props, i = _parse_props(body, i)
+        payload = body[i:]
+        if qos:
+            conn.send(puback_packet(pid))
+        with self._lock:
+            self._dispatch(topic, payload, qos, retain, props["user"])
+
+    def _dispatch(self, topic, payload, qos, retain, uprops) -> None:
+        # non-shared: every matching session. shared: ONE member per group,
+        # round-robin over live members (queued to a member even when the
+        # whole group is offline — at-least-once for resumed sessions).
+        shared: dict[tuple[str, str], list[tuple[_Session, int]]] = {}
+        for session in self.sessions.values():
+            for filt, (sub_qos, group) in session.subs.items():
+                _g, bare = strip_share(filt)
+                if not topic_matches_py(bare, topic):
+                    continue
+                if group is None:
+                    self._deliver(
+                        session, (topic, payload, min(qos, sub_qos), retain, uprops, False)
+                    )
+                else:
+                    shared.setdefault((group, bare), []).append((session, sub_qos))
+        for key, members in shared.items():
+            members.sort(key=lambda m: m[0].clientid)
+            live = [m for m in members if m[0].conn is not None]
+            pool = live or members
+            idx = self._rr.get(key, 0) % len(pool)
+            self._rr[key] = idx + 1
+            session, sub_qos = pool[idx]
+            self._deliver(
+                session, (topic, payload, min(qos, sub_qos), retain, uprops, False)
+            )
+
+    def _deliver(self, session: _Session, msg: tuple) -> None:
+        if session.conn is None:
+            session.queue.append(msg)
+            return
+        topic, payload, qos, retain, uprops, dup = msg
+        pid = None
+        if qos:
+            pid = session.next_pid
+            session.next_pid = pid % 65535 + 1
+            session.inflight[pid] = msg
+        try:
+            session.conn.send(
+                publish_packet(topic, payload, qos, pid, retain, dup, uprops)
+            )
+        except OSError:
+            if qos and pid is not None:
+                session.inflight.pop(pid, None)
+            session.queue.append(msg)
+
+    def _detach(self, conn: _BrokerConn) -> None:
+        with self._lock:
+            self._conns.discard(conn)
+            session = conn.session
+            if session is not None and session.conn is conn:
+                session.conn = None
+                # crash without DISCONNECT: un-acked messages go back to
+                # the head of the queue for DUP redelivery on resume
+                inflight = [session.inflight[pid] for pid in sorted(session.inflight)]
+                session.inflight.clear()
+                for topic, payload, qos, retain, uprops, _d in reversed(inflight):
+                    session.queue.appendleft((topic, payload, qos, retain, uprops, True))
+
+    # -- test helpers ------------------------------------------------------
+
+    def session_backlog(self, clientid: str) -> int:
+        with self._lock:
+            s = self.sessions.get(clientid)
+            return 0 if s is None else len(s.queue) + len(s.inflight)
+
+
+# --------------------------------------------------------------------------
+# paho-interface-compatible client
+# --------------------------------------------------------------------------
+
+MQTTv5 = 5
+
+
+class CallbackAPIVersion:
+    VERSION2 = 2
+
+
+class PacketTypes:
+    CONNECT = CONNECT
+
+
+class Properties:
+    """Property container matching the paho surface the connector sets."""
+
+    def __init__(self, _packet_type=None):
+        self.SessionExpiryInterval: int | None = None
+
+
+class _Flags:
+    def __init__(self, session_present: bool):
+        self.session_present = session_present
+
+
+class _UserProperties:
+    def __init__(self, pairs):
+        self.UserProperty = pairs
+
+
+class MQTTMessage:
+    __slots__ = ("topic", "qos", "retain", "payload", "mid", "dup", "properties")
+
+    def __init__(self, topic, qos, retain, payload, mid, dup, uprops):
+        self.topic = topic
+        self.qos = qos
+        self.retain = retain
+        self.payload = payload
+        self.mid = mid
+        self.dup = dup
+        self.properties = _UserProperties(list(uprops))
+
+
+class MQTTMessageInfo:
+    def __init__(self, event: threading.Event):
+        self._event = event
+
+    def wait_for_publish(self, timeout: float | None = 10.0) -> None:
+        self._event.wait(timeout)
+
+
+class Client:
+    """Drop-in for the paho-mqtt client surface ``PahoTransport`` and the
+    sink use: VERSION2 callbacks, MQTT 5, manual acks, connect_async +
+    reconnect loop. Real sockets, blocking reader thread."""
+
+    def __init__(
+        self, api_version=None, client_id: str = "", protocol=None, manual_ack=False
+    ):
+        self._cid = client_id or f"mini-{uuid.uuid4().hex[:12]}"
+        self._manual_ack = manual_ack
+        self.on_connect = None
+        self.on_message = None
+        self._sock: socket.socket | None = None
+        self._host = ""
+        self._port = 0
+        self._clean_start = True
+        self._keepalive = 30
+        self._session_expiry: int | None = None
+        self._min_delay, self._max_delay = 0.05, 1.0
+        self._pid = 0
+        self._pub_events: dict[int, threading.Event] = {}
+        self._running = False
+        self._thread: threading.Thread | None = None
+        self._wlock = threading.Lock()
+
+    # paho surface ---------------------------------------------------------
+
+    def reconnect_delay_set(self, min_delay=1, max_delay=10) -> None:
+        # floors scaled down: an in-process broker restarts in ms, not s
+        self._min_delay = min(float(min_delay), 0.05)
+        self._max_delay = min(float(max_delay), 1.0)
+
+    def connect(self, host, port, clean_start=True, properties=None, keepalive=30):
+        self._store_params(host, port, clean_start, properties, keepalive)
+        self._tcp_connect()  # raises OSError when the broker is down
+
+    def connect_async(self, host, port, clean_start=True, properties=None, keepalive=30):
+        self._store_params(host, port, clean_start, properties, keepalive)
+
+    def loop_start(self) -> None:
+        if self._running:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def loop_stop(self) -> None:
+        self._running = False
+        self._close_sock()
+        if self._thread is not None and self._thread is not threading.current_thread():
+            self._thread.join(timeout=2)
+
+    def _close_sock(self) -> None:
+        sock = self._sock
+        if sock is None:
+            return
+        # shutdown BEFORE close: close() alone, while the reader thread is
+        # blocked in recv on the same fd, defers the kernel teardown — no
+        # FIN goes out and the peer never learns the connection died
+        try:
+            sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        try:
+            sock.close()
+        except OSError:
+            pass
+
+    def subscribe(self, topic, qos=0) -> None:
+        self._send(subscribe_packet(self._next_pid(), topic, qos))
+
+    def publish(self, topic, payload=b"", qos=0, retain=False) -> MQTTMessageInfo:
+        if isinstance(payload, str):
+            payload = payload.encode("utf-8")
+        ev = threading.Event()
+        if qos:
+            pid = self._next_pid()
+            self._pub_events[pid] = ev
+            self._send(publish_packet(topic, bytes(payload), qos, pid, retain))
+        else:
+            self._send(publish_packet(topic, bytes(payload), 0, None, retain))
+            ev.set()
+        return MQTTMessageInfo(ev)
+
+    def ack(self, msg: MQTTMessage) -> None:
+        if msg.qos:
+            self._send(puback_packet(msg.mid))
+
+    def disconnect(self) -> None:
+        try:
+            self._send(_packet(DISCONNECT, 0, b""))
+        except (OSError, ConnectionError):
+            pass
+        self._running = False
+        self._close_sock()
+        self._sock = None
+
+    # internals ------------------------------------------------------------
+
+    def _store_params(self, host, port, clean_start, properties, keepalive):
+        self._host, self._port = host, int(port)
+        self._clean_start = bool(clean_start)
+        self._keepalive = int(keepalive)
+        self._session_expiry = getattr(properties, "SessionExpiryInterval", None)
+
+    def _tcp_connect(self) -> None:
+        sock = socket.create_connection((self._host, self._port), timeout=5)
+        sock.settimeout(None)
+        sock.sendall(
+            connect_packet(
+                self._cid, self._clean_start, self._keepalive, self._session_expiry
+            )
+        )
+        self._sock = sock
+
+    def _next_pid(self) -> int:
+        self._pid = self._pid % 65535 + 1
+        return self._pid
+
+    def _send(self, data: bytes) -> None:
+        sock = self._sock
+        if sock is None:
+            raise ConnectionError("not connected")
+        with self._wlock:
+            sock.sendall(data)
+
+    def _loop(self) -> None:
+        delay = self._min_delay
+        while self._running:
+            if self._sock is None:
+                try:
+                    self._tcp_connect()
+                    delay = self._min_delay
+                except OSError:
+                    time.sleep(delay)
+                    delay = min(delay * 2, self._max_delay)
+                    continue
+            try:
+                ptype, flags, body = read_packet(self._sock)
+            except (ConnectionError, OSError):
+                if self._sock is not None:
+                    try:
+                        self._sock.close()
+                    except OSError:
+                        pass
+                self._sock = None
+                continue
+            if ptype == CONNACK:
+                session_present = bool(body[0] & 0x01)
+                if self.on_connect is not None:
+                    self.on_connect(self, None, _Flags(session_present), 0, None)
+            elif ptype == PUBLISH:
+                qos = (flags >> 1) & 0x03
+                dup = bool(flags & 0x08)
+                retain = bool(flags & 0x01)
+                topic, i = _parse_str(body, 0)
+                mid = 0
+                if qos:
+                    (mid,) = struct.unpack_from(">H", body, i)
+                    i += 2
+                props, i = _parse_props(body, i)
+                msg = MQTTMessage(topic, qos, retain, body[i:], mid, dup, props["user"])
+                if qos and not self._manual_ack:
+                    self._send(puback_packet(mid))
+                if self.on_message is not None:
+                    self.on_message(self, None, msg)
+            elif ptype == PUBACK:
+                (pid,) = struct.unpack_from(">H", body, 0)
+                ev = self._pub_events.pop(pid, None)
+                if ev is not None:
+                    ev.set()
+            # PINGRESP / SUBACK need no action

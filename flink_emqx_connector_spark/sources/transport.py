@@ -375,6 +375,21 @@ def paho_available() -> bool:
         return False
 
 
+def _load_mqtt():
+    """paho-mqtt when installed, else the embedded MQTT 5 client
+    (``mqtt_wire.Client``, same callback surface, real sockets)."""
+    try:
+        import paho.mqtt.client as mqtt
+        from paho.mqtt.packettypes import PacketTypes
+        from paho.mqtt.properties import Properties
+
+        return mqtt, PacketTypes, Properties
+    except ImportError:
+        from . import mqtt_wire
+
+        return mqtt_wire, mqtt_wire.PacketTypes, mqtt_wire.Properties
+
+
 class PahoTransport:
     """One MQTT 5 client with manual acks + persistent session.
 
@@ -400,9 +415,7 @@ class PahoTransport:
         self._connect(host, port, topic_filter, qos, group)
 
     def _connect(self, host, port, topic_filter, qos, group):
-        import paho.mqtt.client as mqtt
-        from paho.mqtt.packettypes import PacketTypes
-        from paho.mqtt.properties import Properties
+        mqtt, PacketTypes, Properties = _load_mqtt()
 
         self._mqtt = mqtt
         cli = mqtt.Client(
@@ -421,7 +434,10 @@ class PahoTransport:
                 client.subscribe(sub_topic, qos=qos)
 
         def on_message(client, userdata, msg):
-            self.queue.put((self.seq, msg))
+            # stamp ARRIVAL time here, not at drain: under a slow trigger
+            # the drain runs seconds later and event-time columns would
+            # inherit batch latency
+            self.queue.put((self.seq, time.time(), msg))
             self.seq += 1
 
         cli.on_connect = on_connect
@@ -452,7 +468,7 @@ class PahoTransport:
                     break
             self.pending[batch_id] = msgs
         out = []
-        for seq, m in msgs:
+        for seq, arrival_ts, m in msgs:
             props = {}
             if getattr(m, "properties", None) is not None:
                 for k, v in getattr(m.properties, "UserProperty", []) or []:
@@ -464,7 +480,7 @@ class PahoTransport:
                     retained=bool(m.retain),
                     properties=props,
                     payload=bytes(m.payload),
-                    timestamp=time.time(),
+                    timestamp=arrival_ts,
                     seq=seq,
                 )
             )
@@ -474,7 +490,7 @@ class PahoTransport:
         """Ack every buffered message of batches ≤ batch_id (subsuming
         earlier checkpoints, EMQXSourceReader.java:189-199)."""
         for bid in sorted(b for b in self.pending if b <= batch_id):
-            for _seq, m in self.pending.pop(bid):
+            for _seq, _ts, m in self.pending.pop(bid):
                 try:
                     self.client.ack(m)
                 except Exception:
