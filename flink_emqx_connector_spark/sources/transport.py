@@ -110,6 +110,27 @@ def _scan_segment_seqs(path: str) -> list[tuple[int, str]]:
     return out
 
 
+def _claims_segment(path: str, partition_id: int, num_partitions: int) -> bool:
+    """Whole-file partition claim: each segment is read by exactly one
+    partition, so aggregate read cost over N partitions is ~1× the log —
+    the earlier per-seq interleave made every partition read EVERY file
+    (N× raw I/O, the first streaming bottleneck at 32+ partitions).
+
+    The claim key is ``{first_seq}-{token}`` — the filename prefix shared
+    by a segment's open (``{first}-{token}.openseg``) and closed
+    (``{first}-{last}-{token}.seg``) forms — so ownership is stable across
+    the publisher's roll-rename. A key derived from the full filename
+    would flip owners mid-batch when a segment rolls between two
+    partitions' reads: one partition's claim set would double-deliver or
+    drop the rows the other already claimed."""
+    import zlib
+
+    stem = os.path.basename(path).rsplit(".", 1)[0]
+    parts = stem.split("-")
+    key = f"{parts[0]}-{parts[-1]}"
+    return zlib.crc32(key.encode()) % num_partitions == partition_id
+
+
 def _read_segment_lines(path: str) -> list[dict]:
     """Fully-parsed records of a segment (publisher-restart scans)."""
     out = []
@@ -250,32 +271,50 @@ class SpoolTransport:
         lo = max(start, self.frontier())
         if lo >= end:
             return []
+        out = []
+        for seq, body in self._claimed_rows(lo, end, partition_id, num_partitions):
+            try:
+                rec = json.loads(body)
+            except json.JSONDecodeError:
+                continue  # torn trailing line
+            out.append(
+                Message(
+                    topic=rec["topic"],
+                    qos=rec["qos"],
+                    retained=rec["retained"],
+                    properties=dict(rec["properties"]),
+                    payload=bytes.fromhex(rec["payload_hex"]),
+                    timestamp=rec["timestamp"],
+                    seq=seq,
+                )
+            )
+        return out
+
+    def _claimed_rows(
+        self, lo: int, end: int, partition_id: int, num_partitions: int
+    ) -> list[tuple[int, str]]:
+        """(seq, json_body) rows of [lo, end) owned by this partition, in
+        seq order. Segments (open and closed alike) are whole-file claimed
+        via the roll-stable key — see ``_claims_segment``. At high rates a
+        batch spans many segments, spreading work over all partitions; a
+        low-rate single-publisher tail lands on one partition, which is
+        fine (3 messages don't need 32 tasks)."""
         closed, open_ = _scan_segments(self.dir)
+        rows: list[tuple[int, str]] = []
         paths = [p for first, last, p in closed if last >= lo and first < end]
         paths.extend(open_)
-        out = []
         for path in paths:
-            # claim on the integer line prefix; json-parse ONLY owned lines
-            # (otherwise every partition pays the full parse cost N times)
-            for seq, body in _scan_segment_seqs(path):
-                if lo <= seq < end and seq % num_partitions == partition_id:
-                    try:
-                        rec = json.loads(body)
-                    except json.JSONDecodeError:
-                        continue  # torn trailing line
-                    out.append(
-                        Message(
-                            topic=rec["topic"],
-                            qos=rec["qos"],
-                            retained=rec["retained"],
-                            properties=dict(rec["properties"]),
-                            payload=bytes.fromhex(rec["payload_hex"]),
-                            timestamp=rec["timestamp"],
-                            seq=seq,
-                        )
-                    )
-        out.sort(key=lambda m: m.seq)
-        return out
+            if num_partitions > 1 and not _claims_segment(
+                path, partition_id, num_partitions
+            ):
+                continue
+            rows.extend(
+                (seq, body)
+                for seq, body in _scan_segment_seqs(path)
+                if lo <= seq < end
+            )
+        rows.sort()
+        return rows
 
     def read_range_columns(
         self, start: int, end: int, partition_id: int, num_partitions: int
@@ -290,16 +329,7 @@ class SpoolTransport:
         }
         if lo >= end:
             return cols
-        closed, open_ = _scan_segments(self.dir)
-        paths = [p for first, last, p in closed if last >= lo and first < end]
-        paths.extend(open_)
-        rows = []
-        for path in paths:
-            for seq, body in _scan_segment_seqs(path):
-                if lo <= seq < end and seq % num_partitions == partition_id:
-                    rows.append((seq, body))
-        rows.sort()
-        for seq, body in rows:
+        for seq, body in self._claimed_rows(lo, end, partition_id, num_partitions):
             try:
                 rec = json.loads(body)
             except json.JSONDecodeError:

@@ -97,3 +97,59 @@ def test_sink_partition_seals_segments(tmp_path):
     assert [m.payload for m in got] == [b"m0", b"m1", b"m2"]
     assert t.ack_upto(t.latest_seq()) >= 1
     assert not [f for f in os.listdir(spool) if f.endswith(".seg")]
+
+
+def test_partition_claims_disjoint_and_complete(tmp_path):
+    """Every message in a window is delivered by exactly one of N
+    partitions, and each segment file is scanned by exactly one partition
+    (read amplification ~1x the log, not Nx)."""
+    from unittest import mock
+
+    import flink_emqx_connector_spark.sources.transport as tr
+
+    spool = str(tmp_path / "spool")
+    pub = SpoolPublisher(spool, segment_size=16)
+    for i in range(200):
+        pub.publish("t/1", str(i).encode())
+    # leave the last segment open: claims must cover the tail too
+    t = SpoolTransport(spool)
+    end = t.latest_seq()
+    n_parts = 8
+
+    scans = []
+    real = tr._scan_segment_seqs
+
+    def counting(path):
+        scans.append(path)
+        return real(path)
+
+    got = []
+    with mock.patch.object(tr, "_scan_segment_seqs", counting):
+        for p in range(n_parts):
+            got += [m.payload for m in t.read_range(0, end, p, n_parts)]
+    assert sorted(got) == sorted(str(i).encode() for i in range(200))
+    n_files = len([f for f in os.listdir(spool) if f.endswith((".seg", ".openseg"))])
+    # whole-file claims: each file scanned once across ALL partitions
+    assert len(scans) == n_files, (len(scans), n_files)
+
+
+def test_partition_claim_stable_across_roll(tmp_path):
+    """Claim ownership must not change when a segment rolls from open to
+    closed between two partitions' reads of the same batch window."""
+    import flink_emqx_connector_spark.sources.transport as tr
+
+    spool = str(tmp_path / "spool")
+    pub = SpoolPublisher(spool, segment_size=1000)  # stays open
+    for i in range(20):
+        pub.publish("t/1", str(i).encode())
+    t = SpoolTransport(spool)
+    end = t.latest_seq()
+    n_parts = 4
+    before = {
+        p: [m.seq for m in t.read_range(0, end, p, n_parts)] for p in range(n_parts)
+    }
+    pub.close()  # roll: .openseg -> .seg
+    after = {
+        p: [m.seq for m in t.read_range(0, end, p, n_parts)] for p in range(n_parts)
+    }
+    assert before == after
