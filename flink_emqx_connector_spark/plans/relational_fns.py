@@ -961,3 +961,45 @@ def sliding_window_events(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Avro codec round-trip: completes the decode layer's codec list (SURVEY.md
+# §1.4) — encode events into Avro binary, decode back, aggregate decoded
+# fields. Oracle computes the same aggregate from the raw columns, so any
+# codec infidelity (zigzag, unions, utf8, IEEE754) breaks the value hash.
+# --------------------------------------------------------------------------
+@register(
+    "decode_avro_payload",
+    oracle="""
+    SELECT event_type, count(*) AS cnt, round(sum("value"), 2) AS total_value
+    FROM events WHERE event_id < 5000
+    GROUP BY event_type
+    """,
+    doc="Avro binary codec (pure-Python, Avro 1.11 spec — pip pyspark has "
+    "no spark-avro jar): events → to_avro → from_avro → aggregate on the "
+    "decoded struct. Arrow-batched pandas UDFs; malformed payloads decode "
+    "to NULL (dead-letterable) per the S9 contract.",
+    tags=("codec", "avro", "decode"),
+)
+def decode_avro_payload(spark, sf_dir):
+    from ..functions.avro_codec import from_avro, to_avro
+
+    schema = {
+        "type": "record",
+        "name": "event",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "event_type", "type": ["null", "string"]},
+            {"name": "value", "type": ["null", "double"]},
+        ],
+    }
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    enc = e.select(
+        to_avro(F.struct("event_id", "event_type", "value"), schema).alias("payload")
+    )
+    dec = enc.select(from_avro("payload", schema).alias("d"))
+    return dec.groupBy(F.col("d.event_type").alias("event_type")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("d.value"), 2).alias("total_value"),
+    )

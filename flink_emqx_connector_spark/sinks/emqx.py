@@ -73,3 +73,35 @@ def foreach_batch_publisher(
         publish_dataframe(batch_df, transport, spool_dir, host, port, qos)
 
     return sink
+
+
+def _stream_writer(options: dict, overwrite: bool):
+    """``DataSourceStreamWriter`` for ``writeStream.format("emqx")`` — the
+    structured twin of ``foreach_batch_publisher`` (SURVEY §7 step 6).
+    Same at-least-once contract: a retried partition task republishes;
+    MQTT consumers dedup by key."""
+    from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage
+
+    class EMQXStreamWriter(DataSourceStreamWriter):
+        def __init__(self, opts: dict):
+            self.transport = opts.get("transport", "paho").lower()
+            self.spool_dir = opts.get("spool_dir", "")
+            if self.transport == "spool" and not self.spool_dir:
+                raise ValueError("spool transport requires spool_dir")
+            self.host = opts.get("host", "127.0.0.1")
+            self.port = int(opts.get("port", "1883"))
+            self.qos = int(opts.get("qos", "1"))
+
+        def write(self, iterator):
+            _publish_partition(
+                iterator, self.transport, self.spool_dir, self.host, self.port, self.qos
+            )
+            return WriterCommitMessage()
+
+        def commit(self, messages, batchId=None) -> None:
+            pass  # publishes are already durable (broker/spool) per partition
+
+        def abort(self, messages, batchId=None) -> None:
+            pass  # at-least-once: completed partitions stay published
+
+    return EMQXStreamWriter(options)

@@ -253,6 +253,13 @@ class EMQXDataSource(DataSource):
     def streamReader(self, schema: StructType) -> EMQXStreamReader:
         return EMQXStreamReader(schema, dict(self.options))
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        """``df.writeStream.format("emqx")`` — rows (topic, payload) are
+        published back to the broker/spool (S11 + SURVEY §7 step 6)."""
+        from ..sinks.emqx import _stream_writer
+
+        return _stream_writer(dict(self.options), overwrite)
+
 
 def register_emqx_source(spark) -> None:
     spark.dataSource.register(EMQXDataSource)

@@ -184,3 +184,51 @@ def test_asof_join_matches_pandas(spark, left, right):
         cands = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= lt]
         want = max(cands, key=lambda x: (x[0], x[1])) if cands else None
         assert got.get(i) == want, (i, k, lt, got.get(i), want)
+
+
+def test_avro_codec_roundtrip_properties():
+    """Pure-Python Avro binary codec: roundtrip fidelity over edge values
+    (negative/large longs exercise zigzag, empty strings, None unions),
+    and malformed buffers decode to None, never raise."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_emqx_connector_spark.functions.avro_codec import (
+        decode_record,
+        encode_record,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "c", "type": ["null", "double"]},
+            {"name": "d", "type": "boolean"},
+            {"name": "e", "type": ["null", "bytes"]},
+        ],
+    }
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        a=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        b=st.one_of(st.none(), st.text(max_size=50)),
+        c=st.one_of(
+            st.none(), st.floats(allow_nan=False, allow_infinity=False)
+        ),
+        d=st.booleans(),
+        e=st.one_of(st.none(), st.binary(max_size=50)),
+        junk=st.binary(max_size=30),
+    )
+    def check(a, b, c, d, e, junk):
+        rec = {"a": a, "b": b, "c": c, "d": d, "e": e}
+        buf = encode_record(schema, rec)
+        assert decode_record(schema, buf) == rec
+        # appended garbage → malformed → None (not an exception)
+        assert decode_record(schema, buf + b"\x01garbage") is None
+        assert decode_record(schema, junk) in (None, {})  # never raises
+        # truncation → None
+        if len(buf) > 1:
+            assert decode_record(schema, buf[:-1]) is None
+
+    check()

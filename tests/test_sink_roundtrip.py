@@ -99,3 +99,105 @@ def test_publish_then_consume(spark, tmp_path):
     assert sorted((r.topic, bytes(r.payload)) for r in rows) == [
         (f"out/{i}", str(i).encode()) for i in range(5)
     ]
+
+
+def test_stream_writer_format_emqx_spool(spark, tmp_path):
+    """writeStream.format("emqx"): the structured DataSourceStreamWriter
+    twin of foreachBatch — spool A → transform → spool B round trip."""
+    from flink_emqx_connector_spark.sources.transport import (
+        SpoolPublisher,
+        SpoolTransport,
+    )
+
+    spool_a = str(tmp_path / "a")
+    spool_b = str(tmp_path / "b")
+    pub = SpoolPublisher(spool_a)
+    for i in range(6):
+        pub.publish("in/t", str(i).encode(), qos=1)
+    pub.close()
+
+    register_emqx_source(spark)
+    q = (
+        spark.readStream.format("emqx")
+        .option("transport", "spool")
+        .option("spool_dir", spool_a)
+        .option("partitions", "2")
+        .load()
+        .select(
+            F.concat(F.lit("out/"), F.col("payload").cast("string")).alias("topic"),
+            F.col("payload"),
+        )
+        .writeStream.format("emqx")
+        .option("transport", "spool")
+        .option("spool_dir", spool_b)
+        .option("qos", "1")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    t = SpoolTransport(spool_b)
+    msgs = t.read_range(0, t.latest_seq(), 0, 1)
+    assert sorted((m.topic, m.payload) for m in msgs) == [
+        (f"out/{i}", str(i).encode()) for i in range(6)
+    ]
+
+
+def test_stream_writer_format_emqx_broker(spark, tmp_path):
+    """writeStream.format("emqx") on the mqtt path: executor stream
+    writers publish real MQTT 5 packets to the embedded broker."""
+    import time
+
+    from flink_emqx_connector_spark.sources.mqtt_wire import (
+        CallbackAPIVersion,
+        Client,
+        EmbeddedBroker,
+        MQTTv5,
+    )
+    from flink_emqx_connector_spark.sources.transport import SpoolPublisher
+
+    broker = EmbeddedBroker().start()
+    got = []
+    sub = Client(CallbackAPIVersion.VERSION2, client_id="sw-sub", protocol=MQTTv5)
+    sub.on_connect = lambda c, u, f, r, p=None: c.subscribe("out/#", qos=1)
+    sub.on_message = lambda c, u, m: got.append((m.topic, bytes(m.payload)))
+    sub.connect("127.0.0.1", broker.port)
+    sub.loop_start()
+    deadline = time.time() + 10
+    while time.time() < deadline and not broker.sessions.get("sw-sub"):
+        time.sleep(0.05)
+
+    spool_a = str(tmp_path / "a")
+    pub = SpoolPublisher(spool_a)
+    for i in range(4):
+        pub.publish("in/t", str(i).encode(), qos=1)
+    pub.close()
+
+    register_emqx_source(spark)
+    q = (
+        spark.readStream.format("emqx")
+        .option("transport", "spool")
+        .option("spool_dir", spool_a)
+        .option("partitions", "2")
+        .load()
+        .select(
+            F.concat(F.lit("out/"), F.col("payload").cast("string")).alias("topic"),
+            F.col("payload"),
+        )
+        .writeStream.format("emqx")
+        .option("transport", "paho")
+        .option("host", "127.0.0.1")
+        .option("port", str(broker.port))
+        .option("qos", "1")
+        .option("checkpointLocation", str(tmp_path / "ckpt_swb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    deadline = time.time() + 15
+    while time.time() < deadline and len(got) < 4:
+        time.sleep(0.1)
+    assert sorted(got) == [(f"out/{i}", str(i).encode()) for i in range(4)], got
+    sub.disconnect()
+    broker.stop()

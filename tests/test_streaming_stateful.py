@@ -276,3 +276,60 @@ def test_event_time_window_with_watermark(spark, tmp_path):
         assert {(r.word, r.c) for r in rows} == {("x", 2), ("y", 1)}
     finally:
         q.stop()
+
+
+def test_transform_with_state_processor_logic_unit():
+    """The RunningSum StatefulProcessor body, driven outside Spark with a
+    fake handle/value-state: the ONLY part transformWithStateInPandas adds
+    beyond the (fully E2E-tested) applyInPandasWithState form is this
+    processor protocol, and the protocol's wire layer needs
+    google.protobuf, which this container doesn't ship — hence the
+    explicitly env-blocked skip on the E2E variant above."""
+    import pandas as pd
+
+    from flink_emqx_connector_spark.streaming import stateful as S
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    # reach the processor class through the public factory: build the
+    # closure without executing Spark code
+    captured = {}
+
+    class Probe:
+        def groupBy(self, *cols):
+            return self
+
+        def transformWithStateInPandas(self, processor, **kw):
+            captured["p"] = processor
+            captured["kw"] = kw
+            return "df"
+
+    assert S.rolling_sum_transform_with_state(Probe()) == "df"
+    proc = captured["p"]
+    assert captured["kw"]["outputMode"] == "Update"
+
+    handle = FakeHandle()
+    proc.init(handle)
+    out1 = list(proc.handleInputRows(("a",), iter([pd.DataFrame({"n": [1, 1]})]), None))
+    out2 = list(proc.handleInputRows(("a",), iter([pd.DataFrame({"n": [1]})]), None))
+    proc.close()
+    assert out1[0].to_dict("records") == [{"word": "a", "total": 2}]
+    assert out2[0].to_dict("records") == [{"word": "a", "total": 3}]
