@@ -118,6 +118,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_dfcap(
+    docs: DataFrame,
+    threshold: float,
+    df_cap: int = 50,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over the DF-CAPPED shingle space: shingles appearing
+    in more than ``df_cap`` documents are dropped before the inverted-index
+    self-join.
+
+    The self-join produces Σ df(s)² rows; hot boilerplate shingles (page
+    headers, licenses, markup) dominate that sum while carrying no dedup
+    signal — the cap bounds every term at df_cap², which is what keeps the
+    exact inverted index viable at 100 TB (the docstring promise of
+    ``ngram_jaccard_pairs``, delivered). Set sizes are recomputed over the
+    capped space so Jaccard stays a true set similarity there.
+
+    The capped-df table consumes the exploded shingles twice (df filter +
+    per-doc sizes); both derive from one shuffle on the shingle hash and
+    AQE reuses the exchange where it can.
+    """
+    sh = _shingle_table(docs, text_col, id_col, n)
+    ex = sh.select("doc", F.explode("sh").alias("s")).select(
+        "doc", F.xxhash64("s").alias("s")
+    )
+    kept = ex.groupBy("s").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= df_cap
+    )
+    cex = ex.join(kept.select("s"), "s")
+    sizes = cex.groupBy("doc").agg(F.count("*").alias("n"))
+    a, b = cex.alias("a"), cex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 # Dense-path budget: use the broadcast-bitmap plan only while the full
 # docs×vocab bit-matrix stays comfortably broadcastable (cells = docs*vocab;
 # 1e8 cells ≈ 12.5 MB packed / 400 MB as float32 work matrix per executor).

@@ -1,0 +1,253 @@
+"""Third wave of LLM-training-pipeline operators (SURVEY.md §2.5 X21-X25).
+
+Absent from the reference by design scope (it is a connector — SURVEY §0);
+these are the remaining steps a production 100 TB corpus pipeline runs
+between ingestion and training, each Spark-first and oracle-checked:
+
+- PII redaction (regex scrub, pure built-ins — pushdown-friendly);
+- benchmark-contamination detection (shingle semi-join against an eval
+  set — the shuffle moves only shingle hashes);
+- deterministic shard assignment (md5-bucket, reproducible & auditable —
+  the write-side partitioning column for sharded exports);
+- document-frequency-capped Jaccard (drops hot shingles before the
+  inverted-index self-join — THE lever that keeps the exact path alive at
+  scale, since join size is Σ df(s)² and the cap bounds every df);
+- ORC scan surface (write+read round-trip through Spark's native ORC
+  source, proving the engine speaks more than parquet).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+def _t(spark, sf_dir, name):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+@register(
+    "pii_redact_docs",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+               AS raw
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(raw, '{_PHONE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PHONE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM seeded
+    """,
+    doc="PII redaction: email/phone regex scrub as pure column expressions "
+    "(JVM regex inside whole-stage codegen — no UDF). PII is seeded "
+    "deterministically into the corpus so the operator provably fires; "
+    "the oracle verifies redaction counts AND the redacted bytes (md5).",
+    tags=("pipeline", "pii", "text"),
+)
+def pii_redact_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-0199"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PHONE)).cast("bigint").alias("n_phones"),
+        F.md5(F.encode(redacted, "UTF-8")).alias("redacted_fp"),
+    )
+
+
+@register(
+    "contamination_check_docs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+               AS bg
+      FROM documents
+    ),
+    eval_sh AS (SELECT DISTINCT unnest(bg) AS s FROM sh WHERE doc < 20),
+    corpus AS (SELECT doc, len(bg) AS n, unnest(bg) AS s FROM sh WHERE doc >= 20),
+    hits AS (
+      SELECT c.doc, c.n, count(*) AS shared
+      FROM corpus c JOIN eval_sh e ON c.s = e.s
+      GROUP BY c.doc, c.n
+    )
+    SELECT doc AS doc_id, shared, n AS n_shingles,
+           round(CAST(shared AS DOUBLE) / n, 4) AS overlap
+    FROM hits
+    WHERE CAST(shared AS DOUBLE) / n >= 0.3
+    """,
+    doc="Benchmark-contamination detection: corpus docs whose word-bigram "
+    "sets overlap an eval set (doc_id < 20 stands in for the benchmark) "
+    "above 30%. The join moves (shingle, doc) short rows through one "
+    "shuffle; at 100 TB the eval-set side is a broadcast build (it is "
+    "bounded by the benchmark size, not the corpus).",
+    tags=("pipeline", "contamination", "dedup"),
+)
+def contamination_check_docs(spark, sf_dir):
+    from ..operators.dedup import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sh = d.repartition(par, "doc_id").select(
+        F.col("doc_id").alias("doc"), word_ngrams(F.col("text"), 2).alias("bg")
+    )
+    eval_sh = (
+        sh.filter(F.col("doc") < 20).select(F.explode("bg").alias("s")).distinct()
+    )
+    corpus = sh.filter(F.col("doc") >= 20).select(
+        "doc", F.size("bg").alias("n"), F.explode("bg").alias("s")
+    )
+    overlap = F.col("shared") / F.col("n")
+    return (
+        corpus.join(eval_sh, "s")
+        .groupBy("doc", "n")
+        .agg(F.count("*").alias("shared"))
+        .filter(overlap >= 0.3)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "shared",
+            F.col("n").alias("n_shingles"),
+            F.round(overlap, 4).alias("overlap"),
+        )
+    )
+
+
+@register(
+    "shard_assignment_docs",
+    oracle="""
+    WITH sharded AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 16
+                  AS BIGINT) AS shard
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           count(DISTINCT lang) AS n_langs
+    FROM sharded GROUP BY shard
+    """,
+    doc="Deterministic shard assignment for sharded exports: md5-bucket of "
+    "the doc id → 16 shards, reproducible across engines and runs (no "
+    "RNG). This is the write-side partitioning column: "
+    "df.write.partitionBy('shard') turns it into partition pruning for "
+    "downstream readers. The per-shard profile proves balance.",
+    tags=("pipeline", "sharding", "sampling"),
+)
+def shard_assignment_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 16
+    )
+    return (
+        d.select("doc_id", "lang", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_dfcap",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+               AS bg
+      FROM documents
+    ),
+    ex AS (SELECT doc, unnest(bg) AS s FROM sh),
+    kept AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+    cex AS (SELECT ex.doc, ex.s FROM ex JOIN kept USING (s)),
+    sizes AS (SELECT doc, count(*) AS n FROM cex GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM cex a JOIN cex b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    """,
+    doc="Document-frequency-capped exact Jaccard: shingles appearing in "
+    "more than 50 docs are dropped BEFORE the inverted-index self-join. "
+    "Join size is Σ df(s)², so the cap bounds every term at 50² — the "
+    "lever that keeps the exact path alive at 100 TB (boilerplate "
+    "shingles are what blow it up, and they carry no dedup signal). "
+    "Jaccard is computed over the capped shingle space on both sides.",
+    tags=("pipeline", "dedup", "jaccard", "dfcap"),
+)
+def dedup_ngram_jaccard_dfcap(spark, sf_dir):
+    from ..operators.dedup import ngram_jaccard_pairs_dfcap
+
+    return ngram_jaccard_pairs_dfcap(
+        _t(spark, sf_dir, "documents"), threshold=0.5, df_cap=50
+    )
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts,
+           round(sum(p_retailprice), 2) AS total_price,
+           CAST(max(p_size) AS BIGINT) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+    doc="ORC scan surface: the part table is written through Spark's "
+    "native ORC sink and read back, then aggregated — proving the "
+    "format round-trips losslessly (the oracle aggregates the original "
+    "parquet). Completes the file-format coverage note from SURVEY §2.4.",
+    tags=("scan", "orc", "formats"),
+)
+def scan_orc_roundtrip(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    out = os.path.join(
+        tempfile.gettempdir(), f"orc_roundtrip_{abs(hash(sf_dir)) % (1 << 30)}"
+    )
+    p.write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+            F.max("p_size").cast("bigint").alias("max_size"),
+        )
+    )
