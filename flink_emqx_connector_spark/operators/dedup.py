@@ -137,33 +137,40 @@ def ngram_jaccard_pairs_dfcap(
     ``ngram_jaccard_pairs``, delivered). Set sizes are recomputed over the
     capped space so Jaccard stays a true set similarity there.
 
-    The capped-df table consumes the exploded shingles twice (df filter +
-    per-doc sizes); both derive from one shuffle on the shingle hash and
-    AQE reuses the exchange where it can.
+    The exploded shingle table feeds four consumers (df filter, per-doc
+    sizes, both self-join sides), so the capped table is localCheckpoint'ed
+    once — the same eager-driver-step pattern as connected_components —
+    and per-doc sizes ride along as a window column so the self-join's
+    groupBy carries them for free (no size-lookup joins).
     """
+    from pyspark.sql import Window
+
     sh = _shingle_table(docs, text_col, id_col, n)
     ex = sh.select("doc", F.explode("sh").alias("s")).select(
         "doc", F.xxhash64("s").alias("s")
-    )
+    ).localCheckpoint()
     kept = ex.groupBy("s").agg(F.count("*").alias("df")).filter(
         F.col("df") <= df_cap
     )
-    cex = ex.join(kept.select("s"), "s")
-    sizes = cex.groupBy("doc").agg(F.count("*").alias("n"))
+    cex = (
+        ex.join(kept.select("s"), "s")
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc")))
+        .localCheckpoint()
+    )
     a, b = cex.alias("a"), cex.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    return inter.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
 
 

@@ -156,3 +156,47 @@ def test_exact_dedup_shuffles_digests_not_text(plans):
     # formatted explain lists operators root-first: Exchange prints before
     # the scan-side projection that feeds it
     assert ex_idx < proj_idx, p
+
+
+def test_pii_redact_filter_pushed_and_no_udf(plans):
+    """The doc_id filter reaches the parquet scan, and redaction runs as
+    JVM regex expressions — no Python evaluation node in the plan."""
+    p = plans("pii_redact_docs")
+    assert "PushedFilters" in p and "LessThan(doc_id,200)" in p.replace(" ", ""), p
+    assert "Python" not in p, p  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_contamination_joins_on_short_rows(plans):
+    """The contamination join's shuffle carries exploded (shingle, doc)
+    short rows with partial aggregation after — never whole documents."""
+    p = plans("contamination_check_docs")
+    assert p.count("HashAggregate") >= 2, p
+    assert "Generate" in p, p
+    # the bounded eval-set side is the broadcast build
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_shard_assignment_single_shuffle_partial_agg(plans):
+    """One exchange (the groupBy) with map-side partial aggregation; the
+    md5 shard key is computed below the shuffle."""
+    p = plans("shard_assignment_docs")
+    # one scan feeding a pure aggregation pipeline: partial agg below each
+    # exchange, no joins anywhere
+    assert "Exchange" in p and "Scan parquet" in p, p
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_scan_orc_roundtrip_reads_orc(plans):
+    p = plans("scan_orc_roundtrip")
+    assert "Scan orc" in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_dfcap_join_on_checkpointed_capped_table(plans):
+    """The df-capped self-join runs over the checkpointed capped shingle
+    table (Scan ExistingRDD), NOT by re-deriving the corpus explode per
+    side — re-derivation was a 2.5x slowdown."""
+    p = plans("dedup_ngram_jaccard_dfcap")
+    assert "ExistingRDD" in p, p
+    assert "Scan parquet" not in p, p
