@@ -42,6 +42,10 @@ from pyspark.sql.types import StructType
 from ..schema import EMQX_MESSAGE_SCHEMA
 from .transport import Message, PahoTransport, SpoolTransport
 
+#: Driver-side bridge registry (transport="bridge"): keyed off the reader,
+#: never pickled to executors.
+_BRIDGES: dict[str, object] = {}
+
 
 @dataclass
 class EMQXPartition(InputPartition):
@@ -82,13 +86,34 @@ class EMQXStreamReader(DataSourceStreamReader):
         self.max_per_batch = int(options.get("max_records_per_batch", "10000"))
         self.poll_timeout_s = float(options.get("poll_timeout_s", "0.2"))
         self.spool_dir = options.get("spool_dir", "")
-        if self.transport_kind == "spool":
+        if self.transport_kind in ("spool", "bridge"):
             if not self.spool_dir:
-                raise ValueError("spool transport requires spool_dir")
+                raise ValueError(f"{self.transport_kind} transport requires spool_dir")
             self._spool = SpoolTransport(self.spool_dir)
             # Seed batch planning at the acked frontier so a restarted
             # reader ramps from the committed position, not seq 0.
             self._planned = self._spool.frontier()
+            if self.transport_kind == "bridge":
+                # Stable-process MQTT ingestion (see sources/bridge.py for
+                # why executor-resident clients can't survive Python-worker
+                # rotation): the bridge lives on the DRIVER for the life of
+                # the query; executors only ever read the spool. Held in a
+                # module registry — reader instances are pickled to
+                # executors and threads/sockets must not travel.
+                from .bridge import MqttSpoolBridge
+
+                self._bridge_key = f"{self.spool_dir}|{self.base_clientid}"
+                if self._bridge_key not in _BRIDGES:
+                    _BRIDGES[self._bridge_key] = MqttSpoolBridge(
+                        self.host,
+                        self.port,
+                        self.topic_filter,
+                        self.group,
+                        self.base_clientid,
+                        self.spool_dir,
+                        qos=self.qos,
+                        members=int(options.get("bridge_members", "1")),
+                    )
         elif self.transport_kind == "paho":
             self._spool = None
         else:
@@ -142,12 +167,15 @@ class EMQXStreamReader(DataSourceStreamReader):
             self._committed = end["seq"]
 
     def stop(self) -> None:
-        pass
+        if self.transport_kind == "bridge":
+            bridge = _BRIDGES.pop(getattr(self, "_bridge_key", ""), None)
+            if bridge is not None:
+                bridge.stop()
 
     # ---- executor side ----------------------------------------------------
 
     def read(self, partition: EMQXPartition):
-        if self.transport_kind == "spool":
+        if self.transport_kind in ("spool", "bridge"):
             cols = SpoolTransport(self.spool_dir).read_range_columns(
                 partition.start,
                 partition.end,

@@ -336,3 +336,67 @@ def test_sink_publishes_through_embedded_client(spark, broker):
     assert _wait(lambda: len(got) == 5), got
     assert sorted(got) == [(f"out/{i}", str(i).encode()) for i in range(5)]
     sub.disconnect()
+
+
+def test_bridge_transport_exactly_once_counts(spark, broker, tmp_path):
+    """transport=bridge: the driver-side MQTT→spool bridge + spool source
+    deliver EXACTLY the published messages through Spark — no duplicate
+    storm under Python-worker rotation (the executor-resident client
+    design measured 34× duplicates on a 100k pump; connection-scoped MQTT
+    acks cannot survive worker churn — see sources/bridge.py)."""
+    from flink_emqx_connector_spark.sources import register_emqx_source
+
+    register_emqx_source(spark)
+    spool = str(tmp_path / "bridge-spool")
+    name = f"br_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("emqx")
+        .option("transport", "bridge")
+        .option("host", "127.0.0.1")
+        .option("port", str(broker.port))
+        .option("topic", "t/#")
+        .option("group", "gbr")
+        .option("clientid", f"br-{name}")
+        .option("spool_dir", spool)
+        .option("partitions", "3")
+        .option("qos", "1")
+        .load()
+        .selectExpr("CAST(payload AS STRING) AS w")
+        .groupBy("w")
+        .count()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        assert _wait(
+            lambda: any(
+                cid.startswith(f"br-{name}-bridge") and s.subs
+                for cid, s in broker.sessions.items()
+            ),
+            timeout=30,
+        ), list(broker.sessions)
+        pub = _publisher(broker.port)
+        N = 3000
+        last = None
+        for i in range(N):
+            last = pub.publish("t/1", b"m%05d" % i, qos=1)  # unique payloads
+        last.wait_for_publish()
+        # every message delivered at least once; the broker→spool hop is
+        # at-least-once (a transient bridge reconnect redelivers a few),
+        # so DISTINCT must be exact while the raw count may slightly
+        # exceed N — bounded, not a runaway (the executor-client design
+        # measured 34×)
+        def distinct():
+            r = spark.sql(f"SELECT count(*) c FROM {name}").head()
+            return r["c"] if r else 0
+
+        assert _wait(lambda: distinct() == N, timeout=60), distinct()
+        time.sleep(2.0)
+        total = spark.sql(f"SELECT sum(count) s FROM {name}").head()["s"]
+        assert N <= total <= N * 1.05, total
+        pub.disconnect()
+    finally:
+        q.stop()
