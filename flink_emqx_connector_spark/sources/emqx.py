@@ -26,6 +26,19 @@ Usage::
     df = (spark.readStream.format("emqx")
           .option("transport", "spool").option("spool_dir", "/tmp/spool")
           .option("partitions", "3").load())
+
+Transports:
+
+- ``spool`` — segment-log directory (replayable; exactly-once via the
+  offset WAL). The testable broker stand-in AND the handoff tier below.
+- ``bridge`` — **the production MQTT path**: driver-side shared-
+  subscription clients drain the broker into a spool (ack after durable
+  append), executors read the spool. See ``sources/bridge.py`` for why
+  executor-resident MQTT clients cannot survive Python-worker rotation.
+- ``paho`` — executor-resident MQTT clients (reference-shaped, ST1-ST7
+  protocol parity). Correct while each partition's tasks stay on one
+  worker process; under worker rotation delivery degrades to duplicate
+  storms (measured 34×) — prefer ``bridge`` for real workloads.
 """
 
 from __future__ import annotations

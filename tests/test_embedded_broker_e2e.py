@@ -400,3 +400,81 @@ def test_bridge_transport_exactly_once_counts(spark, broker, tmp_path):
         pub.disconnect()
     finally:
         q.stop()
+
+
+def test_bridge_restart_from_checkpoint(spark, broker, tmp_path):
+    """stopWithSavepoint at the full-engine level on the MQTT path: stop
+    the streaming query, publish more while it is down (messages land in
+    the broker session / spool), restart from the same checkpoint — the
+    backlog and new messages arrive, nothing committed is re-emitted."""
+    from flink_emqx_connector_spark.sources import register_emqx_source
+
+    register_emqx_source(spark)
+    spool = str(tmp_path / "bridge-spool")
+    name = f"br2_{uuid.uuid4().hex[:8]}"
+
+    def start(qname):
+        return (
+            spark.readStream.format("emqx")
+            .option("transport", "bridge")
+            .option("host", "127.0.0.1")
+            .option("port", str(broker.port))
+            .option("topic", "t/#")
+            .option("group", "gbr2")
+            .option("clientid", f"br2-{name}")
+            .option("spool_dir", spool)
+            .option("partitions", "2")
+            .option("qos", "1")
+            .load()
+            .selectExpr("CAST(payload AS STRING) AS w")
+            .groupBy("w")
+            .count()
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")  # memory sink recovers only in complete
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    q = start(name)
+    pub = None
+    try:
+        assert _wait(
+            lambda: any(
+                cid.startswith(f"br2-{name}-bridge") and s.subs
+                for cid, s in broker.sessions.items()
+            ),
+            timeout=30,
+        )
+        pub = _publisher(broker.port)
+        for i in range(5):
+            pub.publish("t/1", b"a%d" % i, qos=1).wait_for_publish()
+        assert _wait(
+            lambda: spark.sql(f"SELECT count(*) c FROM {name}").head()["c"] == 5,
+            timeout=60,
+        )
+    finally:
+        q.stop()
+
+    # down: 3 more messages queue in the (persistent) broker session
+    for i in range(3):
+        pub.publish("t/1", b"b%d" % i, qos=1).wait_for_publish()
+
+    name2 = f"{name}_r"
+    q2 = start(name2)
+    try:
+        # restored aggregation state keeps a0..a4 at 1 each (NOT re-counted
+        # to 2 — the committed backlog is not re-consumed), and the three
+        # down-time messages arrive exactly once
+        want = {f"a{i}": 1 for i in range(5)} | {f"b{i}": 1 for i in range(3)}
+        assert _wait(
+            lambda: {
+                r.w: r["count"]
+                for r in spark.sql(f"SELECT * FROM {name2}").collect()
+            }
+            == want,
+            timeout=60,
+        ), spark.sql(f"SELECT * FROM {name2}").collect()
+    finally:
+        q2.stop()
+        pub.disconnect()
