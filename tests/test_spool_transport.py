@@ -153,3 +153,44 @@ def test_partition_claim_stable_across_roll(tmp_path):
         p: [m.seq for m in t.read_range(0, end, p, n_parts)] for p in range(n_parts)
     }
     assert before == after
+
+
+def test_claims_property_random_schedules():
+    """Property: for ANY publisher schedule (message count, segment size,
+    roll points, multiple publishers) and ANY partition count, the
+    partition claims are a disjoint complete cover of every batch window."""
+    import tempfile
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seg_size=st.integers(min_value=1, max_value=7),
+        counts=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=4),
+        n_parts=st.integers(min_value=1, max_value=9),
+        close_last=st.booleans(),
+        window=st.tuples(
+            st.integers(min_value=0, max_value=10),
+            st.integers(min_value=0, max_value=60),
+        ),
+    )
+    def check(seg_size, counts, n_parts, close_last, window):
+        with tempfile.TemporaryDirectory() as d:
+            spool = str(d) + "/s"
+            total = 0
+            for pi, cnt in enumerate(counts):
+                pub = SpoolPublisher(spool, segment_size=seg_size)
+                for _ in range(cnt):
+                    pub.publish("t/1", str(total).encode())
+                    total += 1
+                if close_last or pi < len(counts) - 1:
+                    pub.close()
+            t = SpoolTransport(spool)
+            lo, span = window
+            hi = min(lo + span, t.latest_seq())
+            seen = []
+            for p in range(n_parts):
+                seen += [m.seq for m in t.read_range(lo, hi, p, n_parts)]
+            assert sorted(seen) == list(range(min(lo, hi), hi))
+
+    check()

@@ -333,3 +333,66 @@ def test_transform_with_state_processor_logic_unit():
     proc.close()
     assert out1[0].to_dict("records") == [{"word": "a", "total": 2}]
     assert out2[0].to_dict("records") == [{"word": "a", "total": 3}]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Event-time session windows in STREAMING mode (session_window +
+    watermark): events within the gap merge into one session per user;
+    a gap larger than 10s splits sessions. The batch `sessionization`
+    query is this operator's batch analogue (plans/core.py)."""
+    import json
+
+    spool = str(tmp_path / "spool")
+    pub = SpoolPublisher(spool)
+    # user 1: two bursts separated by > gap → two sessions (3 + 2 events);
+    # user 2: one burst → one session (2 events)
+    base = 1_700_000_000
+    events = [
+        (1, base + 0), (1, base + 3), (1, base + 6),
+        (1, base + 100), (1, base + 104),
+        (2, base + 50), (2, base + 52),
+    ]
+    for uid, ts in events:
+        pub.publish("t/1", json.dumps({"uid": uid, "ts": ts}).encode())
+    # watermark advancer: a late-enough event closes all sessions above
+    pub.publish("t/1", json.dumps({"uid": 9, "ts": base + 10_000}).encode())
+    pub.close()
+
+    parsed = (
+        _source(spark, spool)
+        .select(
+            F.from_json(
+                F.decode("payload", "UTF-8"), "uid INT, ts LONG"
+            ).alias("j")
+        )
+        .select(
+            F.col("j.uid").alias("uid"),
+            F.to_timestamp(F.from_unixtime("j.ts")).alias("ts"),
+        )
+        .withWatermark("ts", "5 seconds")
+        .groupBy("uid", F.session_window("ts", "10 seconds").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("uid", F.col("w.start").alias("start"), "n")
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        parsed.writeStream.outputMode("append")  # closed sessions only
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait(
+            lambda: spark.sql(f"SELECT count(*) c FROM {name}").head()["c"] >= 3,
+            timeout=60,
+        ), spark.sql(f"SELECT * FROM {name}").collect()
+        got = {
+            (r.uid, r.n)
+            for r in spark.sql(f"SELECT uid, n FROM {name}").collect()
+            if r.uid != 9
+        }
+        assert got == {(1, 3), (1, 2), (2, 2)}, got
+    finally:
+        q.stop()
