@@ -1,0 +1,363 @@
+"""Fourth wave of LLM-training-pipeline operators (SURVEY.md §2.5 X27-X32).
+
+The steps between a cleaned corpus and an accelerator batch: packing
+documents into fixed token budgets, chunking long documents into
+overlapping context windows, rebalancing the language/domain mix,
+producing a deterministic global training order, and intra-document
+repetition filtering (Gopher/C4-style quality signal). Absent from the
+reference by design scope (it is a connector — SURVEY §0); each is
+Spark-first, deterministic (no RNG — md5 everywhere), and oracle-checked.
+
+Scale posture, per operator:
+- packing: the greedy fold is sequential per shard, so shards are the
+  parallelism unit (size to the cluster); the contiguous variant is a pure
+  window-function plan for when one-doc overshoot is acceptable.
+- chunking: explode of a small int sequence + JVM ``slice`` — no Python,
+  no HOF lambda (NOTES.md lesson 1), output is ~n_tokens/stride rows/doc.
+- mix balancing: one narrow shuffle for the rank window + a broadcast
+  1-row min; never materializes per-group collections.
+- global shuffle: rank over md5 keys ~ ``repartitionByRange(key)`` +
+  ``sortWithinPartitions`` on the write path; the query form fingerprints
+  the order so the oracle can verify it.
+- repetition filter: pure column expressions over the existing shingle
+  helper; single scan, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import register
+
+_PACK_BUDGET = 512
+_SHARDS = 8
+_CHUNK = 32
+_STRIDE = 24
+
+_DUCK_SHARD = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 "
+    "AS BIGINT)"
+)
+
+
+def _t(spark, sf_dir, name):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "sequence_pack_docs",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id AS doc,
+             coalesce(len(string_split(text, ' ')), 0) AS t,
+             {_DUCK_SHARD} AS shard
+      FROM documents
+    ), seq AS (
+      SELECT shard, doc, t,
+             row_number() OVER (PARTITION BY shard ORDER BY doc) AS rk
+      FROM toks
+    ), walk AS (
+      SELECT shard, rk, doc, t, t AS acc, CAST(0 AS BIGINT) AS pack
+      FROM seq WHERE rk = 1
+      UNION ALL
+      SELECT n.shard, n.rk, n.doc, n.t,
+             CASE WHEN w.acc + n.t > {_PACK_BUDGET} THEN n.t
+                  ELSE w.acc + n.t END,
+             CASE WHEN w.acc + n.t > {_PACK_BUDGET} THEN w.pack + 1
+                  ELSE w.pack END
+      FROM walk w JOIN seq n ON n.shard = w.shard AND n.rk = w.rk + 1
+    )
+    SELECT shard, pack, count(*) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS pack_tokens,
+           min(doc) AS min_doc, max(doc) AS max_doc
+    FROM walk GROUP BY shard, pack
+    """,
+    doc="Greedy sequence packing into 512-token training buffers: docs are "
+    "md5-sharded, ordered by id within shard, and a running accumulator "
+    "starts a new pack when the next doc would overflow the budget. The "
+    "fold is sequential per shard (packing is a left-fold), so shards are "
+    "the parallelism unit — sized to the cluster at 100 TB, each an "
+    "applyInPandas task that never sees the whole corpus. The oracle "
+    "replays the same fold as a recursive CTE.",
+    tags=("pipeline", "packing", "training"),
+)
+def sequence_pack_docs(spark, sf_dir):
+    from ..operators.packing import pack_sequences_greedy
+
+    return pack_sequences_greedy(
+        _t(spark, sf_dir, "documents"), budget=_PACK_BUDGET, shards=_SHARDS
+    )
+
+
+@register(
+    "sequence_pack_contiguous",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             coalesce(len(string_split(text, ' ')), 0) AS t,
+             {_DUCK_SHARD} AS shard
+      FROM documents
+    ), c AS (
+      SELECT shard, doc, t,
+             coalesce(sum(t) OVER (PARTITION BY shard ORDER BY doc
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_excl
+      FROM toks
+    )
+    SELECT shard, CAST(cum_excl // {_PACK_BUDGET} AS BIGINT) AS pack,
+           count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS pack_tokens,
+           min(doc) AS min_doc, max(doc) AS max_doc
+    FROM c GROUP BY 1, 2
+    """,
+    doc="Contiguous (window-function) sequence packing: pack id = "
+    "floor(exclusive running token sum / budget) over the same "
+    "shard+order as the greedy packer. Packs may overshoot by at most "
+    "one document; in exchange the whole plan is one window over one "
+    "shuffle — no Python anywhere — which is the cheaper shape when mild "
+    "overshoot is acceptable (labels are masked at pack boundaries "
+    "anyway in most training setups).",
+    tags=("pipeline", "packing", "training"),
+)
+def sequence_pack_contiguous(spark, sf_dir):
+    from ..operators.packing import shard_of
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"),
+        F.coalesce(F.size(F.split("text", " ")), F.lit(0)).alias("t"),
+        shard_of(F.col("doc_id"), _SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("t").over(w), F.lit(0))
+    return (
+        d.withColumn("pack", F.floor(cum_excl / F.lit(_PACK_BUDGET)))
+        .groupBy("shard", "pack")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").cast("bigint").alias("pack_tokens"),
+            F.min("doc").alias("min_doc"),
+            F.max("doc").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "chunk_docs_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), s AS (
+      SELECT doc_id, w, unnest(range(1, len(w) + 1, {_STRIDE})) AS start
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(w, start, least(start + {_CHUNK} - 1, len(w))))
+                AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(
+               list_slice(w, start, least(start + {_CHUNK} - 1, len(w))), ' '))
+             AS chunk_fp
+    FROM s
+    """,
+    doc="Overlapping context-window chunking (32-token windows, stride 24): "
+    "chunk starts come from an exploded int sequence and each chunk is a "
+    "JVM ``slice`` of the split-once word array — built-ins only, no HOF "
+    "lambda with indexed access (NOTES.md lesson 1). Output is "
+    "~n_tokens/stride rows per doc with a content fingerprint per chunk; "
+    "at 100 TB this is a single scan + explode with no shuffle at all.",
+    tags=("pipeline", "chunking", "training"),
+)
+def chunk_docs_overlap(spark, sf_dir):
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    ex = d.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(_STRIDE))).alias("start"),
+    )
+    chunk = F.slice(F.col("w"), F.col("start"), F.lit(_CHUNK))
+    return ex.select(
+        "doc_id",
+        ((F.col("start") - 1) / F.lit(_STRIDE)).cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        F.md5(F.encode(F.concat_ws(" ", chunk), "UTF-8")).alias("chunk_fp"),
+    )
+
+
+@register(
+    "balance_lang_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL
+    ), c AS (
+      SELECT lang, count(*) AS n FROM d GROUP BY lang
+    ), k AS (
+      SELECT min(n) AS k FROM c
+    ), r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM d
+    )
+    SELECT lang, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM r CROSS JOIN k WHERE rk <= k GROUP BY lang
+    """,
+    doc="Language-mix rebalancing: every language downsampled to the "
+    "smallest language's count, selection by rank over a seeded md5 of "
+    "the doc id — deterministic, reproducible, and auditable (no RNG, "
+    "unlike df.sample). One narrow shuffle for the rank window; the "
+    "per-group quota is a broadcast 1-row aggregate, so nothing here "
+    "grows with corpus size except the rank shuffle itself. The same "
+    "shape handles arbitrary target mixes (weights per group) by scaling "
+    "the quota expression.",
+    tags=("pipeline", "sampling", "training"),
+)
+def balance_lang_sample(spark, sf_dir):
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull())
+        .select("doc_id", "lang")
+    )
+    kmin = d.groupBy("lang").agg(F.count("*").alias("n")).agg(
+        F.min("n").alias("k")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    return (
+        d.withColumn("rk", rk)
+        .crossJoin(F.broadcast(kmin))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "global_shuffle_docs",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, key,
+             CAST(('0x' || substr(key, 1, 4))::UBIGINT % 8 AS BIGINT) AS shard
+      FROM keyed
+    ), pos AS (
+      SELECT shard, doc_id,
+             row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS p
+      FROM sharded
+    )
+    SELECT shard, count(*) AS n_docs,
+           max(CASE WHEN p = 1 THEN doc_id END) AS doc_p1,
+           max(CASE WHEN p = 2 THEN doc_id END) AS doc_p2,
+           max(CASE WHEN p = 3 THEN doc_id END) AS doc_p3,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc
+    FROM pos GROUP BY shard
+    """,
+    doc="Deterministic global training-order shuffle: order = seeded md5 of "
+    "the doc id, sharded by key prefix. At 100 TB the write path is "
+    "``repartitionByRange(key)`` + ``sortWithinPartitions(key)`` (a "
+    "range-partitioned sort, no single-point sort); the query form "
+    "fingerprints the resulting order (head-of-shard docs + per-shard "
+    "counts) so the oracle can verify the exact permutation.",
+    tags=("pipeline", "shuffle", "training"),
+)
+def global_shuffle_docs(spark, sf_dir):
+    key = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id"), key.alias("key"))
+    shard = F.conv(F.substring("key", 1, 4), 16, 10).cast("bigint") % 8
+    p = F.row_number().over(
+        Window.partitionBy("shard").orderBy("key", "doc_id")
+    )
+    return (
+        d.withColumn("shard", shard)
+        .withColumn("p", p)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(F.when(F.col("p") == 1, F.col("doc_id"))).alias("doc_p1"),
+            F.max(F.when(F.col("p") == 2, F.col("doc_id"))).alias("doc_p2"),
+            F.max(F.when(F.col("p") == 3, F.col("doc_id"))).alias("doc_p3"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc"),
+        )
+    )
+
+
+@register(
+    "repetition_filter_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             list_distinct(list_transform(
+                 range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' '
+                      || string_split(text, ' ')[i+1])) AS bg
+      FROM documents WHERE text IS NOT NULL
+    ), m AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CASE WHEN len(w) > 1
+                  THEN round(1 - CAST(len(bg) AS DOUBLE) / (len(w) - 1), 4)
+                  ELSE 0.0 END AS dup_bigram_ratio,
+             CASE WHEN len(w) > 0
+                  THEN round(1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4)
+                  ELSE 0.0 END AS dup_word_ratio
+      FROM t
+    )
+    SELECT doc_id, n_words, dup_bigram_ratio, dup_word_ratio,
+           dup_bigram_ratio <= 0.2 AS keep
+    FROM m
+    """,
+    doc="Intra-document repetition filter (Gopher/C4-style quality signal): "
+    "duplicate-bigram and duplicate-word fractions per document, with a "
+    "keep flag at the 20% duplicate-bigram threshold. Pure column "
+    "expressions over the shared shingle helper (zip_with over shifted "
+    "slices — no HOF indexed access); single scan, no shuffle, and the "
+    "filter composes with the cross-document dedup family (this catches "
+    "boilerplate/spam WITHIN a doc that near-dup pair mining cannot).",
+    tags=("pipeline", "quality", "text"),
+)
+def repetition_filter_docs(spark, sf_dir):
+    from ..operators.dedup import word_ngrams
+
+    w = F.split("text", " ")
+    n = F.size(w)
+    dup_bg = F.when(
+        n > 1,
+        F.round(1 - F.size(word_ngrams(F.col("text"), 2)) / (n - 1), 4),
+    ).otherwise(F.lit(0.0))
+    dup_w = F.when(
+        n > 0, F.round(1 - F.size(F.array_distinct(w)) / n, 4)
+    ).otherwise(F.lit(0.0))
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_words"),
+            dup_bg.alias("dup_bigram_ratio"),
+            dup_w.alias("dup_word_ratio"),
+        )
+        .withColumn("keep", F.col("dup_bigram_ratio") <= 0.2)
+    )
