@@ -732,19 +732,61 @@ def simhash_fingerprints(
     return docs.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash"))
 
 
+#: Edge-count budget below which components are solved by a driver-side
+#: union-find instead of the distributed loop. 1 M edges ≈ 16 MB of ids —
+#: the same bounded-driver-work posture as ``_DENSE_MAX_CELLS``: a near-dup
+#: graph this small costs more in per-round Spark job overhead (3 jobs ×
+#: O(log d) rounds) than one collect + linear union-find. Above the budget
+#: the distributed pointer-jumping loop is the only shape that scales.
+_SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _union_find_labels(a_ids, b_ids) -> dict[int, int]:
+    """Union-find with path halving; returns node → min-node-id-in-component
+    (the same fixpoint the distributed loop converges to)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(a_ids, b_ids):
+        a, b = int(a), int(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the root the component minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+        parent.setdefault(a, ra)
+        parent.setdefault(b, ra)
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
     stats: dict | None = None,
+    small_graph_edges: int = _SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Dedup *clustering*: connected components over a near-dup pair list.
 
     This is the step that turns pairwise dedup output into keep-groups
     (keep min doc per component). It is inherently iterative — no single
     SQL query expresses it at scale — so it runs as a driver-side loop of
-    DataFrame joins (the Pregel pattern). Three scale decisions:
+    DataFrame joins (the Pregel pattern). Cost-based path choice first
+    (mirroring the dense-vs-inverted Jaccard selector): the checkpointed
+    edge list's count routes graphs under ``small_graph_edges`` to a
+    driver union-find — one collect of 16-byte id pairs, O(E α(E)), zero
+    shuffle rounds — because below ~1 M edges the distributed loop's cost
+    is pure per-round job overhead, not data. Larger graphs take the
+    distributed loop, whose scale decisions are:
 
     - **edges are localCheckpoint'ed once, eagerly**: the pair list is the
       output of a whole near-dup pipeline (Jaccard / cosine); without the
@@ -773,6 +815,26 @@ def connected_components(
         .distinct()
         .localCheckpoint()  # edge generation (the expensive part) runs ONCE
     )
+    n_edges = edges.count()  # cheap: counts the materialized checkpoint
+    if n_edges <= small_graph_edges:
+        # a <= b keeps one direction per undirected edge AND self-loop
+        # nodes (a == b), so every node is seeded into the union-find
+        pdf = edges.filter(F.col("a") <= F.col("b")).toPandas()
+        comp = _union_find_labels(pdf["a"].to_numpy(), pdf["b"].to_numpy())
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["path"] = "driver-union-find"
+        out = pd.DataFrame(
+            {
+                "doc": pd.Series(list(comp.keys()), dtype="int64"),
+                "comp": pd.Series(list(comp.values()), dtype="int64"),
+            }
+        )
+        return pairs.sparkSession.createDataFrame(
+            out, schema="doc bigint, comp bigint"
+        )
+    if stats is not None:
+        stats["path"] = "distributed"
     labels = (
         edges.select("a")
         .distinct()

@@ -187,17 +187,51 @@ def test_exact_dedup_counts(spark):
 def test_connected_components_chain_logarithmic_rounds(spark):
     """Pointer jumping must converge a high-diameter graph in O(log d)
     rounds, not O(d): a 100-node chain needs ≤8 rounds (plain min-label
-    propagation would need 99)."""
+    propagation would need 99). small_graph_edges=0 forces the
+    distributed path past the driver union-find fast path."""
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(100)], ["doc_a", "doc_b"]
     )
     stats: dict = {}
     comp = {
         r.doc: r.comp
-        for r in D.connected_components(chain, max_iter=12, stats=stats).collect()
+        for r in D.connected_components(
+            chain, max_iter=12, stats=stats, small_graph_edges=0
+        ).collect()
     }
     assert comp == {i: 0 for i in range(101)}
+    assert stats["path"] == "distributed"
     assert stats["rounds"] <= 8, stats
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver union-find fast path and the distributed pointer-jumping
+    loop must produce identical labels on the same graphs (chain + triangle
+    + pair + self-loop + random blocks)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21), (30, 30)]
+    for base in range(100, 400, 50):  # random 10-node blocks, some bridged
+        nodes = [base + i for i in range(10)]
+        edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(12)]
+    edges.append((105, 205))  # bridge two blocks
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    s_fast: dict = {}
+    s_dist: dict = {}
+    fast = {
+        (r.doc, r.comp)
+        for r in D.connected_components(pairs, stats=s_fast).collect()
+    }
+    dist = {
+        (r.doc, r.comp)
+        for r in D.connected_components(
+            pairs, stats=s_dist, small_graph_edges=0
+        ).collect()
+    }
+    assert s_fast["path"] == "driver-union-find"
+    assert s_dist["path"] == "distributed"
+    assert fast == dist
 
 
 def test_jaccard_auto_selector_three_regimes(spark, sf_dir, monkeypatch):
