@@ -1,0 +1,268 @@
+"""Fifth wave of LLM-training-pipeline operators (SURVEY.md §2.5 X33-X35):
+classic IR / feature-extraction steps over the documents corpus — TF-IDF
+term weighting, bigram language-model statistics, and tokenizer-design
+vocabulary coverage — plus the generalized PII-redaction transform behind
+X21. Absent from the reference by design scope (it is a connector —
+SURVEY §0). All deterministic, all DuckDB oracle-checked, all built-in
+expressions (zero Python in any hot path).
+
+Scale posture, per operator:
+- TF-IDF: two shuffles (tf by (doc,term), df by term) + one broadcast
+  1-row corpus count; the df side joins back on term — the classic
+  map-side-combinable shape. Top-k per doc is a window over the tf
+  shuffle's own partitioning.
+- bigram LM: one shuffle on (w1,w2) with map-side partial aggregation;
+  the conditional-probability denominator is a window over w1 — Catalyst
+  plans both over a single exchange of the (w1,w2) aggregate.
+- vocab coverage: the ordered cumulative window runs single-partition BY
+  DESIGN over the term *aggregate* (vocab-bounded — Heaps' law, millions
+  of rows at 100 TB, not corpus-sized), never over raw tokens.
+- PII transform: pure regexp_replace/extract_all column expressions —
+  single scan, no shuffle, codegen'd; pinned against DuckDB on synthetic
+  rows with real-shaped emails/IPs/phones (tests/test_text_features.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+def _docs(spark, sf_dir):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+_TOPK_TFIDF = 3
+_TOPK_LM = 2
+_TOP_VOCAB = 20
+
+# Java-regex / RE2-portable core patterns (no lookarounds, no \p classes).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{7,15}\b"
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ), toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n_docs FROM d
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * ln((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tf, score,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           round(score, 4) AS tfidf, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_TOPK_TFIDF}
+    """,
+    doc="TF-IDF top-3 terms per document — the classic feature-extraction / "
+    "keyword-weighting step. tf is one (doc,term) shuffle with map-side "
+    "combine, df one term shuffle over the (already aggregated) tf frame, "
+    "the corpus count a broadcast 1-row cross join; smooth idf = "
+    "ln((N+1)/(df+1)). The per-doc top-k window reuses tf's hash "
+    "partitioning on doc_id — no extra exchange.",
+    tags=("text", "tfidf", "features", "pipeline"),
+)
+def tfidf_top_terms(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.log(
+        (F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    )
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= _TOPK_TFIDF)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round("score", 4).alias("tfidf"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+@register(
+    "bigram_lm_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+      WHERE text IS NOT NULL
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM w
+    ), pairs AS (
+      SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+             count(*) AS cnt
+      FROM bg GROUP BY 1, 2
+    ), tot AS (
+      SELECT w1, w2, cnt,
+             sum(cnt) OVER (PARTITION BY w1) AS tot,
+             row_number() OVER (PARTITION BY w1
+                 ORDER BY cnt DESC, w2) AS rk
+      FROM pairs
+    )
+    SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+           round(CAST(cnt AS DOUBLE) / tot, 4) AS p,
+           CAST(rk AS BIGINT) AS rk
+    FROM tot WHERE rk <= {_TOPK_LM} AND tot >= 100
+    """,
+    doc="Bigram language-model statistics: top-2 next tokens per context "
+    "word with conditional probability P(w2|w1) — the n-gram LM building "
+    "block (quality scoring, domain detection, perplexity proxies). "
+    "Bigrams come from zip_with over shifted slices (the word_ngrams "
+    "shape, NON-distinct — counts matter here); one (w1,w2) shuffle with "
+    "map-side combine, then denominator + rank as two windows over the "
+    "same w1 partitioning. Output is vocab-bounded, never corpus-bounded.",
+    tags=("text", "lm", "ngram", "pipeline"),
+)
+def bigram_lm_topk(spark, sf_dir):
+    w = F.split("text", " ")
+    length = F.greatest(F.size(w) - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(w, 1, length),
+        F.slice(w, 2, length),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    pairs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(bg).alias("bg"))
+        .select(
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wp = Window.partitionBy("w1")
+    return (
+        pairs.withColumn("tot", F.sum("cnt").over(wp))
+        .withColumn(
+            "rk",
+            F.row_number().over(wp.orderBy(F.col("cnt").desc(), "w2")),
+        )
+        .filter((F.col("rk") <= _TOPK_LM) & (F.col("tot") >= 100))
+        .select(
+            "w1",
+            "w2",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt").cast("double") / F.col("tot"), 4).alias("p"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+@register(
+    "token_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      WHERE text IS NOT NULL
+    ), counts AS (
+      SELECT term, count(*) AS cnt FROM toks GROUP BY 1
+    ), ranked AS (
+      SELECT term, cnt,
+             row_number() OVER (ORDER BY cnt DESC, term) AS rk,
+             sum(cnt) OVER (ORDER BY cnt DESC, term
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS total
+      FROM counts
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, term, CAST(cnt AS BIGINT) AS cnt,
+           round(CAST(cum AS DOUBLE) / total, 4) AS cum_frac
+    FROM ranked WHERE rk <= {_TOP_VOCAB}
+    """,
+    doc="Vocabulary coverage curve: frequency-ranked terms with cumulative "
+    "token-mass fraction — the tokenizer-design analysis (how much of the "
+    "corpus the top-k vocab entries cover). The ordered cumulative window "
+    "is single-partition BY DESIGN but runs over the term aggregate "
+    "(vocab-bounded by Heaps' law), never over raw tokens; the token scan "
+    "itself is one map-side-combined shuffle.",
+    tags=("text", "vocab", "profiling", "pipeline"),
+)
+def token_vocab_coverage(spark, sf_dir):
+    counts = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ordered = Window.orderBy(F.col("cnt").desc(), "term")
+    return (
+        counts.withColumn("rk", F.row_number().over(ordered))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+        .filter(F.col("rk") <= _TOP_VOCAB)
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            "term",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cum").cast("double") / F.col("total"), 4).alias(
+                "cum_frac"
+            ),
+        )
+    )
+
+
+def pii_redact(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Reusable PII-redaction transform: emails / IPv4 / international
+    phone numbers → typed placeholders, with per-doc match counts and a
+    fingerprint of the redacted text. Pure regexp column expressions —
+    single scan, no shuffle, codegen'd. The *registry* PII query is
+    ``pii_redact_docs`` in ``pipeline_extra.py`` (X21 — seeds PII so the
+    operator provably fires at every sf); this transform generalizes it
+    to the IPv4/intl-phone classes and is pinned against DuckDB on
+    synthetic PII rows in ``tests/test_text_features.py``."""
+    text = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    def n_matches(pat):
+        return F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("bigint")
+
+    return docs.select(
+        F.col(id_col),
+        n_matches(_PII_EMAIL).alias("n_emails"),
+        n_matches(_PII_IPV4).alias("n_ipv4"),
+        n_matches(_PII_PHONE).alias("n_phones"),
+        F.md5(F.encode(clean, "UTF-8")).alias("clean_fp"),
+    )
