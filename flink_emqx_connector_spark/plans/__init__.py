@@ -18,6 +18,7 @@ from . import relational_fns  # noqa: E402,F401
 from . import pipeline_extra  # noqa: E402,F401
 from . import training_extra  # noqa: E402,F401
 from . import text_features  # noqa: E402,F401
+from . import curation_extra  # noqa: E402,F401
 
 __all__ = [
     "QUERIES",

@@ -1,0 +1,232 @@
+"""Sixth wave of LLM-training-pipeline operators (SURVEY.md §2.5 X36-X37):
+corpus curation at the dataset boundary — leakage-safe train/val/test
+splitting and incremental (new-batch-vs-corpus) deduplication. Absent from
+the reference by design scope (it is a connector — SURVEY §0).
+
+Scale posture:
+- leakage-safe split: the split key is the near-dup *component* id, not
+  the doc id, so near-duplicates can never straddle train/test (the
+  classic eval-contamination bug in naive per-doc splits). Costs exactly
+  the dedup-clusters pipeline (blocked pair-gen + CC) plus one broadcast
+  join of the label frame; the split function itself is a pure md5
+  column expression.
+- incremental dedup: the standing corpus is the *index* side (exact
+  digests + shingle postings — incrementally maintainable at 100 TB);
+  the new batch is the probe side and is bounded by ingest rate, so its
+  shingle postings broadcast and the only shuffle is over the batch's
+  own candidate pairs. This is the shape a continuously-ingested corpus
+  runs on every arrival, where re-running whole-corpus self-dedup would
+  be quadratic in history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from ..operators import dedup as D
+
+
+def _docs(spark, sf_dir):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+# Shared recursive-CTE transitive closure over exact bigram-Jaccard >= 0.5
+# pairs — the same closure dedup_clusters/dedup_keep_list verify against.
+_CLOSURE = """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+               AS bg
+      FROM documents
+    ),
+    sizes AS (SELECT doc, len(bg) AS n FROM sh),
+    ex AS (SELECT doc, unnest(bg) AS s FROM sh),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comps AS (
+      SELECT src AS doc, least(src, min(dst)) AS comp
+      FROM reach GROUP BY src
+    )
+"""
+
+
+@register(
+    "split_by_cluster",
+    oracle=_CLOSURE
+    + """
+    , grouped AS (
+      SELECT d.doc_id, CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS grp
+      FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc
+    ), assigned AS (
+      SELECT doc_id, grp,
+             CASE CAST(('0x' || substr(md5('split:' || CAST(grp AS VARCHAR)), 1, 8))
+                       ::UBIGINT % 10 AS BIGINT)
+                  WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END AS split
+      FROM grouped
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc
+    FROM assigned GROUP BY split
+    """,
+    doc="Leakage-safe train/val/test split (80/10/10): the split key is the "
+    "near-dup COMPONENT id (connected components over exact bigram-Jaccard "
+    ">= 0.5 pairs), not the doc id — near-duplicates can never straddle "
+    "train and test, closing the eval-contamination hole in naive per-doc "
+    "splits. Assignment is a pure seeded-md5 expression over the group id; "
+    "no-pair singletons keep their own id as group. The oracle replays the "
+    "closure as a recursive CTE and the same md5 bucketing.",
+    tags=("pipeline", "split", "dedup", "training"),
+)
+def split_by_cluster(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs_auto(docs, threshold=0.5, n=2)
+    comps = D.connected_components(pairs)
+    grp = F.coalesce("comp", F.col("doc_id")).cast("bigint")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("grp").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    split = (
+        F.when(bucket == 8, "val").when(bucket == 9, "test").otherwise("train")
+    )
+    return (
+        docs.select("doc_id")
+        .join(comps, docs.doc_id == comps.doc, "left")
+        .select("doc_id", grp.alias("grp"))
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("grp").cast("bigint").alias("n_groups"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, doc_id % 10 >= 8 AS is_new FROM documents
+    ),
+    old_dig AS (
+      SELECT DISTINCT md5(text) AS dig FROM base
+      WHERE NOT is_new AND text IS NOT NULL
+    ),
+    sh AS (
+      SELECT doc_id AS doc, is_new,
+             list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+               AS bg
+      FROM base WHERE text IS NOT NULL
+    ),
+    sizes AS (SELECT doc, len(bg) AS n FROM sh),
+    ex AS (SELECT doc, is_new, unnest(bg) AS s FROM sh),
+    inter AS (
+      SELECT n.doc AS nd, o.doc AS od, count(*) AS i
+      FROM ex n JOIN ex o ON n.s = o.s AND n.is_new AND NOT o.is_new
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT nd, count(*) AS n_near
+      FROM inter
+      JOIN sizes sa ON sa.doc = nd
+      JOIN sizes sb ON sb.doc = od
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+      GROUP BY 1
+    )
+    SELECT b.doc_id,
+           coalesce(md5(b.text) IN (SELECT dig FROM old_dig), FALSE)
+             AS dup_exact,
+           CAST(coalesce(nr.n_near, 0) AS BIGINT) AS n_near,
+           (NOT coalesce(md5(b.text) IN (SELECT dig FROM old_dig), FALSE)
+            AND coalesce(nr.n_near, 0) = 0) AS keep
+    FROM base b LEFT JOIN near nr ON b.doc_id = nr.nd
+    WHERE b.is_new
+    """,
+    doc="Incremental dedup — new batch vs standing corpus (docs with "
+    "doc_id%10>=8 stand in for the arriving 20%): exact duplicates via "
+    "digest semi-join against the corpus digest set, near-duplicates via "
+    "an asymmetric old-x-new shingle inverted-index join at Jaccard >= "
+    "0.5. The corpus side is the INDEX (digests + postings, incrementally "
+    "maintainable); the batch side is bounded by ingest rate and "
+    "broadcasts — re-running whole-corpus self-dedup per arrival would be "
+    "quadratic in history. This is the continuous-ingestion twin of "
+    "dedup_keep_list.",
+    tags=("pipeline", "dedup", "incremental"),
+)
+def dedup_incremental(spark, sf_dir):
+    base = _docs(spark, sf_dir).select(
+        "doc_id", "text", ((F.col("doc_id") % 10) >= 8).alias("is_new")
+    )
+    old = base.filter(~F.col("is_new"))
+    new = base.filter(F.col("is_new"))
+
+    old_dig = (
+        old.filter(F.col("text").isNotNull())
+        .select(F.md5(F.encode("text", "UTF-8")).alias("dig"))
+        .distinct()
+        .withColumn("dig_hit", F.lit(True))
+    )
+    sh_old = D._shingle_table(old, "text", "doc_id", 2)
+    sh_new = D._shingle_table(new, "text", "doc_id", 2)
+    ex_old = sh_old.select(
+        F.col("doc").alias("od"), F.size("sh").alias("on"), F.explode("sh").alias("s")
+    )
+    ex_new = sh_new.select(
+        F.col("doc").alias("nd"), F.size("sh").alias("nn"), F.explode("sh").alias("s")
+    )
+    near = (
+        ex_new.join(ex_old, "s")
+        .groupBy("nd", "od", "nn", "on")
+        .agg(F.count("*").alias("i"))
+        .filter(
+            F.col("i") / (F.col("nn") + F.col("on") - F.col("i")) >= 0.5
+        )
+        .groupBy("nd")
+        .agg(F.count("*").alias("n_near"))
+    )
+    dup_exact = F.coalesce("dig_hit", F.lit(False))
+    n_near = F.coalesce("n_near", F.lit(0)).cast("bigint")
+    return (
+        new.withColumn("dig", F.md5(F.encode("text", "UTF-8")))
+        .join(old_dig, "dig", "left")
+        .join(near, F.col("doc_id") == F.col("nd"), "left")
+        .select(
+            "doc_id",
+            dup_exact.alias("dup_exact"),
+            n_near.alias("n_near"),
+            (~dup_exact & (n_near == 0)).alias("keep"),
+        )
+    )
