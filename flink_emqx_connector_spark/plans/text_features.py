@@ -237,6 +237,76 @@ def token_vocab_coverage(spark, sf_dir):
     )
 
 
+# "Trained" logistic quality model: fixed coefficients over the quality
+# features (the weights would come from a fasttext/logreg fit offline; at
+# inference time they are literals baked into the plan).
+_QM = {"b": -0.5, "ttr": 0.8, "stop": 2.5, "awl": -0.3, "nt": 0.001}
+
+
+@register(
+    "quality_model_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_char
+      FROM documents WHERE text IS NOT NULL
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(w) AS DOUBLE) AS nt,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+             CAST(len(list_filter(w, x -> x IN
+                 ('the', 'of', 'and', 'to', 'in', 'is', 'a'))) AS DOUBLE)
+               / len(w) AS stop,
+             CAST(n_char - (len(w) - 1) AS DOUBLE) / len(w) AS awl
+      FROM t
+    ), z AS (
+      SELECT doc_id,
+             {_QM['b']} + {_QM['ttr']} * ttr + {_QM['stop']} * stop
+               + {_QM['awl']} * (awl - 4) + {_QM['nt']} * nt AS z
+      FROM f
+    )
+    SELECT doc_id, round(1 / (1 + exp(-z)), 4) AS score,
+           1 / (1 + exp(-z)) >= 0.5 AS keep
+    FROM z
+    """,
+    doc="Quality-model inference: a logistic classifier (fixed offline-"
+    "trained coefficients over type-token ratio, stopword ratio, token "
+    "length, doc length) scored as pure column arithmetic — the "
+    "fasttext-style quality-filter shape at 100 TB. Model application is "
+    "a single codegen'd scan projection: no UDF, no shuffle, no model "
+    "server; the weights are plan literals so Catalyst constant-folds "
+    "everything but the per-row dot product.",
+    tags=("text", "quality", "model", "pipeline"),
+)
+def quality_model_score(spark, sf_dir):
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "of", "and", "to", "in", "is", "a")])
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("w"), F.length("text").alias("n_char"))
+    )
+    n = F.size("w").cast("double")
+    nt = n
+    ttr = F.size(F.array_distinct("w")).cast("double") / F.size("w")
+    stop = (
+        F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / F.size("w")
+    )
+    awl = (F.col("n_char") - (F.size("w") - 1)).cast("double") / F.size("w")
+    z = (
+        F.lit(_QM["b"])
+        + F.lit(_QM["ttr"]) * ttr
+        + F.lit(_QM["stop"]) * stop
+        + F.lit(_QM["awl"]) * (awl - 4)
+        + F.lit(_QM["nt"]) * nt
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        "doc_id",
+        F.round(score, 4).alias("score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
 def pii_redact(docs, text_col: str = "text", id_col: str = "doc_id"):
     """Reusable PII-redaction transform: emails / IPv4 / international
     phone numbers → typed placeholders, with per-doc match counts and a

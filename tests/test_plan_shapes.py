@@ -200,3 +200,34 @@ def test_dfcap_join_on_checkpointed_capped_table(plans):
     p = plans("dedup_ngram_jaccard_dfcap")
     assert "ExistingRDD" in p, p
     assert "Scan parquet" not in p, p
+
+
+def test_chunking_is_scan_plus_explode_no_shuffle(plans):
+    """chunk_docs_overlap must be a single scan + Generate (explode):
+    any Exchange here means a pointless shuffle of corpus-sized data."""
+    p = plans("chunk_docs_overlap")
+    assert "Exchange" not in p, p
+    assert "Generate" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_quality_model_is_single_scan_projection(plans):
+    """Model inference must stay a codegen'd projection — no UDF, no
+    shuffle, and the text-IS-NOT-NULL filter pushed to the scan."""
+    p = plans("quality_model_score")
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "IsNotNull(text)" in p.replace(" ", ""), p
+
+
+def test_tfidf_broadcasts_corpus_count(plans):
+    """The 1-row corpus count must be a broadcast build side, never a
+    shuffle: tf×N is a BroadcastNestedLoopJoin on a single row."""
+    p = plans("tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_repetition_filter_no_shuffle_no_python(plans):
+    p = plans("repetition_filter_docs")
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
