@@ -231,3 +231,20 @@ def test_repetition_filter_no_shuffle_no_python(plans):
     p = plans("repetition_filter_docs")
     assert "Exchange" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_q19_disjunction_derives_scan_filters(plans):
+    """The OR-of-ANDs must yield implied per-scan filters (brand In on
+    part) below an equi BroadcastHashJoin — not a filter-above-join."""
+    p = plans("q19_brand_quantity_disjunction")
+    assert "BroadcastHashJoin" in p, p
+    # implied brand filter reaches the part scan (Or-chain of EqualTo)
+    assert "EqualTo(p_brand,Brand#12)" in p.replace(" ", ""), p
+    # implied quantity band reaches the lineitem scan
+    assert "LessThanOrEqual(l_quantity,30.0)" in p.replace(" ", ""), p
+
+
+def test_q4_exists_is_semi_join_with_date_filter_pushed(plans):
+    p = plans("q4_late_shipment_priority")
+    assert "LeftSemi" in p, p
+    assert "LessThan(o_orderdate" in p.replace(" ", ""), p
