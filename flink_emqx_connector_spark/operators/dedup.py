@@ -179,6 +179,66 @@ def ngram_jaccard_pairs_dfcap(
 # 1e8 cells ≈ 12.5 MB packed / 400 MB as float32 work matrix per executor).
 _DENSE_MAX_CELLS = 100_000_000
 
+def _popcount_inplace(x, t):
+    """Elementwise SWAR popcount of uint64 array ``x``, IN PLACE (``x`` is
+    destroyed and ends holding per-element bit counts). ``t`` is same-shape
+    uint64 scratch. Shared by the dense all-pairs matmul and the LSH
+    candidate bitmap verify (numpy < 2 has no ``bitwise_count``)."""
+    import numpy as np
+
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h = np.uint64(0x0101010101010101)
+    np.right_shift(x, np.uint64(1), out=t)
+    t &= m1
+    x -= t
+    np.right_shift(x, np.uint64(2), out=t)
+    t &= m2
+    x &= m2
+    x += t
+    np.right_shift(x, np.uint64(4), out=t)
+    x += t
+    x &= m4
+    x *= h
+    np.right_shift(x, np.uint64(56), out=x)
+
+
+def _pack_bitmaps(sh: DataFrame, vocab: dict, nbytes: int) -> list:
+    """Pack each doc's shingle set into a vocab-indexed little-endian bitmap
+    and collect: one distributed pass, rows of ``(doc, n, bits)``. The caller
+    bounds ``len(vocab) × docs`` (broadcast budget) before calling."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    bc_vocab = sh.sparkSession.sparkContext.broadcast(vocab)
+
+    def _pack(iterator):
+        for pdf in iterator:
+            v = bc_vocab.value
+            dense = np.zeros((len(pdf), nbytes * 8), dtype=bool)
+            sizes = np.zeros(len(pdf), dtype=np.int64)
+            for i, shingles in enumerate(pdf["sh"]):
+                if shingles is None:  # NULL text → empty shingle set
+                    continue
+                idx = [v[s] for s in shingles]
+                sizes[i] = len(idx)
+                dense[i, idx] = True
+            out = np.packbits(dense, axis=1, bitorder="little")
+            yield pd.DataFrame(
+                {"doc": pdf["doc"], "n": sizes, "bits": [r.tobytes() for r in out]}
+            )
+
+    packed_schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("bits", T.BinaryType()),
+        ]
+    )
+    return sh.select("doc", "sh").mapInPandas(_pack, packed_schema).collect()
+
 
 def ngram_jaccard_pairs_dense(
     docs: DataFrame,
@@ -228,33 +288,8 @@ def ngram_jaccard_pairs_dense(
         nbits = max(len(vocab), 1)
         # Pad packed rows to whole uint64 words for the SWAR popcount below.
         nbytes = ((nbits + 63) // 64) * 8
-        bc_vocab = spark.sparkContext.broadcast(vocab)
-
-        def _pack(iterator):
-            for pdf in iterator:
-                v = bc_vocab.value
-                dense = np.zeros((len(pdf), nbytes * 8), dtype=bool)
-                sizes = np.zeros(len(pdf), dtype=np.int64)
-                for i, shingles in enumerate(pdf["sh"]):
-                    if shingles is None:  # NULL text → empty shingle set
-                        continue
-                    idx = [v[s] for s in shingles]
-                    sizes[i] = len(idx)
-                    dense[i, idx] = True
-                out = np.packbits(dense, axis=1, bitorder="little")
-                yield pd.DataFrame(
-                    {"doc": pdf["doc"], "n": sizes, "bits": [r.tobytes() for r in out]}
-                )
-
-        packed_schema = T.StructType(
-            [
-                T.StructField("doc", T.LongType()),
-                T.StructField("n", T.LongType()),
-                T.StructField("bits", T.BinaryType()),
-            ]
-        )
         # bounded by _DENSE_MAX_CELLS/8 bytes — broadcast-sized
-        full = sh.mapInPandas(_pack, packed_schema).collect()
+        full = _pack_bitmaps(sh, vocab, nbytes)
     finally:
         if owned:
             sh.unpersist()
@@ -276,11 +311,6 @@ def ngram_jaccard_pairs_dense(
     # regardless of corpus size — at the _DENSE_MAX_CELLS ceiling a whole
     # block would otherwise allocate gigabytes.
     rows_cap = max(1, (64 << 20) // (max(n_docs, 1) * 8 * 3))
-
-    _M1 = np.uint64(0x5555555555555555)
-    _M2 = np.uint64(0x3333333333333333)
-    _M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
-    _H = np.uint64(0x0101010101010101)
 
     def _block_pairs(iterator):
         f_docs, f_n, f_words = bc_full.value
@@ -305,19 +335,7 @@ def ngram_jaccard_pairs_dense(
                         np.bitwise_and(
                             f_words[lo:hi, wi, None], f_words[None, :, wi], out=x
                         )
-                        # in-place SWAR popcount of x
-                        np.right_shift(x, np.uint64(1), out=t)
-                        t &= _M1
-                        x -= t
-                        np.right_shift(x, np.uint64(2), out=t)
-                        t &= _M2
-                        x &= _M2
-                        x += t
-                        np.right_shift(x, np.uint64(4), out=t)
-                        x += t
-                        x &= _M4
-                        x *= _H
-                        np.right_shift(x, np.uint64(56), out=x)
+                        _popcount_inplace(x, t)
                         inter += x
                     inter_i = inter.astype(np.int64)
                     union = f_n[lo:hi, None] + f_n[None, :] - inter_i
@@ -571,61 +589,14 @@ def minhash_lsh_pairs(
         .select("doc_a", F.explode("ds").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
-    )
-    # Estimated-Jaccard prefilter: sig agreement fraction ≈ Jaccard, and
-    # the signatures are already checkpointed — so screening the raw
-    # band-collision candidates costs two narrow joins + 32 equality
-    # terms, all codegen. A templated corpus floods the buckets with
-    # low-similarity collisions (367k candidates on 50k docs at sf0.1,
-    # ~0.1% precision); screening at (threshold − 0.15) drops ~99% of
-    # them before the expensive exact-shingle verify, while a true pair
-    # at s = threshold survives w.p. ~0.99 (Binomial(k, s) tail).
-    est_floor = max(threshold - 0.15, 0.0)
-    siga = sigs.select(
-        F.col("doc").alias("doc_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)]
-    )
-    sigb = sigs.select(
-        F.col("doc").alias("doc_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)]
-    )
-    est = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-        for j in range(num_hashes)
-    ) / F.lit(num_hashes)
-    cand = (
-        cand.join(siga, "doc_a")
-        .join(sigb, "doc_b")
-        .filter(est >= F.lit(est_floor))
-        .select("doc_a", "doc_b")
-        # Materialize the screened candidate list (small by construction —
-        # LSH + the estimator filter exist to make it small): the verify
-        # stage consumes it twice (pair list + doc filter), and without
-        # the checkpoint each consumer would re-run the bucketing. Same
-        # eager-driver-step pattern as connected_components.
+        # Materialize the raw candidate list once: both verify strategies
+        # consume it several times (id-set derivation + the pair scan),
+        # and without the checkpoint each consumer would re-run the
+        # bucketing. Same eager-driver-step pattern as connected_components.
         .localCheckpoint()
     )
-    # Verify candidates only: shingle ONLY the docs that appear in some
-    # candidate pair (id filter pushed into the scan; AQE broadcasts it
-    # when small), join each side's shingle set, and compute exact Jaccard
-    # with array_intersect — O(candidate docs), not O(corpus). Shingles
-    # are xxhash64'd so set ops compare 8-byte ints, not strings
-    # (collision odds ~|V|²/2⁶⁴ — vanishing).
-    cand_ids = cand.select(
-        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
-    ).distinct()
-    cand_docs = docs.join(cand_ids, id_col)
-    sh = _shingle_table(cand_docs, text_col, id_col, n).select(
-        "doc", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
-    )
-    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    rep_pairs = (
-        sa.join(cand, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    rep_pairs = _verify_candidates(
+        docs, cand, sigs, threshold, num_hashes, n, text_col, id_col
     )
     if groups is None:  # corpus already distinct — nothing to expand
         return rep_pairs
