@@ -182,8 +182,8 @@ _DENSE_MAX_CELLS = 100_000_000
 def _popcount_inplace(x, t):
     """Elementwise SWAR popcount of uint64 array ``x``, IN PLACE (``x`` is
     destroyed and ends holding per-element bit counts). ``t`` is same-shape
-    uint64 scratch. Shared by the dense all-pairs matmul and the LSH
-    candidate bitmap verify (numpy < 2 has no ``bitwise_count``)."""
+    uint64 scratch. Used by the dense all-pairs matmul (numpy < 2 has no
+    ``bitwise_count``)."""
     import numpy as np
 
     m1 = np.uint64(0x5555555555555555)
@@ -491,6 +491,80 @@ def minhash_signatures(
         for j, (a, b) in enumerate(params)
     ]
     return ex.groupBy("doc").agg(*aggs)
+
+
+def _verify_candidates(
+    docs: DataFrame,
+    cand: DataFrame,
+    sigs: DataFrame,
+    threshold: float,
+    num_hashes: int,
+    n: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Screen + exactly verify LSH candidate pairs → ``doc_a, doc_b, jaccard``.
+
+    Two stages, both O(candidates), never O(corpus²):
+
+    1. **Estimated-Jaccard prefilter** — sig agreement fraction ≈ Jaccard,
+       and the signatures are already checkpointed by the caller, so
+       screening the raw band-collision candidates costs two narrow joins
+       + ``num_hashes`` equality terms, all codegen. A templated corpus
+       floods the buckets with low-similarity collisions (367k candidates
+       on 50k docs at sf0.1, ~0.1% precision); screening at
+       (threshold − 0.15) drops ~99% of them before the expensive exact
+       verify, while a true pair at s = threshold survives w.p. ~0.99
+       (Binomial(k, s) tail).
+    2. **Exact shingle-Jaccard verify** — shingle ONLY the docs that
+       appear in some surviving pair (id filter pushed into the scan; AQE
+       broadcasts it when small), join each side's shingle set, and
+       compute exact Jaccard with array_intersect. Shingles are
+       xxhash64'd so set ops compare 8-byte ints, not strings (collision
+       odds ~|V|²/2⁶⁴ — vanishing). Precision of the final output is 1.0.
+    """
+    est_floor = max(threshold - 0.15, 0.0)
+    siga = sigs.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)],
+    )
+    sigb = sigs.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)],
+    )
+    est = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    ) / F.lit(num_hashes)
+    screened = (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .filter(est >= F.lit(est_floor))
+        .select("doc_a", "doc_b")
+        # Materialize the screened pair list (small by construction — LSH
+        # + the estimator filter exist to make it small): the exact verify
+        # consumes it twice (pair list + doc-id filter), and without the
+        # checkpoint each consumer would re-run the screening joins.
+        .localCheckpoint()
+    )
+    cand_ids = screened.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+    ).distinct()
+    cand_docs = docs.join(cand_ids, id_col)
+    sh = _shingle_table(cand_docs, text_col, id_col, n).select(
+        "doc", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    )
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        sa.join(screened, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
 
 
 def minhash_lsh_pairs(
