@@ -663,11 +663,10 @@ def minhash_lsh_pairs(
         .select("doc_a", F.explode("ds").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
-        # Materialize the raw candidate list once: both verify strategies
-        # consume it several times (id-set derivation + the pair scan),
-        # and without the checkpoint each consumer would re-run the
-        # bucketing. Same eager-driver-step pattern as connected_components.
-        .localCheckpoint()
+        # NOT checkpointed: the verify stage consumes the raw candidate
+        # list exactly once (the screening join) and checkpoints only the
+        # much smaller screened output — materializing 100k+ raw
+        # band-collision pairs here would be pure overhead.
     )
     rep_pairs = _verify_candidates(
         docs, cand, sigs, threshold, num_hashes, n, text_col, id_col

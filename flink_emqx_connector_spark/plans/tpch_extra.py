@@ -186,3 +186,671 @@ def q22_idle_wealthy_customers(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure scan-aggregate revenue forecast. Every predicate "
+    "(date band, discount band, quantity cap) is pushed into the parquet "
+    "scan — the plan is one WholeStageCodegen scan+partial-agg per "
+    "partition and a 1-row final agg; no shuffle of data rows at all. At "
+    "100 TB this is the shape that proves pushdown works: bytes read "
+    "scale with the predicate's selectivity via row-group min/max "
+    "pruning, not with table size.",
+    tags=("scan", "agg", "pushdown", "tpch"),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7: bilateral trade volume between two nations by year. Two "
+    "aliases of the broadcast nation dim (supplier side + customer side) "
+    "with the nation-pair disjunction evaluated after both are attached; "
+    "the date band is pushed into the lineitem scan. The only real "
+    "shuffles are the two fact-fact joins (lineitem-orders on orderkey, "
+    "then customer on custkey); supplier and both nation dims broadcast.",
+    tags=("join", "agg", "tpch"),
+)
+def q7_volume_shipping(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8: one nation's market share of ECONOMY-part revenue inside "
+    "ASIA, by order year. The share is a conditional-sum / total-sum "
+    "ratio computed in ONE grouped aggregation (no self-join, no second "
+    "pass). part is filtered before its join (selectivity 1/6) so the "
+    "p_type predicate prunes lineitem rows via the broadcast hash join; "
+    "region->nation restricts the customer side the same way.",
+    tags=("join", "agg", "tpch"),
+)
+def q8_market_share(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(reg), F.col("n1_reg") == reg.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape: profit on 'red' product lines by supplier nation "
+    "and order year (the schema has no partsupp, so supply cost is "
+    "modeled as 0.6 x p_retailprice — the join/agg topology, a 5-way "
+    "star with a LIKE filter on the part dim, is unchanged). The "
+    "substring filter prunes ~1/6 of parts BEFORE the broadcast join, "
+    "which in turn prunes lineitem rows; only orderkey needs a shuffle "
+    "join.",
+    tags=("join", "agg", "tpch"),
+)
+def q9_product_profit(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(val, 2) AS part_value
+    FROM pv
+    WHERE val > (SELECT sum(val) * 0.001 FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    LIMIT 50
+    """,
+    doc="TPC-H Q11 shape: parts whose shipped value from a nation group "
+    "exceeds a fraction of that group's total (no partsupp — lineitem "
+    "value stands in for stock value; the plan-defining feature, a "
+    "HAVING against an uncorrelated scalar aggregate over the SAME "
+    "derived table, is intact). Spark computes pv once, derives the "
+    "threshold as a 1-row broadcast cross join, and filters — two "
+    "aggregations over one shuffle of (partkey, value) pairs.",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q11_important_stock(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    pv = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+        .localCheckpoint()
+    )
+    thresh = pv.agg((F.sum("val") * 0.001).alias("cut"))
+    return (
+        pv.crossJoin(F.broadcast(thresh))
+        .filter(F.col("val") > F.col("cut"))
+        .select("l_partkey", F.round("val", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+        .limit(50)
+    )
+
+
+@register(
+    "q12_priority_by_status",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape: urgent-vs-other order census per line status over "
+    "a ship-year (the schema has no l_shipmode/commitdate/receiptdate, "
+    "so the group key is l_linestatus and the band filter is on "
+    "shipdate; the plan-defining feature — a fact-fact equi join feeding "
+    "two CASE-conditional counts in one aggregation — is intact).",
+    tags=("join", "agg", "tpch"),
+)
+def q12_priority_by_status(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13: histogram of orders-per-customer, excluding one "
+    "priority class. The exclusion predicate lives in the OUTER join "
+    "condition (not WHERE — customers with only urgent orders must "
+    "surface with c_count 0), then two cascaded aggregations: per "
+    "customer, then per count. The first groupBy reuses the join's "
+    "custkey partitioning so only the tiny histogram re-shuffles.",
+    tags=("join", "outer", "agg", "tpch"),
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15: supplier(s) with the maximum quarterly revenue. The "
+    "revenue view is computed once (localCheckpoint — both the max "
+    "subquery and the equality filter consume it), the max is a 1-row "
+    "broadcast, and the supplier dim broadcasts onto the surviving "
+    "row(s). Revenue is rounded on both sides BEFORE the max/equality "
+    "so float summation order can't make the engines disagree about "
+    "who is top.",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q15_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+        .localCheckpoint()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: how many distinct suppliers ship each "
+    "brand/type/size combination (no partsupp — the observed "
+    "part-supplier relation is DISTINCT pairs from lineitem, which is "
+    "exactly what partsupp records). The distinct-pair projection "
+    "shuffles only two int columns off the fact table; the part dim "
+    "with both filters broadcasts; count(DISTINCT) re-aggregates the "
+    "already-distinct pairs without a second dedup pass.",
+    tags=("join", "agg", "distinct", "tpch"),
+)
+def q16_supplier_part_variety(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_cut
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < qty_cut
+    """,
+    doc="TPC-H Q17: revenue that would be lost by refusing small orders "
+    "(below 20% of the part's average quantity). The correlated scalar "
+    "subquery decorrelates into a per-part average joined back on "
+    "partkey — the same rewrite Catalyst/DuckDB do internally, here "
+    "written explicitly so both engines run the identical plan. The "
+    "brand filter broadcasts; the per-part average is the only extra "
+    "shuffle.",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pa, F.col("pk") == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_part_share_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+      SELECT l_partkey AS pk, sum(qty) AS total_qty
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM shipped
+      JOIN tot  ON pk = l_partkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%' AND qty > 0.3 * total_qty)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 shape: suppliers who dominate (>30% of shipped volume "
+    "in a year) some 'small'-named part (no partsupp availqty — shipped "
+    "volume share is the analogous dominance test; the plan-defining "
+    "feature, an IN driven by a nested aggregate-over-aggregate chain, "
+    "is intact). The IN becomes a left-semi join onto the tiny supplier "
+    "dim; shipped aggregates once and feeds both the share numerator "
+    "and the per-part total.",
+    tags=("join", "semi", "agg", "subquery", "tpch"),
+)
+def q20_part_share_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    shipped = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .localCheckpoint()
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        shipped.join(tot, F.col("pk") == shipped.l_partkey)
+        .join(F.broadcast(part), shipped.l_partkey == part.p_partkey)
+        .filter(F.col("qty") > 0.3 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_last_shipper_census",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape: on finished multi-supplier orders, count per "
+    "supplier how often it was the LAST to ship — strictly later than "
+    "every other supplier's lines (the schema has no receipt/commit "
+    "dates, so 'kept the order waiting' is expressed via shipdate; the "
+    "plan-defining double correlation — EXISTS another-supplier line, "
+    "NOT EXISTS another-supplier line that is later — is intact). "
+    "EXISTS -> left-semi self-join, NOT EXISTS -> left-anti self-join "
+    "with the extra date inequality; both reuse the orderkey shuffle.",
+    tags=("join", "semi", "anti", "topk", "tpch"),
+)
+def q21_last_shipper_census(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("o2") == l1.l_orderkey) & (F.col("s2") != l1.l_suppkey),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o3") == l1.l_orderkey)
+            & (F.col("s3") != l1.l_suppkey)
+            & (F.col("d3") > l1.l_shipdate),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(orders, waited.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), waited.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey AS bpk, min(unit_cost) AS best_cost
+      FROM cost GROUP BY l_partkey
+    )
+    SELECT p_partkey, s_suppkey, s_name, n_name, unit_cost
+    FROM part
+    JOIN cost ON l_partkey = p_partkey
+    JOIN best ON bpk = l_partkey AND unit_cost = best_cost
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size = 25
+    ORDER BY p_partkey, s_suppkey
+    """,
+    doc="TPC-H Q2 shape: for each size-25 part, the supplier(s) offering "
+    "the minimum observed unit cost (no partsupp — unit cost is the "
+    "minimum observed extendedprice/quantity per part-supplier pair "
+    "from lineitem; the plan-defining feature, a correlated "
+    "min-subquery decorrelated into a per-part min joined back on "
+    "(partkey, cost), is intact). Unit cost is rounded BEFORE min and "
+    "the equality so the engines agree on ties. cost aggregates once "
+    "(localCheckpoint) and feeds both the per-part min and the "
+    "equality probe.",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            ).alias("unit_cost")
+        )
+        .localCheckpoint()
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("bpk")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        cost.join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+        .join(
+            best,
+            (F.col("bpk") == cost.l_partkey)
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(sup), cost.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "unit_cost")
+        .orderBy("p_partkey", "s_suppkey")
+    )
