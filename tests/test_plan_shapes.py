@@ -248,3 +248,49 @@ def test_q4_exists_is_semi_join_with_date_filter_pushed(plans):
     p = plans("q4_late_shipment_priority")
     assert "LeftSemi" in p, p
     assert "LessThan(o_orderdate" in p.replace(" ", ""), p
+
+
+def test_q6_all_predicates_pushed(plans):
+    """Q6 is the pure-pushdown query: date band + discount band + quantity
+    cap must ALL reach the parquet scan, and the plan must contain no
+    shuffle of data rows (single final agg exchange only)."""
+    p = plans("q6_forecast_revenue")
+    flat = p.replace(" ", "")
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(l_shipdate" in flat, p
+    assert "LessThan(l_quantity,24.0)" in flat, p
+    assert "GreaterThanOrEqual(l_discount,0.05)" in flat, p
+
+
+def test_q8_dimensions_broadcast(plans):
+    """Q8's 7-way star: part/supplier/nation x2/region must all broadcast —
+    the only shuffle joins are lineitem-orders and orders-customer."""
+    p = plans("q8_market_share")
+    assert p.count("BroadcastHashJoin") >= 5, p
+    # p_type filter reaches the part scan (prunes before the join)
+    assert "EqualTo(p_type,ECONOMY)" in p.replace(" ", ""), p
+
+
+def test_q21_semi_and_anti_self_joins(plans):
+    """Q21's double correlation: EXISTS -> left-semi, NOT EXISTS ->
+    left-anti, both present in one plan."""
+    p = plans("q21_last_shipper_census")
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_q13_join_condition_stays_in_outer_join(plans):
+    """Q13's priority exclusion must live in the outer join (as join
+    predicate or pushed to the orders scan), NOT filter customers: the
+    plan keeps the LEFT outer join."""
+    p = plans("q13_customer_order_distribution")
+    assert "LeftOuter" in p, p
+
+
+def test_q16_distinct_pairs_before_join(plans):
+    """Q16: the part-supplier relation is deduped (HashAggregate over the
+    two key columns) below the broadcast join with the filtered part dim."""
+    p = plans("q16_supplier_part_variety")
+    assert "BroadcastHashJoin" in p, p
+    assert p.count("HashAggregate") >= 2, p
