@@ -230,3 +230,117 @@ def dedup_incremental(spark, sf_dir):
             (~dup_exact & (n_near == 0)).alias("keep"),
         )
     )
+
+
+@register(
+    "line_dedup_docs",
+    oracle="""
+    WITH segs AS (
+      SELECT doc_id, n_words,
+             array_to_string(words[(i*10+1):(i*10+10)], ' ') AS seg
+      FROM (SELECT doc_id, string_split(text, ' ') AS words,
+                   len(string_split(text, ' ')) AS n_words
+            FROM documents WHERE text IS NOT NULL),
+           LATERAL unnest(range(CAST(ceil(n_words / 10.0) AS BIGINT))) AS t(i)
+    ),
+    freq AS (
+      SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(sum(CASE WHEN df < 3
+                         THEN len(string_split(seg, ' ')) ELSE 0 END) AS BIGINT)
+             AS kept_words
+    FROM segs JOIN freq USING (seg)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Line-level (inter-document) dedup stats, the MassiveText/Gopher "
+    "boilerplate-removal shape: each doc splits into non-overlapping "
+    "10-word segments ('lines' — the corpus has no newlines), a segment "
+    "appearing in >= 3 distinct docs is boilerplate, and the per-doc "
+    "report counts segments, boilerplate hits, and surviving words. The "
+    "segment explode shuffles (doc, md5(seg)) short rows; document "
+    "frequency is a partial-agg'd count-distinct; the HOF segmenter runs "
+    "~n_words/10 lambda evals per doc over the corpus-bounded documents "
+    "table, not a fact table (the winnowing lesson doesn't bite here). "
+    "At 100 TB the segment table is the posting list a real pipeline "
+    "materializes once and reuses across dedup passes.",
+    tags=("pipeline", "dedup", "text", "training"),
+)
+def line_dedup_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    words = F.split("text", " ")
+    nseg = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+            )
+        ).alias("seg"),
+    )
+    freq = segs.groupBy("seg").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        segs.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("df") >= 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+            F.sum(
+                F.when(F.col("df") < 3, F.size(F.split("seg", " "))).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "cross_source_duplication",
+    oracle=_CLOSURE.replace("comps AS (", "_unused AS (")
+    + """
+    , src AS (SELECT doc_id, source FROM documents)
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           count(*) AS n_dup_pairs
+    FROM pairs
+    JOIN src sa ON sa.doc_id = doc_a
+    JOIN src sb ON sb.doc_id = doc_b
+    WHERE sa.source <> sb.source
+    GROUP BY 1, 2
+    ORDER BY n_dup_pairs DESC, source_a, source_b
+    """,
+    doc="Cross-source duplication matrix: for every pair of sources, how "
+    "many near-duplicate document pairs (exact bigram-Jaccard >= 0.5) "
+    "straddle them — the provenance signal that tells a curation "
+    "pipeline which feeds copy from each other, and where train/eval "
+    "contamination can enter (exact copies here never cross sources; "
+    "near-dups almost always do — 24 of 25 pairs at sf0.01). Pair "
+    "generation is the cost-based blocked Jaccard pipeline; attaching "
+    "sources is two broadcast joins of the tiny (doc, source) "
+    "projection; least/greatest canonicalizes the unordered pair.",
+    tags=("pipeline", "dedup", "profiling", "training"),
+)
+def cross_source_duplication(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs_auto(docs, threshold=0.5, n=2)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("da"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("db"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), pairs.doc_a == F.col("da"))
+        .join(F.broadcast(sb), pairs.doc_b == F.col("db"))
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_dup_pairs"))
+        .orderBy(F.col("n_dup_pairs").desc(), "source_a", "source_b")
+    )
