@@ -396,3 +396,44 @@ def test_streaming_session_window(spark, tmp_path):
         assert got == {(1, 3), (1, 2), (2, 2)}, got
     finally:
         q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """At-least-once redeliveries collapse to effectively-once: the same
+    (topic, payload) published twice — as a QoS-1 reconnect redelivery
+    would — reaches the sink exactly once; distinct payloads all
+    survive."""
+    from flink_emqx_connector_spark.streaming.dedup_stream import (
+        dedup_within_watermark,
+    )
+
+    spool = str(tmp_path / "spool")
+    pub = SpoolPublisher(spool)
+    pub.publish("t/1", b"m-1", qos=1)
+    pub.publish("t/1", b"m-1", qos=1)  # redelivered copy
+    pub.publish("t/1", b"m-2", qos=1)
+    pub.publish("t/2", b"m-1", qos=1)  # same payload, different topic: keep
+    out = dedup_within_watermark(_source(spark, spool), delay="10 minutes")
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.select(F.col("topic"), F.col("payload").cast("string").alias("p"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait(
+            lambda: spark.sql(f"SELECT count(*) AS n FROM {name}").head()["n"] == 3
+        ), spark.sql(f"SELECT * FROM {name}").collect()
+        time.sleep(1.0)  # two more triggers: the duplicate must NOT appear
+        rows = {
+            (r.topic, r.p)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert rows == {("t/1", "m-1"), ("t/1", "m-2"), ("t/2", "m-1")}
+        n = spark.sql(f"SELECT count(*) AS n FROM {name}").head()["n"]
+        assert n == 3, f"duplicate leaked: {n} rows"
+    finally:
+        q.stop()
