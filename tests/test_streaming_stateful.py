@@ -437,3 +437,51 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         assert n == 3, f"duplicate leaked: {n} rows"
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: the envelope stream enriches against a static
+    dimension (topic -> site metadata) per micro-batch; the static side
+    broadcasts, needs no watermark, and unmatched topics pass through a
+    left join with nulls."""
+    spool = str(tmp_path / "spool")
+    pub = SpoolPublisher(spool)
+    pub.publish("sensors/berlin", b"21.5", qos=1)
+    pub.publish("sensors/tokyo", b"27.0", qos=1)
+    pub.publish("sensors/unmapped", b"0.0", qos=1)
+    dim = spark.createDataFrame(
+        [("sensors/berlin", "EU"), ("sensors/tokyo", "APAC")],
+        "topic STRING, region STRING",
+    )
+    enriched = (
+        _source(spark, spool)
+        .join(F.broadcast(dim), "topic", "left")
+        .select(
+            "topic",
+            F.col("payload").cast("string").cast("double").alias("temp"),
+            "region",
+        )
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait(
+            lambda: spark.sql(f"SELECT count(*) AS n FROM {name}").head()["n"] == 3
+        ), spark.sql(f"SELECT * FROM {name}").collect()
+        rows = {
+            r.topic: (r.temp, r.region)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert rows == {
+            "sensors/berlin": (21.5, "EU"),
+            "sensors/tokyo": (27.0, "APAC"),
+            "sensors/unmapped": (0.0, None),
+        }
+    finally:
+        q.stop()
