@@ -57,6 +57,12 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "multimodal_features",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_customer_order_distribution",
+    "q21_last_shipper_census",
+    "line_dedup_docs",
+    "cross_source_duplication",
 ]
 N_CURATED = len(HEADLINE)  # stdout line reports this stable prefix only
 
