@@ -1003,3 +1003,66 @@ def decode_avro_payload(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.round(F.sum("d.value"), 2).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# UDAF surface (SURVEY §2.4 "UDAF registration"): a GROUPED_AGG pandas_udf
+# — Arrow ships each group's column once, the aggregate returns one scalar.
+# --------------------------------------------------------------------------
+@register(
+    "gini_by_priority",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS i,
+             count(*)      OVER (PARTITION BY o_orderpriority) AS n,
+             sum(o_totalprice) OVER (PARTITION BY o_orderpriority) AS tot
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           round(2.0 * sum(i * o_totalprice) / (n * tot) - (n + 1.0) / n, 4)
+             AS gini,
+           count(*) AS n_orders
+    FROM ranked
+    GROUP BY o_orderpriority, n, tot
+    ORDER BY o_orderpriority
+    """,
+    doc="Custom UDAF via GROUPED_AGG pandas_udf: Gini coefficient of order "
+    "value per priority class (how concentrated spend is — the "
+    "distribution-profiling aggregate a data-mix audit wants, and a "
+    "shape plain SQL aggregates can't express without a window replay). "
+    "The UDAF is 3 lines of numpy on a sorted group; Arrow moves each "
+    "group's column once and the shuffle carries only (priority, price) "
+    "pairs. The oracle replays the identical formula "
+    "(2·Σ i·x_i/(n·Σx) − (n+1)/n over ascending x) with window "
+    "functions. Works at any group count; per-group data must fit one "
+    "worker (5 classes here — the documented GROUPED_AGG constraint, "
+    "same as X17's grouped-map).",
+    tags=("udf", "udaf", "agg"),
+)
+def gini_by_priority(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    orders = _t(spark, sf_dir, "orders")
+
+    # functionType is explicit: this module has `from __future__ import
+    # annotations`, so the hints are strings and eval-type inference
+    # can't see the Series -> scalar (GROUPED_AGG) signature.
+    @F.pandas_udf(T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
+    def gini(prices: pd.Series) -> float:
+        x = np.sort(prices.to_numpy(dtype=np.float64))
+        n = x.size
+        i = np.arange(1, n + 1, dtype=np.float64)
+        return float(2.0 * (i * x).sum() / (n * x.sum()) - (n + 1.0) / n)
+
+    # A GROUPED_AGG pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count is its own tiny
+    # aggregate joined back on the 5-row group key.
+    g = orders.groupBy("o_orderpriority").agg(
+        F.round(gini("o_totalprice"), 4).alias("gini")
+    )
+    n = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+    return g.join(n, "o_orderpriority").orderBy("o_orderpriority")
