@@ -361,3 +361,89 @@ def repetition_filter_docs(spark, sf_dir):
         )
         .withColumn("keep", F.col("dup_bigram_ratio") <= 0.2)
     )
+
+
+@register(
+    "temperature_resample_sources",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS total FROM counts
+    ), weighted AS (
+      SELECT source, n, total, pow(n / total, 0.5) AS w
+      FROM counts CROSS JOIN tot
+    ), norm AS (
+      SELECT CAST(sum(w) AS DOUBLE) AS z FROM weighted
+    ), rates AS (
+      SELECT source, n,
+             least(1.0, (total * w / z) / n) AS keep_rate,
+             CAST(floor(least(1.0, (total * w / z) / n) * n + 0.5) AS BIGINT)
+               AS quota
+      FROM weighted CROSS JOIN norm
+    ), ranked AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (PARTITION BY d.source
+                 ORDER BY md5('temp42:' || CAST(d.doc_id AS VARCHAR)),
+                          d.doc_id) AS rk
+      FROM documents d
+    )
+    SELECT r.source, max(rt.n) AS n_docs, max(rt.quota) AS quota,
+           count(*) FILTER (WHERE rk <= quota) AS n_kept,
+           round(max(rt.keep_rate), 4) AS keep_rate
+    FROM ranked r JOIN rates rt ON r.source = rt.source
+    GROUP BY r.source
+    ORDER BY r.source
+    """,
+    doc="Temperature-based source rebalancing (the multilingual-training "
+    "upsampling law with alpha = 0.5): sampling weights q_s are "
+    "proportional to p_s^alpha, flattening the source distribution so "
+    "over-represented feeds shrink while rare feeds keep everything "
+    "(rate capped at 1 — the duplication-free downsample form). "
+    "Selection is a deterministic seeded-md5 rank within each source "
+    "against the source's quota — reproducible and auditable, no RNG, "
+    "same posture as X18/X30. The per-source histogram is one "
+    "map-side-combined shuffle; the 20-row rate table broadcasts; the "
+    "rank window partitions by source. At 100 TB the histogram and "
+    "rate table are metadata-sized regardless of corpus size.",
+    tags=("pipeline", "sampling", "training"),
+)
+def temperature_resample_sources(spark, sf_dir):
+    alpha = 0.5
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("total"))
+    weighted = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "w", F.pow(F.col("n") / F.col("total"), F.lit(alpha))
+    )
+    norm = weighted.agg(F.sum("w").alias("z"))
+    keep_rate = F.least(
+        F.lit(1.0), (F.col("total") * F.col("w") / F.col("z")) / F.col("n")
+    )
+    rates = (
+        weighted.crossJoin(F.broadcast(norm))
+        .withColumn("keep_rate", keep_rate)
+        .withColumn(
+            "quota",
+            F.floor(F.col("keep_rate") * F.col("n") + F.lit(0.5)).cast("bigint"),
+        )
+        .select("source", "n", "keep_rate", "quota")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("temp42:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    return (
+        d.withColumn("rk", rk)
+        .join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max("quota").alias("quota"),
+            F.count(F.when(F.col("rk") <= F.col("quota"), 1)).alias("n_kept"),
+            F.round(F.max("keep_rate"), 4).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )

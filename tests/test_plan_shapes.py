@@ -294,3 +294,24 @@ def test_q16_distinct_pairs_before_join(plans):
     p = plans("q16_supplier_part_variety")
     assert "BroadcastHashJoin" in p, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_gini_udaf_is_arrow_aggregate(plans):
+    """The Gini UDAF must plan as AggregateInPandas (Arrow-batched grouped
+    aggregate), with partial JVM aggregation for the joined count."""
+    p = plans("gini_by_priority")
+    assert "ArrowAggregatePython" in p or "AggregateInPandas" in p, p
+
+
+def test_line_dedup_partial_aggregation(plans):
+    """Segment document-frequency must partial-aggregate before its
+    shuffle (count_distinct over exploded segments)."""
+    p = plans("line_dedup_docs")
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_temperature_resample_broadcasts_rates(plans):
+    """The per-source rate table must broadcast onto the doc stream —
+    never a shuffle join against metadata-sized state."""
+    p = plans("temperature_resample_sources")
+    assert "BroadcastHashJoin" in p, p
