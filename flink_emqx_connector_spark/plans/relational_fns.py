@@ -1066,3 +1066,54 @@ def gini_by_priority(spark, sf_dir):
     )
     n = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
     return g.join(n, "o_orderpriority").orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# SQL-text interface (SURVEY §2.4 "SQL parsing" row, live): the query is
+# authored as SQL and parsed/planned by Spark's own parser over registered
+# temp views — same Catalyst plan quality as the DataFrame form.
+# --------------------------------------------------------------------------
+@register(
+    "sql_interface_revenue_by_nation_quarter",
+    oracle="""
+    SELECT n_name,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name, year(o_orderdate), quarter(o_orderdate)
+    ORDER BY n_name, yr, qtr
+    """,
+    doc="The SQL-text entry point, exercised end-to-end: this query is "
+    "submitted as a SQL string to spark.sql() over per-query temp views "
+    "(not built with the DataFrame API), proving the parser/analyzer "
+    "path the reference would have inherited from Flink SQL. Catalyst "
+    "produces the same physical plan as the equivalent DataFrame "
+    "program — date filter pushed to the orders scan, nation broadcast, "
+    "partial aggregation — because both lower to the same logical plan.",
+    tags=("sql", "join", "agg", "tpch"),
+)
+def sql_interface_revenue_by_nation_quarter(spark, sf_dir):
+    for t in ("lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM v_lineitem
+        JOIN v_orders   ON l_orderkey = o_orderkey
+        JOIN v_customer ON o_custkey = c_custkey
+        JOIN v_nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name, year(o_orderdate), quarter(o_orderdate)
+        ORDER BY n_name, yr, qtr
+        """
+    )

@@ -72,3 +72,61 @@ def test_incremental_exact_flags_match_full_dedup(spark, sf_dir):
     }
     expect = {d for d, g in new_dig.items() if g in old_digs}
     assert flagged == expect
+
+
+def test_line_dedup_accounting(spark, sf_dir):
+    """Per-doc invariants: n_boiler <= n_segments; kept_words <= doc word
+    count; a doc with zero boilerplate keeps every word."""
+    from flink_emqx_connector_spark.plans import QUERIES
+    from pyspark.sql import functions as F
+
+    out = {
+        r.doc_id: r
+        for r in QUERIES["line_dedup_docs"].spark(spark, sf_dir).collect()
+    }
+    docs = (
+        QUERIES["profile_documents"]
+        .spark(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.size(F.split("text", " ")).alias("nw"))
+        .collect()
+    )
+    nw = {r.doc_id: r.nw for r in docs}
+    assert set(out) == set(nw)
+    for doc_id, r in out.items():
+        assert 0 <= r.n_boiler <= r.n_segments
+        assert 0 <= r.kept_words <= nw[doc_id]
+        if r.n_boiler == 0:
+            assert r.kept_words == nw[doc_id], (doc_id, r)
+
+
+def test_temperature_resample_flattens_distribution(spark, sf_dir):
+    """Quotas never exceed source size; every source keeps >= 1 doc; and
+    the kept-share of the largest source does not increase relative to
+    the smallest (flattening direction of the p^alpha law)."""
+    from flink_emqx_connector_spark.plans import QUERIES
+
+    rows = (
+        QUERIES["temperature_resample_sources"].spark(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 < r.quota <= r.n_docs
+        assert r.n_kept == min(r.quota, r.n_docs)
+        assert 0.0 < r.keep_rate <= 1.0
+    big = max(rows, key=lambda r: r.n_docs)
+    small = min(rows, key=lambda r: r.n_docs)
+    assert big.keep_rate <= small.keep_rate
+
+
+def test_gini_bounds(spark):
+    """Gini lies in [0, 1) for every priority class on real data."""
+    from flink_emqx_connector_spark.plans import QUERIES
+
+    rows = QUERIES["gini_by_priority"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0, r
