@@ -105,3 +105,47 @@ def _stream_writer(options: dict, overwrite: bool):
             pass  # at-least-once: completed partitions stay published
 
     return EMQXStreamWriter(options)
+
+
+def idempotent_foreach_batch_publisher(
+    spool_dir: str,
+    qos: int = 1,
+):
+    """Effectively-once ``foreachBatch`` sink on the durable spool transport.
+
+    Structured Streaming replays a micro-batch (same ``batch_id``) when the
+    query restarts after a failure between sink write and checkpoint
+    commit; the plain publisher then republishes every row. This form
+    makes the replay a no-op with a per-batch marker file next to the
+    spool segments, committed atomically (write-tmp + rename) AFTER the
+    batch's rows are durably published:
+
+    - batch fully published + marker present  → replay skipped entirely;
+    - crash mid-batch (no marker)             → replay republishes the
+      batch — at-least-once WITHIN the failed batch only, exactly-once
+      for every completed batch (the standard foreachBatch idempotence
+      contract).
+
+    Spool-only: markers need the same durable, atomically-renameable
+    store the messages land in (at cluster scale both live on the shared
+    filesystem). A remote MQTT broker offers no such rendezvous — the
+    paho path stays at-least-once with consumer-side dedup
+    (``streaming/dedup_stream.py`` is the receiving half).
+    """
+    import os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker_dir = os.path.join(spool_dir, "_batch_markers")
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"{batch_id}.done")
+        if os.path.exists(marker):  # replayed, fully-published batch
+            return
+        publish_dataframe(batch_df, "spool", spool_dir, qos=qos)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("done")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, marker)
+
+    return sink

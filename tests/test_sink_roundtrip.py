@@ -201,3 +201,31 @@ def test_stream_writer_format_emqx_broker(spark, tmp_path):
     assert sorted(got) == [(f"out/{i}", str(i).encode()) for i in range(4)], got
     sub.disconnect()
     broker.stop()
+
+
+def test_idempotent_sink_skips_replayed_batch(spark, tmp_path):
+    """Replaying a committed micro-batch (same batch_id, as Structured
+    Streaming does after a failure between sink write and checkpoint
+    commit) publishes nothing new; a NEW batch_id still publishes."""
+    from flink_emqx_connector_spark.sinks.emqx import (
+        idempotent_foreach_batch_publisher,
+    )
+    from flink_emqx_connector_spark.sources.transport import SpoolTransport
+
+    spool = str(tmp_path / "spool")
+    out = spark.range(3).select(
+        F.lit("t/1").alias("topic"),
+        F.encode(F.col("id").cast("string"), "UTF-8").alias("payload"),
+    )
+    sink = idempotent_foreach_batch_publisher(spool, qos=1)
+
+    def count_msgs():
+        t = SpoolTransport(spool)
+        return len(t.read_range(0, t.latest_seq(), partition_id=0, num_partitions=1))
+
+    sink(out, batch_id=0)
+    assert count_msgs() == 3
+    sink(out, batch_id=0)  # replay: must be a no-op
+    assert count_msgs() == 3
+    sink(out, batch_id=1)  # new batch: publishes
+    assert count_msgs() == 6
