@@ -66,6 +66,11 @@ HEADLINE = [
 ]
 N_CURATED = len(HEADLINE)  # stdout line reports this stable prefix only
 
+# The first 33 names above are the round-1-3 curated set, frozen: their
+# subtotal (`stable33_total`) is the apples-to-apples perf series across
+# rounds — the full-registry `value` grows every time coverage widens.
+N_STABLE = 33
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,10 +130,12 @@ def main() -> int:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     curated = HEADLINE[:N_CURATED]
+    stable = HEADLINE[:N_STABLE]
     summary = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "stable33_total": round(sum(timings[k] for k in stable if k in timings), 3),
         "queries": {k: timings[k] for k in curated if k in timings},
         "n_queries": len(timings),
         "sf": sf,
