@@ -98,6 +98,8 @@ class EMQXStreamReader(DataSourceStreamReader):
             raise ValueError(f"Invalid QoS: {self.qos}")
         self.max_per_batch = int(options.get("max_records_per_batch", "10000"))
         self.poll_timeout_s = float(options.get("poll_timeout_s", "0.2"))
+        # reference hard-codes 60 s (EMQXSourceReader.java:96 TODO); here an option
+        self.session_expiry = int(options.get("session_expiry", "300"))
         self.spool_dir = options.get("spool_dir", "")
         if self.transport_kind in ("spool", "bridge"):
             if not self.spool_dir:
@@ -205,6 +207,7 @@ class EMQXStreamReader(DataSourceStreamReader):
                 self.topic_filter,
                 self.qos,
                 self.group,
+                session_expiry=self.session_expiry,
             )
             # commit() ran on the driver; the executor learns the committed
             # frontier from the batch window start and acks below it (ST3).

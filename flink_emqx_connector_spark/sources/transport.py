@@ -431,12 +431,29 @@ class PahoTransport:
     - acks withheld until commit (":168-202", ST2-ST4)
     """
 
+    # Default session-expiry interval (seconds): how long the broker keeps
+    # subscription + un-acked message state across a disconnect. The
+    # reference hard-codes 60 s behind a TODO (EMQXSourceReader.java:96,100);
+    # here it is a per-instance option (`session_expiry` source option) —
+    # size it to survive the longest expected executor restart.
     SESSION_EXPIRY = 300
 
-    def __init__(self, host: str, port: int, clientid: str, topic_filter: str, qos: int, group: str):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        clientid: str,
+        topic_filter: str,
+        qos: int,
+        group: str,
+        session_expiry: int | None = None,
+    ):
         import queue
 
         self.clientid = clientid
+        self.session_expiry = (
+            self.SESSION_EXPIRY if session_expiry is None else int(session_expiry)
+        )
         self.queue: queue.Queue = queue.Queue()
         self.seq = 0
         # batch_id → [mqtt messages awaiting ack] (ST2: snapshot-stamped acks)
@@ -455,7 +472,7 @@ class PahoTransport:
             manual_ack=True,
         )
         props = Properties(PacketTypes.CONNECT)
-        props.SessionExpiryInterval = self.SESSION_EXPIRY
+        props.SessionExpiryInterval = self.session_expiry
         sub_topic = f"$share/{group}/{topic_filter}" if group else topic_filter
 
         def on_connect(client, userdata, flags, reason, properties=None):
@@ -527,9 +544,11 @@ class PahoTransport:
                     pass  # ack after reconnect is impossible; broker redelivers
 
     @classmethod
-    def get(cls, host, port, clientid, topic_filter, qos, group) -> "PahoTransport":
+    def get(
+        cls, host, port, clientid, topic_filter, qos, group, session_expiry=None
+    ) -> "PahoTransport":
         t = _CLIENTS.get(clientid)
         if t is None:
-            t = cls(host, port, clientid, topic_filter, qos, group)
+            t = cls(host, port, clientid, topic_filter, qos, group, session_expiry)
             _CLIENTS[clientid] = t
         return t

@@ -124,3 +124,16 @@ def test_broker_offline_at_start_tolerated(fake_paho):
     t = _transport(clientid="c-off")  # must not raise (ST6)
     assert t.client.async_pending
     assert t.drain(1, max_records=10, timeout_s=0.01) == []
+
+
+def test_session_expiry_option_reaches_connect():
+    """The `session_expiry` source option must land in the CONNECT
+    properties (the reference hard-codes 60 s behind a TODO —
+    EMQXSourceReader.java:96,100; here it is configurable)."""
+    from flink_emqx_connector_spark.sources.transport import PahoTransport
+
+    t = PahoTransport("localhost", 1883, "expiry-test", "t/#", 1, "g",
+                      session_expiry=77)
+    assert t.session_expiry == 77
+    # the wire client stores the CONNECT session-expiry it will send
+    assert t.client._session_expiry == 77
