@@ -206,3 +206,43 @@ def decode_dead_letter_split(spark, sf_dir):
     return decoded.select(lane.alias("lane")).groupBy("lane").agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "window_distribution_functions",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 4) AS pr,
+           round(cume_dist()    OVER w, 4) AS cd,
+           nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key
+    FROM orders
+    WHERE o_totalprice > 450000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, pr, o_orderkey
+    """,
+    doc="Window distribution-function family: percent_rank / cume_dist / "
+    "nth_value over per-priority price order (completing the window "
+    "surface beyond rank/lag/ntile/frames). Total order inside each "
+    "partition (price, then key) keeps both engines' ranks identical; "
+    "the selective price filter is pushed below the window sort.",
+    tags=("window", "functions"),
+)
+def window_distribution_functions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 4).alias("pr"),
+            F.round(F.cume_dist().over(w), 4).alias("cd"),
+            F.nth_value("o_orderkey", 3).over(wrows).alias("third_key"),
+        )
+        .orderBy("o_orderpriority", "pr", "o_orderkey")
+    )

@@ -485,3 +485,67 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
+    """Stream-stream LEFT OUTER join: a view with no purchase inside the
+    event-time bound is held in state until the watermark (min of both
+    streams) passes its join window, then emitted with a null right
+    side — the semantics corner inner joins never exercise."""
+    views_spool = str(tmp_path / "views")
+    buys_spool = str(tmp_path / "buys")
+    vp, bp = SpoolPublisher(views_spool), SpoolPublisher(buys_spool)
+    base = 1_700_000_000
+
+    def _payload(user, epoch):
+        return f"{user},{epoch}".encode()
+
+    vp.publish("v/1", _payload(1, base))  # matches
+    vp.publish("v/1", _payload(2, base))  # never matches -> null row
+    bp.publish("b/1", _payload(1, base + 300))
+    # flush events 2 h later advance BOTH watermarks far past base+10min,
+    # forcing the unmatched view's state to expire and emit
+    vp.publish("v/1", _payload(98, base + 7200))
+    bp.publish("b/1", _payload(99, base + 7200))
+
+    def decode(df, prefix):
+        cols = F.split(F.col("payload").cast("string"), ",")
+        return df.select(
+            cols.getItem(0).cast("bigint").alias(f"{prefix}_user"),
+            F.timestamp_seconds(cols.getItem(1).cast("bigint")).alias(
+                f"{prefix}_ts"
+            ),
+        ).withWatermark(f"{prefix}_ts", "1 minute")
+
+    views = decode(_source(spark, views_spool), "v")
+    buys = decode(_source(spark, buys_spool), "b")
+    joined = views.join(
+        buys,
+        F.expr(
+            "v_user = b_user AND "
+            "b_ts >= v_ts AND b_ts <= v_ts + interval 10 minutes"
+        ),
+        "left_outer",
+    )
+    name = f"ssoj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        # the matched row AND the expired unmatched row must both appear
+        assert _wait(
+            lambda: {
+                (r.v_user, r.b_user)
+                for r in spark.sql(
+                    f"SELECT v_user, b_user FROM {name}"
+                ).collect()
+            }
+            >= {(1, 1), (2, None)},
+            timeout=60.0,
+        ), spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
