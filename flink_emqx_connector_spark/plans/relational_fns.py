@@ -1117,3 +1117,46 @@ def sql_interface_revenue_by_nation_quarter(spark, sf_dir):
         ORDER BY n_name, yr, qtr
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 VARIANT type: semi-structured values parsed once into a binary
+# variant encoding, then path-accessed without re-parsing — the modern
+# engine answer to JSON-string columns (vs get_json_object re-parsing the
+# string per access).
+# --------------------------------------------------------------------------
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1
+    ORDER BY k_bucket
+    """,
+    doc="Spark 4 VARIANT surface: events.props (a JSON string) is parsed "
+    "ONCE per row into the binary variant encoding (parse_json), then "
+    "path-accessed with variant_get — unlike get_json_object, repeated "
+    "accesses don't re-parse the string, which is the difference between "
+    "O(paths) and O(paths x parse) on wide semi-structured rows at "
+    "scale. The oracle reads the same paths with DuckDB's JSON "
+    "extraction.",
+    tags=("functions", "json", "variant"),
+)
+def variant_props_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("k_bucket")
+    )
