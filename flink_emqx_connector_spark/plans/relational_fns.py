@@ -1160,3 +1160,58 @@ def variant_props_stats(spark, sf_dir):
         )
         .orderBy("k_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# ANSI-safe arithmetic: Spark 4 runs ANSI mode by default, so overflow /
+# bad casts / division-by-zero THROW mid-job unless the pipeline opts into
+# the try_* family — the difference between a 100 TB job dying at hour 9
+# on one malformed row and it yielding NULL for that row.
+# --------------------------------------------------------------------------
+@register(
+    "try_functions_safety",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_qty,
+           CAST(count(*) - count(safe_ratio) AS BIGINT) AS n_null_ratio,
+           round(sum(safe_ratio), 2) AS sum_ratio,
+           CAST(count(*) - count(parsed_flag) AS BIGINT) AS n_bad_casts
+    FROM (
+      SELECT l_quantity AS q,
+             CASE WHEN l_quantity = 0 THEN NULL
+                  ELSE l_extendedprice / l_quantity END AS safe_ratio,
+             TRY_CAST(l_returnflag AS BIGINT) AS parsed_flag
+      FROM lineitem
+    )
+    """,
+    doc="ANSI-safe pipeline surface: try_divide yields NULL where strict "
+    "ANSI division would throw on a zero denominator, and try_cast "
+    "yields NULL for unparseable values ('A'/'N'/'R' as BIGINT) instead "
+    "of failing the job — the posture a long-running ingest needs under "
+    "Spark 4's default ANSI mode. The oracle reproduces the NULL "
+    "semantics with CASE/TRY_CAST. (This corpus has no zero quantities, "
+    "so n_zero_qty doubles as the proof the guard is exercised-but-"
+    "clean; every l_returnflag cast fails by design.)",
+    tags=("functions", "ansi", "quality"),
+)
+def try_functions_safety(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    safe_ratio = F.try_divide(
+        "l_extendedprice",
+        F.when(F.col("l_quantity") == 0, F.lit(None)).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    inner = li.select(
+        F.col("l_quantity").alias("q"),
+        safe_ratio.alias("safe_ratio"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("999")).alias("parsed_flag"),
+    )
+    return inner.agg(
+        F.sum(F.when(F.col("q") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_qty"),
+        (F.count("*") - F.count("safe_ratio")).cast("bigint").alias("n_null_ratio"),
+        F.round(F.sum("safe_ratio"), 2).alias("sum_ratio"),
+        (F.count("*") - F.count("parsed_flag")).cast("bigint").alias("n_bad_casts"),
+    )
