@@ -1215,3 +1215,43 @@ def try_functions_safety(spark, sf_dir):
         F.round(F.sum("safe_ratio"), 2).alias("sum_ratio"),
         (F.count("*") - F.count("parsed_flag")).cast("bigint").alias("n_bad_casts"),
     )
+
+
+# --------------------------------------------------------------------------
+# XML decode codec (Spark 4 from_xml) — completes the payload decoder
+# family (string/JSON/CSV/Avro/base64/hex already registered). Same
+# schema-on-read pattern as decode_json/decode_csv: synthesize the wire
+# bytes from events columns, then decode and aggregate the decoded struct.
+# --------------------------------------------------------------------------
+@register(
+    "decode_xml_payload",
+    oracle="""
+    SELECT user_id % 5 AS bucket,
+           count(*) AS cnt,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1
+    """,
+    doc="S8 decode layer, XML codec: payload bytes carrying "
+    "'<m><u>..</u><v>..</v></m>' decode via from_xml into a typed struct "
+    "(schema-on-read, like the JSON/CSV/Avro paths), then aggregate. The "
+    "oracle aggregates the source columns directly — decode fidelity IS "
+    "the assertion: any parse drift changes every bucket's sum.",
+    tags=("parity", "decode", "functions"),
+)
+def decode_xml_payload(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<m><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u><v>"),
+        F.col("value").cast("string"),
+        F.lit("</v></m>"),
+    )
+    dec = ev.select(
+        F.from_xml(xml, "u BIGINT, v DOUBLE").alias("d")
+    )
+    return dec.groupBy((F.col("d.u") % 5).alias("bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("d.v"), 2).alias("total"),
+    )
