@@ -344,3 +344,52 @@ def cross_source_duplication(spark, sf_dir):
         .agg(F.count("*").alias("n_dup_pairs"))
         .orderBy(F.col("n_dup_pairs").desc(), "source_a", "source_b")
     )
+
+
+@register(
+    "dedup_graph_triangles",
+    oracle=_CLOSURE.replace("comps AS (", "_unused AS (")
+    + """
+    , tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT count(*) AS n_triangles,
+           CAST(count(DISTINCT a) + 0 AS BIGINT) AS n_apex_docs
+    FROM tri
+    """,
+    doc="Triangle count over the near-dup graph (exact bigram-Jaccard >= "
+    "0.5 pairs, canonical a < b orientation): triangles measure how "
+    "CLIQUE-LIKE the duplicate structure is — template families form "
+    "dense triangle-rich clusters while chain-shaped borderline overlap "
+    "does not, which tells a curation pipeline whether keep-one-per-"
+    "component is aggressive or safe. The canonical orientation makes "
+    "each triangle (a<b<c) counted exactly once by the two-hop "
+    "join-then-close pattern; the closing join is on the (small) pair "
+    "list itself, never the corpus — at scale this is the standard "
+    "edge-partitioned triangle enumeration with the heaviest-degree "
+    "node as the join pivot.",
+    tags=("pipeline", "dedup", "graph", "profiling"),
+)
+def dedup_graph_triangles(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        D.ngram_jaccard_pairs_auto(docs, threshold=0.5, n=2)
+        .select("doc_a", "doc_b")
+        # consumed three times by the triangle join — materialize once
+        .localCheckpoint()
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    return tri.agg(
+        F.count("*").alias("n_triangles"),
+        F.count_distinct("a").cast("bigint").alias("n_apex_docs"),
+    )
