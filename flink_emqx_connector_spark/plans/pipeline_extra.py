@@ -251,3 +251,41 @@ def scan_orc_roundtrip(spark, sf_dir):
             F.max("p_size").cast("bigint").alias("max_size"),
         )
     )
+
+
+@register(
+    "partitioned_layout_pruning",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Write-side layout -> read-side partition pruning, the first 100 TB "
+    "lever any lakehouse pulls: documents are written "
+    "partitionBy('lang') (hive-style lang=.. directories), read back "
+    "with a lang filter, and the scan prunes whole directories — the "
+    "physical plan carries the predicate as PartitionFilters (pinned in "
+    "tests/test_plan_shapes.py), so bytes read scale with the selected "
+    "partitions, not the table. The oracle aggregates the original "
+    "parquet: pruning must be invisible to results.",
+    tags=("scan", "layout", "pruning", "formats"),
+)
+def partitioned_layout_pruning(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"part_layout_{abs(hash(sf_dir)) % (1 << 30)}"
+    )
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

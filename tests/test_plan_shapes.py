@@ -315,3 +315,12 @@ def test_temperature_resample_broadcasts_rates(plans):
     never a shuffle join against metadata-sized state."""
     p = plans("temperature_resample_sources")
     assert "BroadcastHashJoin" in p, p
+
+
+def test_partitioned_layout_prunes_directories(plans):
+    """The lang filter must become PartitionFilters on the hive-layout
+    scan (directory pruning), not a post-scan Filter over all rows."""
+    p = plans("partitioned_layout_pruning")
+    assert "PartitionFilters" in p, p
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l][0]
+    assert "lang#" in pf and "IN (en,de)" in pf, pf
