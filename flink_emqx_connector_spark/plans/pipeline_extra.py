@@ -289,3 +289,64 @@ def partitioned_layout_pruning(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Bucketed co-located join — the big-join answer to 'minimize "
+    "shuffles': lineitem and orders are written bucketBy(8, orderkey) "
+    "sortBy(orderkey) as managed tables, so the subsequent fact-fact "
+    "join reads bucket i against bucket i directly. The physical plan "
+    "has NO shuffle exchange on either side of the SortMergeJoin "
+    "(pinned in tests/test_plan_shapes.py) — at 100 TB this turns the "
+    "join from a full-network shuffle into a node-local merge, and the "
+    "one-time bucketed write amortizes over every subsequent join on "
+    "the same key. Oracle joins the original parquet: layout must be "
+    "invisible to results.",
+    tags=("join", "layout", "bucketing", "pruning"),
+)
+def bucketed_colocated_join(spark, sf_dir):
+    tag = abs(hash(sf_dir)) % (1 << 30)
+    li_tbl, o_tbl = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    if not spark.catalog.tableExists(li_tbl):
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(li_tbl)
+        )
+    if not spark.catalog.tableExists(o_tbl):
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        (
+            o.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(o_tbl)
+        )
+    li_b, o_b = spark.table(li_tbl), spark.table(o_tbl)
+    # MERGE hint: at tiny SFs AQE would broadcast the orders side, which
+    # also avoids a shuffle but hides the layout property under test; the
+    # hint pins SortMergeJoin so the bucket-aligned, exchange-free scan
+    # pair is what executes at every scale.
+    return (
+        li_b.join(o_b.hint("merge"), li_b.l_orderkey == o_b.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

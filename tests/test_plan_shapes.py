@@ -324,3 +324,16 @@ def test_partitioned_layout_prunes_directories(plans):
     assert "PartitionFilters" in p, p
     pf = [l for l in p.splitlines() if "PartitionFilters" in l][0]
     assert "lang#" in pf and "IN (en,de)" in pf, pf
+
+
+def test_bucketed_join_query_has_no_shuffle(plans):
+    """Registry-query twin of test_bucketed_join_has_no_shuffle: the
+    oracle-checked bucketed_colocated_join's SortMergeJoin subtree must
+    contain NO Exchange — bucket i merges with bucket i straight off
+    the scans (the aggregate above the join still shuffles; fine)."""
+    p = plans("bucketed_colocated_join")
+    tree = p[: p.find("(1) ")]
+    assert "SortMergeJoin" in tree, tree
+    below_join = tree[tree.find("SortMergeJoin"):]
+    assert "Exchange" not in below_join, below_join
+    assert "SelectedBucketsCount" in p, p
