@@ -549,3 +549,46 @@ def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
         ), spark.sql(f"SELECT * FROM {name}").collect()
     finally:
         q.stop()
+
+
+def test_observed_metrics_on_envelope_stream(spark, tmp_path):
+    """df.observe(): per-micro-batch operational metrics (row count, byte
+    volume) computed inline on the stream — the Flink-metrics analogue —
+    surfaced through StreamingQueryProgress without a second
+    aggregation pass over the data."""
+    from pyspark.sql import Observation  # noqa: F401  (batch twin)
+
+    spool = str(tmp_path / "spool")
+    pub = SpoolPublisher(spool)
+    for i in range(10):
+        pub.publish("t/1", str(i).encode() * 3, qos=1)
+    observed = _source(spark, spool).observe(
+        "envelope_metrics",
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.sum(F.length("payload")).alias("payload_bytes"),
+    )
+    name = f"obs_{uuid.uuid4().hex[:8]}"
+    q = (
+        observed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        def metrics():
+            p = q.lastProgress
+            if not p:
+                return None
+            row = (p.get("observedMetrics") or {}).get("envelope_metrics")
+            return row.asDict() if row is not None else None
+
+        assert _wait(
+            lambda: (metrics() or {}).get("n_msgs", 0) > 0, timeout=30.0
+        ), q.lastProgress
+        m = metrics()
+        # 10 msgs, payloads are 3-char strings repeated -> 3 bytes x count
+        assert 0 < m["n_msgs"] <= 10
+        assert m["payload_bytes"] == m["n_msgs"] * 3
+    finally:
+        q.stop()
