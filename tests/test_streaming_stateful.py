@@ -592,3 +592,45 @@ def test_observed_metrics_on_envelope_stream(spark, tmp_path):
         assert m["payload_bytes"] == m["n_msgs"] * 3
     finally:
         q.stop()
+
+
+def test_materialized_latest_state_view(spark, tmp_path):
+    """The latest-state view converges to newest-value-per-topic across
+    out-of-order delivery AND across a query restart (state survives on
+    disk; the second run merges into it)."""
+    from flink_emqx_connector_spark.streaming.materialized_view import (
+        latest_state_sink,
+        read_state,
+    )
+
+    spool = str(tmp_path / "spool")
+    state = str(tmp_path / "state")
+    pub = SpoolPublisher(spool)
+
+    def run_until(n_msgs):
+        src = _source(spark, spool).select(
+            "topic", F.col("payload").cast("string").alias("val"), "timestamp"
+        )
+        q = (
+            src.writeStream.foreachBatch(
+                latest_state_sink(state, key_cols=("topic",), ts_col="timestamp")
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    pub.publish("dev/1", b"v1", qos=1)
+    pub.publish("dev/2", b"a1", qos=1)
+    pub.publish("dev/1", b"v2", qos=1)  # newer arrival wins
+    run_until(3)
+    s1 = {r.topic: r.val for r in read_state(spark, state).collect()}
+    assert s1 == {"dev/1": "v2", "dev/2": "a1"}, s1
+
+    # restart: more updates merge into the on-disk state
+    pub.publish("dev/2", b"a2", qos=1)
+    pub.publish("dev/3", b"new", qos=1)
+    run_until(5)
+    s2 = {r.topic: r.val for r in read_state(spark, state).collect()}
+    assert s2 == {"dev/1": "v2", "dev/2": "a2", "dev/3": "new"}, s2
