@@ -17,14 +17,16 @@ Scope — exactly the protocol surface the connector semantics need
 - CONNECT/CONNACK with clean-start, session expiry, session-present;
 - SUBSCRIBE/SUBACK incl. shared subscriptions (``$share/<group>/<filter>``,
   broker round-robins a message to ONE live group member);
-- PUBLISH/PUBACK QoS 0/1, manual acks, DUP redelivery of un-acked
-  messages on session resume, MQTT 5 user properties;
+- PUBLISH/PUBACK QoS 0/1 and the full QoS 2 handshake
+  (PUBREC/PUBREL/PUBCOMP, exactly-once after PUBREC), manual acks, DUP
+  redelivery of un-acked messages on session resume, MQTT 5 user
+  properties;
 - persistent sessions: a second CONNECT with a live clientid takes the
   session over (the old connection is closed — EMQX behavior);
 - PINGREQ/PINGRESP, DISCONNECT.
 
-Out of scope (unused by the connector): QoS 2 handshake, retained-message
-store, will messages, topic aliases, auth, session-expiry timers.
+Out of scope (unused by the connector): retained-message store, will
+messages, topic aliases, auth, session-expiry timers.
 """
 
 from __future__ import annotations
@@ -39,6 +41,7 @@ from collections import deque
 from ..functions.topics import strip_share, topic_matches_py
 
 CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
+PUBREC, PUBREL, PUBCOMP = 5, 6, 7
 SUBSCRIBE, SUBACK, PINGREQ, PINGRESP, DISCONNECT = 8, 9, 12, 13, 14
 
 
@@ -177,6 +180,19 @@ def puback_packet(pid: int) -> bytes:
     return _packet(PUBACK, 0, struct.pack(">H", pid))
 
 
+def pubrec_packet(pid: int) -> bytes:
+    return _packet(PUBREC, 0, struct.pack(">H", pid))
+
+
+def pubrel_packet(pid: int) -> bytes:
+    # PUBREL's fixed-header flags are 0b0010 by spec
+    return _packet(PUBREL, 2, struct.pack(">H", pid))
+
+
+def pubcomp_packet(pid: int) -> bytes:
+    return _packet(PUBCOMP, 0, struct.pack(">H", pid))
+
+
 def subscribe_packet(pid: int, topic_filter: str, qos: int) -> bytes:
     body = struct.pack(">H", pid) + _varint(0) + _mqtt_str(topic_filter) + bytes([qos])
     return _packet(SUBSCRIBE, 2, body)
@@ -229,13 +245,22 @@ def read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
 
 
 class _Session:
-    __slots__ = ("clientid", "subs", "queue", "inflight", "next_pid", "conn")
+    __slots__ = (
+        "clientid", "subs", "queue", "inflight", "next_pid", "conn",
+        "awaiting_comp", "rx_qos2",
+    )
 
     def __init__(self, clientid: str):
         self.clientid = clientid
         self.subs: dict[str, tuple[int, str | None]] = {}  # filter → (qos, group)
         self.queue: deque = deque()  # (topic, payload, qos, retain, uprops, dup)
         self.inflight: dict[int, tuple] = {}
+        # outgoing QoS 2 past PUBREC: the client HAS the message — on
+        # resume we re-send PUBREL, never the PUBLISH (exactly-once)
+        self.awaiting_comp: set[int] = set()
+        # incoming QoS 2 publisher pids between PUBLISH and PUBREL:
+        # a DUP retransmission of the same pid must not re-dispatch
+        self.rx_qos2: set[int] = set()
         self.next_pid = 1
         self.conn: "_BrokerConn | None" = None
 
@@ -334,6 +359,27 @@ class EmbeddedBroker:
             with self._lock:
                 if conn.session is not None:
                     conn.session.inflight.pop(pid, None)
+        elif ptype == PUBREC:
+            # subscriber holds the QoS 2 message: release it from PUBLISH
+            # redelivery, advance the handshake with PUBREL
+            (pid,) = struct.unpack_from(">H", body, 0)
+            with self._lock:
+                if conn.session is not None:
+                    conn.session.inflight.pop(pid, None)
+                    conn.session.awaiting_comp.add(pid)
+            conn.send(pubrel_packet(pid))
+        elif ptype == PUBCOMP:
+            (pid,) = struct.unpack_from(">H", body, 0)
+            with self._lock:
+                if conn.session is not None:
+                    conn.session.awaiting_comp.discard(pid)
+        elif ptype == PUBREL:
+            # publisher released its QoS 2 pid: accept a reuse of the pid
+            (pid,) = struct.unpack_from(">H", body, 0)
+            with self._lock:
+                if conn.session is not None:
+                    conn.session.rx_qos2.discard(pid)
+            conn.send(pubcomp_packet(pid))
         elif ptype == PINGREQ:
             conn.send(_packet(PINGRESP, 0, b""))
         elif ptype == DISCONNECT:
@@ -374,6 +420,14 @@ class EmbeddedBroker:
             session.queue.appendleft((topic, payload, qos, retain, uprops, True))
         while session.queue and session.conn is not None:
             self._deliver(session, session.queue.popleft())
+        # QoS 2 messages past PUBREC: the client has them — finish the
+        # handshake with PUBREL only, never redeliver the PUBLISH
+        if session.conn is not None:
+            for pid in sorted(session.awaiting_comp):
+                try:
+                    session.conn.send(pubrel_packet(pid))
+                except OSError:
+                    break
 
     def _on_subscribe(self, conn: _BrokerConn, body: bytes) -> None:
         (pid,) = struct.unpack_from(">H", body, 0)
@@ -401,7 +455,16 @@ class EmbeddedBroker:
             i += 2
         props, i = _parse_props(body, i)
         payload = body[i:]
-        if qos:
+        if qos == 2:
+            with self._lock:
+                session = conn.session
+                duplicate = session is not None and pid in session.rx_qos2
+                if session is not None:
+                    session.rx_qos2.add(pid)
+            conn.send(pubrec_packet(pid))
+            if duplicate:  # DUP retransmission before PUBREL: already dispatched
+                return
+        elif qos:
             conn.send(puback_packet(pid))
         with self._lock:
             self._dispatch(topic, payload, qos, retain, props["user"])
@@ -611,7 +674,11 @@ class Client:
         return MQTTMessageInfo(ev)
 
     def ack(self, msg: MQTTMessage) -> None:
-        if msg.qos:
+        if msg.qos == 2:
+            # manual-ack QoS 2: the ack IS the PUBREC — from here the
+            # broker finishes via PUBREL/PUBCOMP and never redelivers
+            self._send(pubrec_packet(msg.mid))
+        elif msg.qos:
             self._send(puback_packet(msg.mid))
 
     def disconnect(self) -> None:
@@ -688,7 +755,9 @@ class Client:
                     i += 2
                 props, i = _parse_props(body, i)
                 msg = MQTTMessage(topic, qos, retain, body[i:], mid, dup, props["user"])
-                if qos and not self._manual_ack:
+                if qos == 2 and not self._manual_ack:
+                    self._send(pubrec_packet(mid))
+                elif qos and not self._manual_ack:
                     self._send(puback_packet(mid))
                 if self.on_message is not None:
                     self.on_message(self, None, msg)
@@ -697,4 +766,17 @@ class Client:
                 ev = self._pub_events.pop(pid, None)
                 if ev is not None:
                     ev.set()
+            elif ptype == PUBREC:
+                # broker took our QoS 2 publish: release it
+                (pid,) = struct.unpack_from(">H", body, 0)
+                self._send(pubrel_packet(pid))
+            elif ptype == PUBCOMP:
+                (pid,) = struct.unpack_from(">H", body, 0)
+                ev = self._pub_events.pop(pid, None)
+                if ev is not None:
+                    ev.set()
+            elif ptype == PUBREL:
+                # broker finishing an inbound QoS 2 handshake we PUBREC'd
+                (pid,) = struct.unpack_from(">H", body, 0)
+                self._send(pubcomp_packet(pid))
             # PINGRESP / SUBACK need no action

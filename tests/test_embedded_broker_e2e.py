@@ -478,3 +478,90 @@ def test_bridge_restart_from_checkpoint(spark, broker, tmp_path):
     finally:
         q2.stop()
         pub.disconnect()
+
+
+# --------------------------------------------------------------------------
+# QoS 2: full PUBREC/PUBREL/PUBCOMP handshake (reference parameterizes its
+# recovery scenario over QoS {1,2} — EMQXSourceIntegrationTest.java:219-221)
+# --------------------------------------------------------------------------
+
+
+def test_qos2_publish_roundtrip_exactly_once(broker):
+    """QoS 2 publish completes the 4-way handshake (wait_for_publish
+    returns on PUBCOMP) and the subscriber sees exactly one copy;
+    auto-ack (PUBREC) + PUBREL/PUBCOMP clears all broker state."""
+    got = []
+    sub = Client(CallbackAPIVersion.VERSION2, client_id="sub-q2", protocol=MQTTv5)
+    sub.on_connect = lambda c, u, f, r, p=None: c.subscribe("t/#", qos=2)
+    sub.on_message = lambda c, u, m: got.append(m)
+    sub.connect("127.0.0.1", broker.port)
+    sub.loop_start()
+    assert _wait(lambda: broker.sessions.get("sub-q2") and broker.sessions["sub-q2"].subs)
+
+    pub = _publisher(broker.port)
+    pub.publish("t/1", b"exactly-once", qos=2).wait_for_publish()
+    assert _wait(lambda: len(got) == 1)
+    assert (got[0].topic, bytes(got[0].payload), got[0].qos) == ("t/1", b"exactly-once", 2)
+    time.sleep(0.3)  # any duplicate would land within a trigger or two
+    assert len(got) == 1
+    s = broker.sessions["sub-q2"]
+    assert _wait(lambda: not s.inflight and not s.awaiting_comp), (
+        s.inflight, s.awaiting_comp)
+    sub.disconnect()
+    pub.disconnect()
+
+
+def test_qos2_recovery_no_redelivery_after_pubrec(broker):
+    """The exactly-once leg: a manual-ack subscriber that PUBRECs and then
+    crashes (no DISCONNECT) must NOT get the PUBLISH again on resume —
+    the broker finishes the handshake with PUBREL only (reference
+    recoverAfterFailure at QoS 2)."""
+    got = []
+    sub = Client(
+        CallbackAPIVersion.VERSION2, client_id="sub-q2r", protocol=MQTTv5,
+        manual_ack=True,
+    )
+    sub.on_connect = lambda c, u, f, r, p=None: (
+        f.session_present or c.subscribe("t/#", qos=2)
+    )
+    sub.on_message = lambda c, u, m: got.append(m)
+    sub.connect("127.0.0.1", broker.port, clean_start=True)
+    sub.loop_start()
+    assert _wait(lambda: broker.sessions.get("sub-q2r") and broker.sessions["sub-q2r"].subs)
+
+    pub = _publisher(broker.port)
+    pub.publish("t/1", b"m1", qos=2).wait_for_publish()
+    assert _wait(lambda: len(got) == 1)
+
+    # phase 1: crash BEFORE ack → PUBLISH redelivered as DUP on resume
+    sub.loop_stop()
+    sub2 = Client(
+        CallbackAPIVersion.VERSION2, client_id="sub-q2r", protocol=MQTTv5,
+        manual_ack=True,
+    )
+    got2 = []
+    sub2.on_message = lambda c, u, m: got2.append(m)
+    sub2.connect("127.0.0.1", broker.port, clean_start=False)
+    sub2.loop_start()
+    assert _wait(lambda: len(got2) == 1), "un-PUBREC'd msg must redeliver"
+    assert got2[0].dup
+
+    # phase 2: PUBREC it, then crash before PUBCOMP → on resume the broker
+    # sends PUBREL only; the message must NOT arrive a third time
+    sub2.ack(got2[0])
+    s = broker.sessions["sub-q2r"]
+    assert _wait(lambda: got2[0].mid in s.awaiting_comp or not s.awaiting_comp)
+    sub2.loop_stop()
+    sub3 = Client(
+        CallbackAPIVersion.VERSION2, client_id="sub-q2r", protocol=MQTTv5,
+        manual_ack=True,
+    )
+    got3 = []
+    sub3.on_message = lambda c, u, m: got3.append(m)
+    sub3.connect("127.0.0.1", broker.port, clean_start=False)
+    sub3.loop_start()
+    assert _wait(lambda: not s.awaiting_comp), "PUBREL/PUBCOMP must finish"
+    time.sleep(0.3)
+    assert got3 == [], f"message redelivered after PUBREC: {got3}"
+    sub3.disconnect()
+    pub.disconnect()
