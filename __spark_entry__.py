@@ -35,13 +35,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["wordcount"].spark(spark, "/root/testdata/sf0.001")
 
 
-# Names already covered by a driver CORRECTNESS record in rounds 1-3 (the
-# driver records the first 50 dict entries per round, so those not yet
-# recorded are ordered FIRST below — rotating the window gives cumulative
+# Names already covered by a CLEAN driver CORRECTNESS record (rounds 1-4).
+# The driver records the first 50 dict entries per round, so names not in
+# this set are ordered FIRST below — rotating the window gives cumulative
 # driver-verified coverage across rounds; local `plans.check` covers the
-# full registry every round regardless).
+# full registry every round regardless.
+#
+# Maintenance rules (learned rounds 3-5):
+#  * after each round, add the names newly recorded in CORRECTNESS_r{N}.json;
+#  * REMOVE a name when its latest driver record is an error (so the driver
+#    replaces the stale failed record with a green one), and
+#  * REMOVE a name whose implementation materially changed this round (so
+#    the driver re-verifies the new plan, not the old record).
+# Round 5 removals: dedup_minhash_lsh (latest record = r3 NameError; fixed),
+# plus this round's changed plans (re-record): token_vocab_coverage was never
+# recorded; others listed at the end of the literal below if changed.
 _DRIVER_RECORDED = frozenset(
     {
+        # rounds 1-3
         "wordcount", "decode_json", "topic_filter", "rolling_sum",
         "tumbling_window", "sessionization", "q1_pricing_summary",
         "q3_top_revenue_orders", "star_join_supplier_region",
@@ -53,7 +64,7 @@ _DRIVER_RECORDED = frozenset(
         "pivot_lineitem_status", "asof_join_purchase_view",
         "text_token_stats", "text_quality_scores", "lang_id_confusion",
         "doc_fingerprint_dupes", "dedup_exact", "dedup_ngram_jaccard",
-        "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+        "dedup_simhash",
         "embedding_clusters", "dedup_keep_list", "dedup_embedding_cosine",
         "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk", "knn_graph_lsh",
         "knn_join_topk", "multimodal_features", "multimodal_frame_sample",
@@ -61,6 +72,33 @@ _DRIVER_RECORDED = frozenset(
         "percentiles_lineitem", "unpivot_part_measures",
         "correlated_subquery_agg", "union_all_counts",
         "decode_dead_letter_split", "text_regex_tokens",
+        # round 4
+        "window_distribution_functions", "doc_winnowing_fingerprints",
+        "full_outer_join_coverage", "left_outer_join_nulls",
+        "cross_join_grid", "interval_join_event_pairs", "approx_aggregates",
+        "decode_csv_payload", "q14_promo_share", "q18_large_orders",
+        "q5_local_supplier_volume", "codec_roundtrip_docs",
+        "grouping_sets_orders", "array_agg_order_quantities",
+        "json_functions_events", "map_functions_events",
+        "resample_gapfill_events", "ohlc_per_user_hour",
+        "range_frame_trailing_sum", "posexplode_doc_tokens", "udtf_tokenize",
+        "multiset_ops_users", "fuzzy_match_nations",
+        "cleaning_pipeline_counts", "profile_documents",
+        "quality_drop_reasons", "stratified_sample_docs",
+        "salted_user_activity", "regression_per_segment",
+        "zscore_per_priority", "sliding_window_events",
+        "decode_avro_payload", "gini_by_priority",
+        "sql_interface_revenue_by_nation_quarter", "variant_props_stats",
+        "try_functions_safety", "decode_xml_payload", "pii_redact_docs",
+        "contamination_check_docs", "shard_assignment_docs",
+        "dedup_ngram_jaccard_dfcap", "scan_orc_roundtrip",
+        "partitioned_layout_pruning",
+        "sequence_pack_docs", "sequence_pack_contiguous",
+        "chunk_docs_overlap", "balance_lang_sample", "global_shuffle_docs",
+        "repetition_filter_docs",
+        # "dedup_minhash_lsh" removed: r3 record is a NameError, re-record.
+        # "bucketed_colocated_join" removed: round-5 table-naming change.
+        # "dedup_clusters" removed: round-5 Arrow-path change (perf drift fix).
     }
 )
 
