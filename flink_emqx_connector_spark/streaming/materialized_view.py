@@ -13,9 +13,17 @@ table updated per micro-batch:
   (``state_v{batch_id}``) and then flips a pointer file via atomic
   rename — readers never observe a half-written state, and a crash
   between write and flip leaves the previous version intact;
-- replay safety: a replayed batch (same batch_id after recovery)
-  recomputes the same version directory from the same inputs —
-  idempotent by construction, no marker needed;
+- replay safety: the pointer IS the commit marker. A replayed batch
+  (same batch_id after recovery) is detected because the pointer
+  already names ``state_v{batch_id}`` — the flip is the last step, so
+  pointer==version proves the merge+write fully completed and the
+  replay early-returns. Without this, the replay would read the
+  current version dir and ``overwrite`` the same path (Spark rejects
+  overwrite-while-reading, and the pre-merge version was already
+  GC'd). A crash BEFORE the flip leaves the pointer on the old
+  version, whose dir is only GC'd after the flip — the replay then
+  recomputes from intact inputs and overwrites a half-written,
+  unreferenced dir;
 - state size is bounded by key cardinality, not stream length. At
   cluster scale the state write partitions by a key hash so readers
   prune, and old versions are GC'd after a retention window (here:
@@ -62,6 +70,13 @@ def latest_state_sink(
         spark = batch_df.sparkSession
         os.makedirs(state_dir, exist_ok=True)
         prev = _current_version(state_dir)
+        version = f"state_v{batch_id}"
+        if prev == version:
+            # Pointer already names this batch's version: the previous
+            # attempt committed (flip is the final step), this is a
+            # post-recovery replay — applying it again would read and
+            # overwrite the same live dir.
+            return
         merged = batch_df
         if prev is not None:
             old = spark.read.parquet(os.path.join(state_dir, prev))
@@ -71,7 +86,6 @@ def latest_state_sink(
             F.max_by(F.struct(*value_cols), F.col(ts_col)).alias("_v")
         )
         state = newest.select(*key_cols, *[f"_v.{c}" for c in value_cols])
-        version = f"state_v{batch_id}"
         out = os.path.join(state_dir, version)
         state.write.mode("overwrite").parquet(out)
         tmp = os.path.join(state_dir, f".{_POINTER}.tmp")

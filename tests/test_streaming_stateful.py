@@ -634,3 +634,36 @@ def test_materialized_latest_state_view(spark, tmp_path):
     run_until(5)
     s2 = {r.topic: r.val for r in read_state(spark, state).collect()}
     assert s2 == {"dev/1": "v2", "dev/2": "a2", "dev/3": "new"}, s2
+
+
+def test_materialized_view_replay_after_commit_is_noop(spark, tmp_path):
+    """Crash-recovery replay of an already-committed batch (same batch_id)
+    must be a no-op: the pointer is the commit marker. Before the fix the
+    replay read the current version dir and overwrote the SAME path —
+    Spark rejects overwrite-while-reading and the pre-merge version was
+    already GC'd, so every restart failed."""
+    from flink_emqx_connector_spark.streaming.materialized_view import (
+        _current_version,
+        latest_state_sink,
+        read_state,
+    )
+
+    state = str(tmp_path / "state")
+    sink = latest_state_sink(state, key_cols=("k",), ts_col="ts")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, val string, ts long")
+
+    sink(batch([("a", "v1", 1), ("b", "w1", 1)]), 0)
+    sink(batch([("a", "v2", 2)]), 1)
+    committed = {r.k: r.val for r in read_state(spark, state).collect()}
+    assert committed == {"a": "v2", "b": "w1"}
+
+    # Replay batch 1 after the pointer flipped: foreachBatch re-delivers
+    # the same (batch_df, batch_id) after recovery. Must not raise, must
+    # not change state, must keep the pointer on the same version.
+    v_before = _current_version(state)
+    sink(batch([("a", "v2", 2)]), 1)
+    assert _current_version(state) == v_before == "state_v1"
+    replayed = {r.k: r.val for r in read_state(spark, state).collect()}
+    assert replayed == committed
