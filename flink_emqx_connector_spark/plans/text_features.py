@@ -14,9 +14,10 @@ Scale posture, per operator:
 - bigram LM: one shuffle on (w1,w2) with map-side partial aggregation;
   the conditional-probability denominator is a window over w1 — Catalyst
   plans both over a single exchange of the (w1,w2) aggregate.
-- vocab coverage: the ordered cumulative window runs single-partition BY
-  DESIGN over the term *aggregate* (vocab-bounded — Heaps' law, millions
-  of rows at 100 TB, not corpus-sized), never over raw tokens.
+- vocab coverage: top-K terms via TakeOrderedAndProject (distributed
+  per-partition top-K — no global sort of the vocabulary, which reaches
+  1e8-1e9 distinct "terms" on a raw web corpus), token-mass denominator
+  off the document scan, rank/cumsum window over only the K survivors.
 - PII transform: pure regexp_replace/extract_all column expressions —
   single scan, no shuffle, codegen'd; pinned against DuckDB on synthetic
   rows with real-shaped emails/IPs/phones (tests/test_text_features.py).
@@ -203,29 +204,46 @@ def bigram_lm_topk(spark, sf_dir):
     """,
     doc="Vocabulary coverage curve: frequency-ranked terms with cumulative "
     "token-mass fraction — the tokenizer-design analysis (how much of the "
-    "corpus the top-k vocab entries cover). The ordered cumulative window "
-    "is single-partition BY DESIGN but runs over the term aggregate "
-    "(vocab-bounded by Heaps' law), never over raw tokens; the token scan "
-    "itself is one map-side-combined shuffle.",
+    "corpus the top-k vocab entries cover). Scale shape: the top-K terms "
+    "come from TakeOrderedAndProject (per-partition top-K, merged — never "
+    "a global sort of the vocabulary, which is 1e8+ 'terms' on a web "
+    "corpus); the denominator is a scan-side token count (no second "
+    "shuffle of the vocab aggregate); the rank/cumsum window then runs "
+    "over only the K surviving rows under an explicit constant partition "
+    "key, so no unbounded single-partition WindowExec exists anywhere in "
+    "the plan. Cumulative mass at rank r only involves rows ranked <= r, "
+    "so the K-row window equals the full-vocab window for rk <= K.",
     tags=("text", "vocab", "profiling", "pipeline"),
 )
 def token_vocab_coverage(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     counts = (
-        _docs(spark, sf_dir)
-        .filter(F.col("text").isNotNull())
-        .select(F.explode(F.split("text", " ")).alias("term"))
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
     )
-    ordered = Window.orderBy(F.col("cnt").desc(), "term")
+    # Total token mass == sum of all term counts, computed straight off the
+    # document scan (sum of per-doc token counts) — no dependence on the
+    # vocab aggregate, one scan-local aggregation, one row out.
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "term").limit(_TOP_VOCAB)
+    # K rows from here on: the window is bounded by _TOP_VOCAB. The
+    # partition key is constant-valued but non-foldable — pmod(cnt, 1) is
+    # always 0 yet survives optimization, while lit(0) and cnt*0 both get
+    # constant-folded out of the partition spec, putting WindowExec back
+    # on its warning-emitting move-everything-to-one-partition path.
+    ordered = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+        F.col("cnt").desc(), "term"
+    )
     return (
-        counts.withColumn("rk", F.row_number().over(ordered))
+        top.withColumn("rk", F.row_number().over(ordered))
         .withColumn(
             "cum",
             F.sum("cnt").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
         )
-        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
-        .filter(F.col("rk") <= _TOP_VOCAB)
+        .crossJoin(F.broadcast(total))
         .select(
             F.col("rk").cast("bigint").alias("rk"),
             "term",

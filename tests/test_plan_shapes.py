@@ -337,3 +337,19 @@ def test_bucketed_join_query_has_no_shuffle(plans):
     below_join = tree[tree.find("SortMergeJoin"):]
     assert "Exchange" not in below_join, below_join
     assert "SelectedBucketsCount" in p, p
+
+
+def test_vocab_coverage_topk_not_global_sort(plans):
+    """token_vocab_coverage's top-K must plan as TakeOrderedAndProject
+    (per-partition top-K + merge — a web corpus has 1e8+ distinct terms,
+    a global vocab sort is a scale-killer), and the rank/cumsum window
+    must carry a real partition key (pmod(cnt,1)) instead of the
+    no-partition WindowExec that moves everything to one task."""
+    p = plans("token_vocab_coverage")
+    assert "TakeOrderedAndProject" in p, p
+    assert "pmod" in p, p  # the constant-valued key, projected as _w0
+    window_lines = [l for l in p.splitlines() if "windowspecdefinition" in l]
+    assert window_lines, p
+    for line in window_lines:
+        # partitionSpec = the middle bracket group: [..., [_w0#N], [cnt ...]]
+        assert "_w0" in line, line
