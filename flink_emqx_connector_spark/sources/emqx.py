@@ -100,6 +100,9 @@ class EMQXStreamReader(DataSourceStreamReader):
         self.poll_timeout_s = float(options.get("poll_timeout_s", "0.2"))
         # reference hard-codes 60 s (EMQXSourceReader.java:96 TODO); here an option
         self.session_expiry = int(options.get("session_expiry", "300"))
+        # bounded callback→drain queue; the reference's ConcurrentLinkedQueue
+        # is unbounded (EMQXSourceReader.java:37) — see PahoTransport
+        self.max_inflight = int(options.get("max_inflight", "100000"))
         self.spool_dir = options.get("spool_dir", "")
         if self.transport_kind in ("spool", "bridge"):
             if not self.spool_dir:
@@ -208,6 +211,7 @@ class EMQXStreamReader(DataSourceStreamReader):
                 self.qos,
                 self.group,
                 session_expiry=self.session_expiry,
+                max_inflight=self.max_inflight,
             )
             # commit() ran on the driver; the executor learns the committed
             # frontier from the batch window start and acks below it (ST3).

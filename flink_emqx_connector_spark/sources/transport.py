@@ -438,6 +438,19 @@ class PahoTransport:
     # size it to survive the longest expected executor restart.
     SESSION_EXPIRY = 300
 
+    # In-flight admission control (ST7). The reference buffers into an
+    # unbounded ConcurrentLinkedQueue (EMQXSourceReader.java:37): a fast
+    # publisher against a slow micro-batch grows reader memory without
+    # bound. Here the callback→drain queue is bounded (`max_inflight`
+    # source option): when full, on_message first BLOCKS briefly — the
+    # callback runs on the network loop thread, so blocking stops socket
+    # reads and exerts TCP/broker backpressure — and if still full after
+    # BLOCK_TIMEOUT drops the message UNACKED, which under manual-ack +
+    # persistent session means the broker redelivers it after resume
+    # (at-least-once preserved; QoS 0 drops are within contract).
+    MAX_INFLIGHT = 100_000
+    BLOCK_TIMEOUT = 5.0
+
     def __init__(
         self,
         host: str,
@@ -447,6 +460,7 @@ class PahoTransport:
         qos: int,
         group: str,
         session_expiry: int | None = None,
+        max_inflight: int | None = None,
     ):
         import queue
 
@@ -454,7 +468,11 @@ class PahoTransport:
         self.session_expiry = (
             self.SESSION_EXPIRY if session_expiry is None else int(session_expiry)
         )
-        self.queue: queue.Queue = queue.Queue()
+        self.max_inflight = (
+            self.MAX_INFLIGHT if max_inflight is None else int(max_inflight)
+        )
+        self.queue: queue.Queue = queue.Queue(maxsize=self.max_inflight)
+        self.dropped = 0  # overflow drops awaiting broker redelivery
         self.seq = 0
         # batch_id → [mqtt messages awaiting ack] (ST2: snapshot-stamped acks)
         self.pending: dict[int, list] = {}
@@ -462,6 +480,8 @@ class PahoTransport:
         self._connect(host, port, topic_filter, qos, group)
 
     def _connect(self, host, port, topic_filter, qos, group):
+        import queue as _q
+
         mqtt, PacketTypes, Properties = _load_mqtt()
 
         self._mqtt = mqtt
@@ -484,8 +504,16 @@ class PahoTransport:
             # stamp ARRIVAL time here, not at drain: under a slow trigger
             # the drain runs seconds later and event-time columns would
             # inherit batch latency
-            self.queue.put((self.seq, time.time(), msg))
+            item = (self.seq, time.time(), msg)
             self.seq += 1
+            try:
+                # Bounded queue: blocks the network loop thread when full
+                # (backpressure), then drops unacked (redelivery covers it).
+                # The timeout also keeps this thread live enough to service
+                # keepalive pings during a long reader stall.
+                self.queue.put(item, timeout=self.BLOCK_TIMEOUT)
+            except _q.Full:
+                self.dropped += 1
 
         cli.on_connect = on_connect
         cli.on_message = on_message
@@ -545,10 +573,27 @@ class PahoTransport:
 
     @classmethod
     def get(
-        cls, host, port, clientid, topic_filter, qos, group, session_expiry=None
+        cls,
+        host,
+        port,
+        clientid,
+        topic_filter,
+        qos,
+        group,
+        session_expiry=None,
+        max_inflight=None,
     ) -> "PahoTransport":
         t = _CLIENTS.get(clientid)
         if t is None:
-            t = cls(host, port, clientid, topic_filter, qos, group, session_expiry)
+            t = cls(
+                host,
+                port,
+                clientid,
+                topic_filter,
+                qos,
+                group,
+                session_expiry,
+                max_inflight,
+            )
             _CLIENTS[clientid] = t
         return t

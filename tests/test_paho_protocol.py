@@ -126,6 +126,75 @@ def test_broker_offline_at_start_tolerated(fake_paho):
     assert t.drain(1, max_records=10, timeout_s=0.01) == []
 
 
+def test_bounded_inflight_queue_drops_to_redelivery(fake_paho, monkeypatch):
+    """ST7 hardening over the reference: its ConcurrentLinkedQueue is
+    unbounded (EMQXSourceReader.java:37) — a fast publisher against a
+    stalled reader grows memory without bound. Our queue is bounded: with
+    the reader stalled, overflow messages are dropped UNACKED, memory
+    stays at maxsize, and because un-acked QoS1 messages are redelivered
+    on session resume (EMQXSourceIntegrationTest.java:221-301 semantics)
+    every message is still delivered after the reader resumes."""
+    from flink_emqx_connector_spark.sources.transport import PahoTransport
+
+    monkeypatch.setattr(PahoTransport, "BLOCK_TIMEOUT", 0.01)
+    t = PahoTransport("localhost", 1883, "c-bounded", "t/#", 1, "g1",
+                      max_inflight=8)
+    # stalled reader: publish 100 >> maxsize=8
+    for i in range(100):
+        t.client.on_message(t.client, None, FakeMsg("t/1", b"m%03d" % i))
+    assert t.queue.qsize() == 8  # memory flat at the bound
+    assert t.dropped == 92
+
+    delivered = {m.payload for m in t.drain(1, max_records=50, timeout_s=0.05)}
+    assert delivered == {b"m%03d" % i for i in range(8)}
+    t.ack_upto(1)
+
+    # broker redelivers everything not acked (manual-ack + session resume)
+    acked = {bytes(m.payload) for m in t.client.acked}
+    batch = 2
+    while len(delivered) < 100:
+        for i in range(100):
+            payload = b"m%03d" % i
+            if payload not in acked:
+                t.client.on_message(t.client, None, FakeMsg("t/1", payload))
+        assert t.queue.qsize() <= 8
+        delivered |= {m.payload for m in t.drain(batch, 50, 0.05)}
+        t.ack_upto(batch)
+        acked = {bytes(m.payload) for m in t.client.acked}
+        batch += 1
+    assert delivered == {b"m%03d" % i for i in range(100)}
+
+
+def test_bounded_queue_backpressure_no_drops_with_live_reader(fake_paho):
+    """When the reader keeps draining, a full queue BLOCKS the (network
+    loop) publisher thread instead of dropping — everything arrives in
+    order with zero drops."""
+    import threading
+
+    from flink_emqx_connector_spark.sources.transport import PahoTransport
+
+    t = PahoTransport("localhost", 1883, "c-bp", "t/#", 1, "g1",
+                      max_inflight=4)
+
+    def feed():
+        for i in range(40):
+            t.client.on_message(t.client, None, FakeMsg("t/1", b"p%02d" % i))
+
+    feeder = threading.Thread(target=feed)
+    feeder.start()
+    got = []
+    deadline = 40
+    while len(got) < 40 and deadline > 0:
+        bid = len(got)
+        got.extend(t.drain(bid, max_records=4, timeout_s=0.2))
+        t.ack_upto(bid)
+        deadline -= 1
+    feeder.join(timeout=10)
+    assert not feeder.is_alive()
+    assert t.dropped == 0
+    assert [m.payload for m in got] == [b"p%02d" % i for i in range(40)]
+
+
 def test_session_expiry_option_reaches_connect():
     """The `session_expiry` source option must land in the CONNECT
     properties (the reference hard-codes 60 s behind a TODO —
