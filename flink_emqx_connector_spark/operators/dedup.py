@@ -304,7 +304,11 @@ def ngram_jaccard_pairs_dense(
 
     # The pair computation needs no further Spark input: every task slices
     # its row-block straight out of the broadcast matrix. range(n_blocks)
-    # is just the work assignment.
+    # is just the work assignment. 2× parallelism keeps every core busy
+    # with mild skew tolerance; an A/B against work-proportional task
+    # counts (fewer, fatter blocks) measured ~2× WORSE wall-clock at
+    # sf0.1 — the popcount inner loop parallelizes better than its
+    # per-task overhead costs (NOTES.md r5).
     n_blocks = max(1, min(n_docs, spark.sparkContext.defaultParallelism * 2))
     block = (n_docs + n_blocks - 1) // n_blocks
     # Bound the per-task uint64 scratch (3 × rows × n_docs × 8 B) to ~64 MB
@@ -826,15 +830,17 @@ def connected_components(
     SQL query expresses it at scale — so it runs as a driver-side loop of
     DataFrame joins (the Pregel pattern). Cost-based path choice first
     (mirroring the dense-vs-inverted Jaccard selector): the checkpointed
-    edge list's count routes graphs under ``small_graph_edges`` to a
-    driver union-find — one collect of 16-byte id pairs, O(E α(E)), zero
-    shuffle rounds — because below ~1 M edges the distributed loop's cost
-    is pure per-round job overhead, not data. Larger graphs take the
-    distributed loop, whose scale decisions are:
+    pair list's count routes graphs under ``small_graph_edges`` pairs to
+    a driver union-find — one collect of 16-byte id pairs, O(E α(E)),
+    zero shuffle rounds, and no doubled-edge union+distinct shuffle at
+    all — because below ~1 M pairs the distributed loop's cost is pure
+    per-round job overhead, not data. Larger graphs take the distributed
+    loop, whose scale decisions are:
 
-    - **edges are localCheckpoint'ed once, eagerly**: the pair list is the
+    - **pairs are localCheckpoint'ed once, eagerly**: the pair list is the
       output of a whole near-dup pipeline (Jaccard / cosine); without the
-      checkpoint every round would re-execute that pipeline from the scan.
+      checkpoint every round (and the doubled-edge build) would re-execute
+      that pipeline from the scan.
     - **min-label propagation + pointer jumping** per round: each node
       takes the min label over itself and its neighbors, then follows the
       label one hop (``comp ← label(comp)``, path halving). Jumping cuts
@@ -853,17 +859,16 @@ def connected_components(
     min's label can never change). ``stats["rounds"]`` reports the round
     count when a dict is passed.
     """
-    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-    edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint()  # edge generation (the expensive part) runs ONCE
-    )
-    n_edges = edges.count()  # cheap: counts the materialized checkpoint
-    if n_edges <= small_graph_edges:
-        # a <= b keeps one direction per undirected edge AND self-loop
-        # nodes (a == b), so every node is seeded into the union-find
-        pdf = edges.filter(F.col("a") <= F.col("b")).toPandas()
+    p = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint()  # pair generation (the expensive part) runs ONCE
+    n_pairs = p.count()  # cheap: counts the materialized checkpoint
+    if n_pairs <= small_graph_edges:
+        # Collect the RAW pair list — no doubled-edge union+distinct
+        # shuffle on this path (union-find is direction-agnostic and
+        # tolerates duplicates; both endpoints are seeded below). That
+        # shuffle was pure overhead for the common small-graph case.
+        pdf = p.toPandas()
         comp = _union_find_labels(pdf["a"].to_numpy(), pdf["b"].to_numpy())
         if stats is not None:
             stats["rounds"] = 0
@@ -879,6 +884,11 @@ def connected_components(
         )
     if stats is not None:
         stats["path"] = "distributed"
+    edges = (
+        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()  # built from the checkpointed pairs, not the scan
+    )
     labels = (
         edges.select("a")
         .distinct()
