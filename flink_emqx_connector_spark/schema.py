@@ -10,8 +10,10 @@ stream is a DataFrame with this fixed StructType, which Tungsten stores
 columnar — a free upgrade at scale.
 
 MQTT 5 user properties allow duplicate keys; ``MAP<STRING,STRING>`` drops
-duplicates (documented trade-off; use ``properties_list`` fidelity mode if
-exact duplicates matter).
+duplicates (last-wins). The source option ``properties_mode=list`` selects
+the ordered fidelity variant end-to-end: the envelope then carries
+``properties_list ARRAY<STRUCT<key,value>>`` with duplicates preserved in
+wire order (``EMQXMessage.java:3,9`` ``Mqtt5UserProperties`` parity).
 """
 
 from __future__ import annotations
@@ -35,9 +37,10 @@ EMQX_MESSAGE_SCHEMA = T.StructType(
 #: Fidelity variant: MQTT5 user properties as an ordered list of (key, value)
 #: pairs — duplicate keys preserved (see module docstring).
 EMQX_MESSAGE_SCHEMA_ORDERED_PROPS = T.StructType(
-    [f for f in EMQX_MESSAGE_SCHEMA.fields if f.name != "properties"]
-    + [
-        T.StructField(
+    [
+        f
+        if f.name != "properties"
+        else T.StructField(
             "properties_list",
             T.ArrayType(
                 T.StructType(
@@ -49,6 +52,7 @@ EMQX_MESSAGE_SCHEMA_ORDERED_PROPS = T.StructType(
             ),
             True,
         )
+        for f in EMQX_MESSAGE_SCHEMA.fields
     ]
 )
 

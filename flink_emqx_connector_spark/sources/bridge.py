@@ -75,15 +75,16 @@ class MqttSpoolBridge:
                     client.subscribe(sub_topic, qos=qos)
 
             def on_message(client, userdata, msg):
-                props_d = {}
+                # ordered (key, value) pairs — duplicate keys preserved
+                # end-to-end (EMQXMessage.java:9 Mqtt5UserProperties parity)
+                props_p = []
                 if getattr(msg, "properties", None) is not None:
-                    for k, v in getattr(msg.properties, "UserProperty", []) or []:
-                        props_d[k] = v
+                    props_p = list(getattr(msg.properties, "UserProperty", []) or [])
                 # durable append THEN ack: a crash between the two yields
                 # broker redelivery (duplicate spool row), never loss
                 with self._lock:
                     self._pub.publish(
-                        msg.topic, bytes(msg.payload), qos=msg.qos, properties=props_d
+                        msg.topic, bytes(msg.payload), qos=msg.qos, properties=props_p
                     )
                 client.ack(msg)
 

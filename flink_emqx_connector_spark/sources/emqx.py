@@ -52,7 +52,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ..schema import EMQX_MESSAGE_SCHEMA
+from ..schema import EMQX_MESSAGE_SCHEMA, EMQX_MESSAGE_SCHEMA_ORDERED_PROPS
 from .transport import Message, PahoTransport, SpoolTransport
 
 #: Driver-side bridge registry (transport="bridge"): keyed off the reader,
@@ -103,6 +103,12 @@ class EMQXStreamReader(DataSourceStreamReader):
         # bounded callback→drain queue; the reference's ConcurrentLinkedQueue
         # is unbounded (EMQXSourceReader.java:37) — see PahoTransport
         self.max_inflight = int(options.get("max_inflight", "100000"))
+        # "map" (default, MAP<STRING,STRING>, duplicate keys last-win) or
+        # "list" (ordered ARRAY<STRUCT<key,value>> — full Mqtt5UserProperties
+        # fidelity, EMQXMessage.java:3,9)
+        self.props_mode = options.get("properties_mode", "map").lower()
+        if self.props_mode not in ("map", "list"):
+            raise ValueError(f"unknown properties_mode: {self.props_mode}")
         self.spool_dir = options.get("spool_dir", "")
         if self.transport_kind in ("spool", "bridge"):
             if not self.spool_dir:
@@ -200,7 +206,9 @@ class EMQXStreamReader(DataSourceStreamReader):
                 partition.index,
                 partition.num_partitions,
             )
-            yield from columns_to_record_batches(cols, self.max_per_batch)
+            yield from columns_to_record_batches(
+                cols, self.max_per_batch, props_mode=self.props_mode
+            )
             return
         else:
             t = PahoTransport.get(
@@ -220,10 +228,25 @@ class EMQXStreamReader(DataSourceStreamReader):
         # Arrow batches, not per-row tuples: the row path pickles one row at
         # a time (~5k rows/s); a RecordBatch crosses the Python→JVM boundary
         # vectorized (~10× source throughput).
-        yield from messages_to_record_batches(msgs, self.max_per_batch)
+        yield from messages_to_record_batches(
+            msgs, self.max_per_batch, props_mode=self.props_mode
+        )
 
 
-def _arrow_schema():
+def _props_arrow_field(props_mode: str):
+    import pyarrow as pa
+
+    if props_mode == "list":
+        return pa.field(
+            "properties_list",
+            pa.list_(
+                pa.struct([("key", pa.string()), ("value", pa.string())])
+            ),
+        )
+    return pa.field("properties", pa.map_(pa.string(), pa.string()))
+
+
+def _arrow_schema(props_mode: str = "map"):
     import pyarrow as pa
 
     return pa.schema(
@@ -231,19 +254,39 @@ def _arrow_schema():
             pa.field("topic", pa.string()),
             pa.field("qos", pa.int32()),
             pa.field("retained", pa.bool_()),
-            pa.field("properties", pa.map_(pa.string(), pa.string())),
+            _props_arrow_field(props_mode),
             pa.field("payload", pa.binary()),
             pa.field("timestamp", pa.timestamp("us")),
         ]
     )
 
 
-def columns_to_record_batches(cols: dict[str, list], chunk: int = 10000):
-    """Columnar spool output → pyarrow RecordBatches matching
-    EMQX_MESSAGE_SCHEMA; no per-message objects anywhere on this path."""
+def _props_arrow_array(pairs_per_row: list, props_mode: str):
+    """Ordered (key, value) pair rows → the mode's Arrow array: list mode
+    keeps order + duplicates; map mode dedups last-wins (Spark's map
+    reader rejects duplicate keys under the default EXCEPTION policy)."""
     import pyarrow as pa
 
-    schema = _arrow_schema()
+    if props_mode == "list":
+        return pa.array(
+            [[{"key": k, "value": v} for k, v in row] for row in pairs_per_row],
+            pa.list_(pa.struct([("key", pa.string()), ("value", pa.string())])),
+        )
+    return pa.array(
+        [list(dict(row).items()) for row in pairs_per_row],
+        pa.map_(pa.string(), pa.string()),
+    )
+
+
+def columns_to_record_batches(
+    cols: dict[str, list], chunk: int = 10000, props_mode: str = "map"
+):
+    """Columnar spool output → pyarrow RecordBatches matching
+    EMQX_MESSAGE_SCHEMA (or the ordered-props variant); no per-message
+    objects anywhere on this path."""
+    import pyarrow as pa
+
+    schema = _arrow_schema(props_mode)
     n = len(cols["topic"])
     for i in range(0, n, chunk):
         sl = slice(i, i + chunk)
@@ -252,7 +295,7 @@ def columns_to_record_batches(cols: dict[str, list], chunk: int = 10000):
                 pa.array(cols["topic"][sl], pa.string()),
                 pa.array(cols["qos"][sl], pa.int32()),
                 pa.array(cols["retained"][sl], pa.bool_()),
-                pa.array(cols["properties"][sl], pa.map_(pa.string(), pa.string())),
+                _props_arrow_array(cols["properties"][sl], props_mode),
                 pa.array(cols["payload"][sl], pa.binary()),
                 pa.array(cols["timestamp"][sl], pa.timestamp("us")),
             ],
@@ -260,13 +303,15 @@ def columns_to_record_batches(cols: dict[str, list], chunk: int = 10000):
         )
 
 
-def messages_to_record_batches(msgs: list[Message], chunk: int = 10000):
+def messages_to_record_batches(
+    msgs: list[Message], chunk: int = 10000, props_mode: str = "map"
+):
     """Convert a drained message list (paho path) to pyarrow RecordBatches
     matching EMQX_MESSAGE_SCHEMA (topic, qos, retained, properties,
-    payload, timestamp[us])."""
+    payload, timestamp[us]) or its ordered-props variant."""
     import pyarrow as pa
 
-    schema = _arrow_schema()
+    schema = _arrow_schema(props_mode)
     for i in range(0, len(msgs), chunk):
         blk = msgs[i : i + chunk]
         yield pa.RecordBatch.from_arrays(
@@ -274,9 +319,14 @@ def messages_to_record_batches(msgs: list[Message], chunk: int = 10000):
                 pa.array([m.topic for m in blk], pa.string()),
                 pa.array([m.qos for m in blk], pa.int32()),
                 pa.array([m.retained for m in blk], pa.bool_()),
-                pa.array(
-                    [list(m.properties.items()) for m in blk],
-                    pa.map_(pa.string(), pa.string()),
+                _props_arrow_array(
+                    [
+                        m.prop_pairs
+                        if m.prop_pairs is not None
+                        else list(m.properties.items())
+                        for m in blk
+                    ],
+                    props_mode,
                 ),
                 pa.array([m.payload for m in blk], pa.binary()),
                 pa.array(
@@ -296,6 +346,8 @@ class EMQXDataSource(DataSource):
         return "emqx"
 
     def schema(self) -> StructType:
+        if self.options.get("properties_mode", "map").lower() == "list":
+            return EMQX_MESSAGE_SCHEMA_ORDERED_PROPS
         return EMQX_MESSAGE_SCHEMA
 
     def streamReader(self, schema: StructType) -> EMQXStreamReader:

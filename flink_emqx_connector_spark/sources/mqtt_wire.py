@@ -549,6 +549,7 @@ class CallbackAPIVersion:
 
 class PacketTypes:
     CONNECT = CONNECT
+    PUBLISH = PUBLISH
 
 
 class Properties:
@@ -556,6 +557,9 @@ class Properties:
 
     def __init__(self, _packet_type=None):
         self.SessionExpiryInterval: int | None = None
+        # paho-style: callers assign an ordered [(key, value), ...] list;
+        # duplicate keys are legal MQTT 5 (EMQXMessage.java:9)
+        self.UserProperty: list | None = None
 
 
 class _Flags:
@@ -660,16 +664,27 @@ class Client:
     def subscribe(self, topic, qos=0) -> None:
         self._send(subscribe_packet(self._next_pid(), topic, qos))
 
-    def publish(self, topic, payload=b"", qos=0, retain=False) -> MQTTMessageInfo:
+    def publish(
+        self, topic, payload=b"", qos=0, retain=False, properties=None
+    ) -> MQTTMessageInfo:
         if isinstance(payload, str):
             payload = payload.encode("utf-8")
+        uprops = getattr(properties, "UserProperty", None) or []
         ev = threading.Event()
         if qos:
             pid = self._next_pid()
             self._pub_events[pid] = ev
-            self._send(publish_packet(topic, bytes(payload), qos, pid, retain))
+            self._send(
+                publish_packet(
+                    topic, bytes(payload), qos, pid, retain, user_props=uprops
+                )
+            )
         else:
-            self._send(publish_packet(topic, bytes(payload), 0, None, retain))
+            self._send(
+                publish_packet(
+                    topic, bytes(payload), 0, None, retain, user_props=uprops
+                )
+            )
             ev.set()
         return MQTTMessageInfo(ev)
 

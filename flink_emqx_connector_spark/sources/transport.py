@@ -30,6 +30,17 @@ import time
 from dataclasses import dataclass, field
 
 
+def _prop_pairs(raw) -> list[tuple[str, str]]:
+    """Normalize user properties (dict or iterable of pairs) to an ordered
+    (key, value) list — MQTT 5 allows duplicate keys (EMQXMessage.java:9),
+    which only the pair form can represent."""
+    if raw is None:
+        return []
+    if isinstance(raw, dict):
+        return list(raw.items())
+    return [(k, v) for k, v in raw]
+
+
 @dataclass
 class Message:
     topic: str
@@ -39,6 +50,9 @@ class Message:
     payload: bytes
     timestamp: float
     seq: int = -1  # spool sequence / per-client arrival counter
+    #: ordered user-property pairs, duplicates preserved; None when the
+    #: producing path only had the deduplicated map form
+    prop_pairs: list[tuple[str, str]] | None = None
 
     def to_row(self):
         import datetime as dt
@@ -184,7 +198,7 @@ class SpoolPublisher:
         payload: bytes,
         qos: int = 1,
         retained: bool = False,
-        properties: dict[str, str] | None = None,
+        properties: dict[str, str] | list[tuple[str, str]] | None = None,
     ) -> int:
         seq = self._next
         self._next += 1
@@ -193,7 +207,9 @@ class SpoolPublisher:
             "topic": topic,
             "qos": qos,
             "retained": retained,
-            "properties": properties or {},
+            # stored as ordered pairs so duplicate keys survive the spool
+            # (readers accept both this and the legacy dict form)
+            "properties": _prop_pairs(properties),
             "payload_hex": payload.hex(),
             "timestamp": time.time(),
         }
@@ -277,15 +293,17 @@ class SpoolTransport:
                 rec = json.loads(body)
             except json.JSONDecodeError:
                 continue  # torn trailing line
+            pairs = _prop_pairs(rec["properties"])
             out.append(
                 Message(
                     topic=rec["topic"],
                     qos=rec["qos"],
                     retained=rec["retained"],
-                    properties=dict(rec["properties"]),
+                    properties=dict(pairs),
                     payload=bytes.fromhex(rec["payload_hex"]),
                     timestamp=rec["timestamp"],
                     seq=seq,
+                    prop_pairs=pairs,
                 )
             )
         return out
@@ -338,7 +356,7 @@ class SpoolTransport:
             cols["topic"].append(rec["topic"])
             cols["qos"].append(rec["qos"])
             cols["retained"].append(rec["retained"])
-            cols["properties"].append(list(rec["properties"].items()))
+            cols["properties"].append(_prop_pairs(rec["properties"]))
             cols["payload"].append(bytes.fromhex(rec["payload_hex"]))
             cols["timestamp"].append(int(rec["timestamp"] * 1_000_000))
         return cols
@@ -544,19 +562,22 @@ class PahoTransport:
             self.pending[batch_id] = msgs
         out = []
         for seq, arrival_ts, m in msgs:
-            props = {}
+            pairs: list[tuple[str, str]] = []
             if getattr(m, "properties", None) is not None:
-                for k, v in getattr(m.properties, "UserProperty", []) or []:
-                    props[k] = v
+                pairs = [
+                    (k, v)
+                    for k, v in getattr(m.properties, "UserProperty", []) or []
+                ]
             out.append(
                 Message(
                     topic=m.topic,
                     qos=m.qos,
                     retained=bool(m.retain),
-                    properties=props,
+                    properties=dict(pairs),
                     payload=bytes(m.payload),
                     timestamp=arrival_ts,
                     seq=seq,
+                    prop_pairs=pairs,
                 )
             )
         return out

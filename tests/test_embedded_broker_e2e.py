@@ -565,3 +565,68 @@ def test_qos2_recovery_no_redelivery_after_pubrec(broker):
     assert got3 == [], f"message redelivered after PUBREC: {got3}"
     sub3.disconnect()
     pub.disconnect()
+
+
+def test_properties_list_fidelity_end_to_end(spark, broker, tmp_path):
+    """properties_mode=list: duplicate-key MQTT 5 user properties survive
+    publisher → broker → bridge → spool → Spark IN ORDER — the
+    Mqtt5UserProperties fidelity the reference's POJO carries
+    (EMQXMessage.java:3,9) and the default MAP envelope cannot. The
+    default map mode last-wins the duplicate (compat check at the end)."""
+    from flink_emqx_connector_spark.sources import register_emqx_source
+
+    register_emqx_source(spark)
+    spool = str(tmp_path / "props-spool")
+    name = f"pl_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("emqx")
+        .option("transport", "bridge")
+        .option("host", "127.0.0.1")
+        .option("port", str(broker.port))
+        .option("topic", "t/#")
+        .option("group", "gpl")
+        .option("clientid", f"pl-{name}")
+        .option("spool_dir", spool)
+        .option("partitions", "2")
+        .option("qos", "1")
+        .option("properties_mode", "list")
+        .load()
+        .selectExpr("CAST(payload AS STRING) AS p", "properties_list")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        assert _wait(
+            lambda: any(
+                cid.startswith(f"pl-{name}-bridge") and s.subs
+                for cid, s in broker.sessions.items()
+            ),
+            timeout=30,
+        ), list(broker.sessions)
+        pub = _publisher(broker.port)
+        props = Properties(PacketTypes.PUBLISH)
+        # duplicate key "k" with distinct values, order is the contract
+        props.UserProperty = [("k", "v1"), ("k", "v2"), ("trace", "t9")]
+        pub.publish("t/1", b"dup", qos=1, properties=props).wait_for_publish()
+
+        def rows():
+            return spark.sql(f"SELECT * FROM {name}").collect()
+
+        assert _wait(lambda: len(rows()) >= 1, timeout=60), rows()
+        row = [r for r in rows() if r.p == "dup"][0]
+        got = [(e.key, e.value) for e in row.properties_list]
+        assert got == [("k", "v1"), ("k", "v2"), ("trace", "t9")], got
+        pub.disconnect()
+    finally:
+        q.stop()
+
+    # default map mode on the same spool: duplicate key collapses last-wins
+    from flink_emqx_connector_spark.sources.transport import SpoolTransport
+
+    msgs = SpoolTransport(spool).read_range(0, 10_000, 0, 1)
+    m = [x for x in msgs if x.payload == b"dup"][0]
+    assert m.prop_pairs == [("k", "v1"), ("k", "v2"), ("trace", "t9")]
+    assert m.properties == {"k": "v2", "trace": "t9"}  # last-wins map view
