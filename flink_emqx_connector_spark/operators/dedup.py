@@ -516,10 +516,14 @@ def _verify_candidates(
        screening the raw band-collision candidates costs two narrow joins
        + ``num_hashes`` equality terms, all codegen. A templated corpus
        floods the buckets with low-similarity collisions (367k candidates
-       on 50k docs at sf0.1, ~0.1% precision); screening at
-       (threshold − 0.15) drops ~99% of them before the expensive exact
-       verify, while a true pair at s = threshold survives w.p. ~0.99
-       (Binomial(k, s) tail).
+       on 50k docs at sf0.1, ~0.1% precision); the screen drops the bulk
+       of them before the expensive exact verify. The floor is set
+       2.5 standard deviations below the threshold —
+       ``threshold − 2.5·sqrt(s(1−s)/k)`` with k = num_hashes — so a true
+       pair at exactly s = threshold survives w.p. ≈ Φ(2.5) ≈ 0.99 of the
+       Binomial(k, s) agreement tail (k=32, s=0.5 → floor 0.28; a fixed
+       −0.15 margin only gave ~0.94-0.95 survival there). Pairs above
+       the threshold survive with higher probability still.
     2. **Exact shingle-Jaccard verify** — shingle ONLY the docs that
        appear in some surviving pair (id filter pushed into the scan; AQE
        broadcasts it when small), join each side's shingle set, and
@@ -527,7 +531,10 @@ def _verify_candidates(
        xxhash64'd so set ops compare 8-byte ints, not strings (collision
        odds ~|V|²/2⁶⁴ — vanishing). Precision of the final output is 1.0.
     """
-    est_floor = max(threshold - 0.15, 0.0)
+    est_floor = max(
+        threshold - 2.5 * (threshold * (1 - threshold) / num_hashes) ** 0.5,
+        0.0,
+    )
     siga = sigs.select(
         F.col("doc").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)],
@@ -587,7 +594,11 @@ def minhash_lsh_pairs(
     band shuffle moves |distinct texts|·bands short rows — this is the
     100 TB path where the exact inverted index (``ngram_jaccard_pairs``)
     gets too dense. Candidates are verified with exact Jaccard, so
-    precision is 1.0 and only recall is probabilistic.
+    precision is 1.0 and only recall is probabilistic. Two probabilistic
+    stages compose the recall at s = threshold: band collision
+    (1-(1-s^r)^b ≈ 0.99) × the verify stage's estimated-Jaccard screen
+    (≈ 0.99 at its 2.5σ floor, see ``_verify_candidates``) ≈ 0.98;
+    pairs above the threshold survive both with higher probability.
 
     **Exact-dup canonicalization first**: real corpora are heavily
     duplicated (this repo's synthetic one is ~90% exact copies), and LSH

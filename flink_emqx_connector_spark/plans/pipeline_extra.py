@@ -314,8 +314,28 @@ def partitioned_layout_pruning(spark, sf_dir):
     tags=("join", "layout", "bucketing", "pruning"),
 )
 def bucketed_colocated_join(spark, sf_dir):
-    tag = abs(hash(sf_dir)) % (1 << 30)
+    import hashlib
+    import os
+
+    # Stable, freshness-keyed table tag: Python's str hash is
+    # PYTHONHASHSEED-randomized (a new name every driver process → stale
+    # bucketed tables accumulating forever), and a seed-stable name alone
+    # would serve a stale bucketed copy if the source parquet under
+    # sf_dir were regenerated. Digesting sf_dir + source mtimes gives a
+    # deterministic name that changes exactly when the inputs do; tables
+    # carrying an old tag are dropped below.
+    h = hashlib.md5(sf_dir.encode())
+    for t in ("lineitem", "orders"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            h.update(str(int(os.path.getmtime(p))).encode())
+        except OSError:
+            pass
+    tag = h.hexdigest()[:10]
     li_tbl, o_tbl = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith(("li_bkt_", "o_bkt_")) and not tbl.name.endswith(tag):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
     if not spark.catalog.tableExists(li_tbl):
         li = _t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount"

@@ -71,8 +71,17 @@ def window_functions_family(spark, sf_dir):
     """,
     doc="Exact continuous percentiles (percentile ≡ percentile_cont ≡ "
     "DuckDB quantile_cont, linear interpolation), both quantiles from ONE "
-    "sort buffer via the array form. The 100 TB path swaps in "
-    "approx_percentile — same plan shape, sketch-mergeable.",
+    "buffer via the array form. Scale route, explicitly: the plan IS "
+    "partial-aggregated (partial_percentile below the exchange, pinned in "
+    "tests/test_plan_shapes.py), but exact percentiles are "
+    "holistic — the shuffled partial buffer carries every distinct "
+    "(value, count) of its group, so one heavy group concentrates its "
+    "whole value set in one reducer task. This exact form is the ORACLE "
+    "anchor; the sanctioned 100 TB default is the approx_aggregates "
+    "registry entry (approx_percentile, fixed-size mergeable sketch, "
+    "bounded-error) — same query shape, constant shuffle bytes per "
+    "group. Use the exact form when groups are known-bounded "
+    "(dashboards, QA gates), the sketch form for open-ended corpora.",
     tags=("agg", "percentile"),
 )
 def percentiles_lineitem(spark, sf_dir):

@@ -614,6 +614,13 @@ class Client:
         self._min_delay, self._max_delay = 0.05, 1.0
         self._pid = 0
         self._pub_events: dict[int, threading.Event] = {}
+        # inbound QoS-2 packet ids between our PUBREC and the broker's
+        # PUBREL — mirror of the broker's rx_qos2. If our PUBREC is lost
+        # (disconnect race), the broker re-PUBLISHes with DUP; a tracked
+        # mid means the message was already dispatched, so re-PUBREC and
+        # suppress the second on_message (true exactly-once on the
+        # broker→subscriber leg, bounded by the 65535 mid space).
+        self._rx_qos2: set[int] = set()
         self._running = False
         self._thread: threading.Thread | None = None
         self._wlock = threading.Lock()
@@ -692,6 +699,7 @@ class Client:
         if msg.qos == 2:
             # manual-ack QoS 2: the ack IS the PUBREC — from here the
             # broker finishes via PUBREL/PUBCOMP and never redelivers
+            self._rx_qos2.add(msg.mid)
             self._send(pubrec_packet(msg.mid))
         elif msg.qos:
             self._send(puback_packet(msg.mid))
@@ -770,7 +778,14 @@ class Client:
                     i += 2
                 props, i = _parse_props(body, i)
                 msg = MQTTMessage(topic, qos, retain, body[i:], mid, dup, props["user"])
+                if qos == 2 and mid in self._rx_qos2:
+                    # DUP retransmission of a message we already PUBREC'd
+                    # and dispatched (our PUBREC was lost): re-PUBREC so
+                    # the broker can finish the handshake, don't re-deliver
+                    self._send(pubrec_packet(mid))
+                    continue
                 if qos == 2 and not self._manual_ack:
+                    self._rx_qos2.add(mid)
                     self._send(pubrec_packet(mid))
                 elif qos and not self._manual_ack:
                     self._send(puback_packet(mid))
@@ -791,7 +806,10 @@ class Client:
                 if ev is not None:
                     ev.set()
             elif ptype == PUBREL:
-                # broker finishing an inbound QoS 2 handshake we PUBREC'd
+                # broker finishing an inbound QoS 2 handshake we PUBREC'd;
+                # the mid leaves the dedup window — the broker may now
+                # reuse it for a NEW message
                 (pid,) = struct.unpack_from(">H", body, 0)
+                self._rx_qos2.discard(pid)
                 self._send(pubcomp_packet(pid))
             # PINGRESP / SUBACK need no action

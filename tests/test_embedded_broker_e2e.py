@@ -630,3 +630,74 @@ def test_properties_list_fidelity_end_to_end(spark, broker, tmp_path):
     m = [x for x in msgs if x.payload == b"dup"][0]
     assert m.prop_pairs == [("k", "v1"), ("k", "v2"), ("trace", "t9")]
     assert m.properties == {"k": "v2", "trace": "t9"}  # last-wins map view
+
+
+def test_qos2_client_suppresses_dup_after_lost_pubrec():
+    """Broker→subscriber QoS 2 exactly-once, client side: if the client's
+    PUBREC is lost, the broker retransmits the PUBLISH with DUP and the
+    SAME packet id. The client tracks inbound QoS-2 mids between PUBREC
+    and PUBREL (mirror of the broker's rx_qos2), so the retransmission is
+    re-PUBREC'd but NOT re-dispatched to on_message. Uses a raw scripted
+    server (not the embedded broker) so the PUBREL can be withheld — the
+    race window is otherwise closed within a socket round-trip."""
+    import threading
+
+    from flink_emqx_connector_spark.sources.mqtt_wire import (
+        PUBCOMP,
+        PUBREC,
+        connack_packet,
+        publish_packet,
+        pubrel_packet,
+        read_packet,
+        suback_packet,
+    )
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    got, received = [], {"pubrec": 0, "pubcomp": 0}
+    ready = threading.Event()
+
+    def server():
+        conn, _ = srv.accept()
+        read_packet(conn)  # CONNECT
+        conn.sendall(connack_packet(False))
+        read_packet(conn)  # SUBSCRIBE
+        conn.sendall(suback_packet(1, [2]))
+        # deliver mid=7, then retransmit it as DUP BEFORE any PUBREL
+        conn.sendall(publish_packet("t/1", b"once", 2, 7))
+        ptype, _f, _b = read_packet(conn)  # PUBREC 7
+        assert ptype == PUBREC
+        received["pubrec"] += 1
+        conn.sendall(publish_packet("t/1", b"once", 2, 7, False, True))
+        ptype, _f, _b = read_packet(conn)  # re-PUBREC 7, no re-dispatch
+        assert ptype == PUBREC
+        received["pubrec"] += 1
+        # now finish the handshake; mid 7 becomes reusable as NEW
+        conn.sendall(pubrel_packet(7))
+        ptype, _f, _b = read_packet(conn)  # PUBCOMP 7
+        assert ptype == PUBCOMP
+        received["pubcomp"] += 1
+        conn.sendall(publish_packet("t/2", b"next", 2, 7))
+        read_packet(conn)  # PUBREC for the reused mid
+        received["pubrec"] += 1
+        ready.set()
+
+    th = threading.Thread(target=server, daemon=True)
+    th.start()
+
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="sub-dup2", protocol=MQTTv5)
+    cli.on_connect = lambda c, u, f, r, p=None: c.subscribe("t/#", qos=2)
+    cli.on_message = lambda c, u, m: got.append(m)
+    cli.connect("127.0.0.1", port)
+    cli.loop_start()
+
+    assert _wait(ready.is_set, timeout=15)
+    time.sleep(0.2)
+    payloads = [bytes(m.payload) for m in got]
+    # exactly once for the DUP'd mid, and the post-PUBREL reuse delivers
+    assert payloads == [b"once", b"next"], payloads
+    assert received == {"pubrec": 3, "pubcomp": 1}
+    cli.loop_stop()
+    srv.close()

@@ -353,3 +353,18 @@ def test_vocab_coverage_topk_not_global_sort(plans):
     for line in window_lines:
         # partitionSpec = the middle bracket group: [..., [_w0#N], [cnt ...]]
         assert "_w0" in line, line
+
+
+def test_percentiles_partial_aggregated_with_documented_scale_route(plans):
+    """percentiles_lineitem must keep partial aggregation below the
+    exchange (the shuffle carries per-group value buffers, not raw rows).
+    Exact percentiles stay holistic — the sanctioned 100 TB default is
+    approx_aggregates (sketch-mergeable, constant shuffle bytes); this
+    pins the exact form's best-available shape plus the registry routing."""
+    p = plans("percentiles_lineitem")
+    # partial_percentile in the plan = map-side partial aggregation exists
+    # (the Exchange then carries per-group buffers, not raw rows)
+    assert "partial_percentile" in p, p
+    assert "Exchange" in p, p
+    assert "approx_aggregates" in QUERIES  # the documented scale route exists
+    assert "approx_aggregates" in QUERIES["percentiles_lineitem"].doc
