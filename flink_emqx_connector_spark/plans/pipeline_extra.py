@@ -336,6 +336,19 @@ def bucketed_colocated_join(spark, sf_dir):
     for tbl in spark.catalog.listTables():
         if tbl.name.startswith(("li_bkt_", "o_bkt_")) and not tbl.name.endswith(tag):
             spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+    # The catalog is per-session but the warehouse directory is not: a
+    # table name unknown to THIS session may still have a directory left
+    # by a previous driver process (saveAsTable refuses to reuse it).
+    # The tag pins the dir to exactly these inputs, so clearing an
+    # orphaned location and rebuilding is always safe.
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for tbl in (li_tbl, o_tbl):
+        if not spark.catalog.tableExists(tbl):
+            shutil.rmtree(os.path.join(warehouse, tbl.lower()), ignore_errors=True)
     if not spark.catalog.tableExists(li_tbl):
         li = _t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount"
