@@ -354,3 +354,147 @@ def pii_redact(docs, text_col: str = "text", id_col: str = "doc_id"):
         n_matches(_PII_PHONE).alias("n_phones"),
         F.md5(F.encode(clean, "UTF-8")).alias("clean_fp"),
     )
+
+
+# Add-k smoothing constant and keep threshold for the LM quality filter.
+_LM_K = 0.5
+_LM_MAX_BITS = 12.0
+_TOPK_BPE = 20
+
+
+@register(
+    "lm_perplexity_docs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    ), dbg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM w
+    ), inst AS (
+      SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+             split_part(bg, ' ', 2) AS w2
+      FROM dbg
+    ), pc AS (
+      SELECT w1, w2, count(*) AS cnt FROM inst GROUP BY 1, 2
+    ), wc AS (
+      SELECT w1, sum(cnt) AS tot FROM pc GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT w2) AS vocab FROM pc
+    ), scored AS (
+      SELECT i.doc_id,
+             -log2((pc.cnt + {_LM_K}) / (wc.tot + {_LM_K} * v.vocab)) AS bits
+      FROM inst i
+      JOIN pc ON pc.w1 = i.w1 AND pc.w2 = i.w2
+      JOIN wc ON wc.w1 = i.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(bits), 4) AS avg_bits,
+           avg(bits) <= {_LM_MAX_BITS} AS keep
+    FROM scored GROUP BY doc_id
+    """,
+    doc="LM-based quality filter (the CCNet shape): per-document "
+    "cross-entropy (bits/bigram) under the corpus's own add-k-smoothed "
+    "bigram model, with a fixed keep threshold. In production the model "
+    "is trained on a trusted corpus (e.g. Wikipedia) and scores the crawl "
+    "— here both sides are the documents table so the query is closed "
+    "over the driver's fixtures. Plan: one (w1,w2) shuffle builds the "
+    "model; the doc-instance table joins the model on (w1,w2) — the join "
+    "reuses the instance exchange — then one groupBy(doc) mean. All "
+    "aggregates map-side combined, vocab scalar broadcast; no Python.",
+    tags=("text", "lm", "quality", "pipeline"),
+)
+def lm_perplexity_docs(spark, sf_dir):
+    w = F.split("text", " ")
+    length = F.greatest(F.size(w) - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(w, 1, length),
+        F.slice(w, 2, length),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    inst = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull() & (F.size(w) >= 2))
+        .select("doc_id", F.explode(bg).alias("bg"))
+        .select(
+            "doc_id",
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+        )
+    )
+    pc = inst.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    wc = pc.groupBy("w1").agg(F.sum("cnt").alias("tot"))
+    v = pc.agg(F.countDistinct("w2").cast("double").alias("vocab"))
+    bits = -F.log2(
+        (F.col("cnt") + F.lit(_LM_K))
+        / (F.col("tot") + F.lit(_LM_K) * F.col("vocab"))
+    )
+    return (
+        inst.join(pc, ["w1", "w2"])
+        .join(wc, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("bits"), 4).alias("avg_bits"),
+            (F.avg("bits") <= F.lit(_LM_MAX_BITS)).alias("keep"),
+        )
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH wf AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      WHERE text IS NOT NULL
+    ), freq AS (
+      SELECT word, count(*) AS freq FROM wf
+      WHERE len(word) >= 2 GROUP BY 1
+    ), pairs AS (
+      SELECT substring(word, CAST(i AS INTEGER), 2) AS pair,
+             freq
+      FROM freq, unnest(range(1, len(word))) AS t(i)
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
+    FROM pairs GROUP BY pair
+    ORDER BY weight DESC, pair
+    LIMIT {_TOPK_BPE}
+    """,
+    doc="First BPE merge iteration (tokenizer training): adjacent "
+    "character-pair counts weighted by word frequency — the argmax pair "
+    "is the first merge rule; the top-k list seeds the merge table. "
+    "Plan: word-frequency aggregate first (the classic BPE trick — "
+    "pair counting then runs over the VOCABULARY, not the corpus: "
+    "|vocab| << corpus tokens), char pairs via transform+sequence "
+    "(no UDF), one pair shuffle with map-side combine, top-k as "
+    "TakeOrderedAndProject. Further merge iterations re-segment the "
+    "vocab against the updated merge table — same plan shape iterated, "
+    "the connected_components driver-loop pattern.",
+    tags=("text", "tokenizer", "bpe", "pipeline"),
+)
+def bpe_merge_candidates(spark, sf_dir):
+    freq = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = freq.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("weight"))
+        .orderBy(F.col("weight").desc(), "pair")
+        .limit(_TOPK_BPE)
+    )
