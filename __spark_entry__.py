@@ -65,7 +65,7 @@ _DRIVER_RECORDED = frozenset(
         "text_token_stats", "text_quality_scores", "lang_id_confusion",
         "doc_fingerprint_dupes", "dedup_exact", "dedup_ngram_jaccard",
         "dedup_simhash",
-        "embedding_clusters", "dedup_keep_list", "dedup_embedding_cosine",
+        "dedup_embedding_cosine",
         "ann_topk_cosine", "ann_lsh_topk", "ann_ivf_topk", "knn_graph_lsh",
         "knn_join_topk", "multimodal_features", "multimodal_frame_sample",
         "multimodal_resize_plan", "window_functions_family",
@@ -98,7 +98,9 @@ _DRIVER_RECORDED = frozenset(
         "repetition_filter_docs",
         # "dedup_minhash_lsh" removed: r3 record is a NameError, re-record.
         # "bucketed_colocated_join" removed: round-5 table-naming change.
-        # "dedup_clusters" removed: round-5 Arrow-path change (perf drift fix).
+        # "dedup_clusters", "dedup_keep_list", "embedding_clusters" removed:
+        # round-5 connected_components change (raw-pair checkpoint) —
+        # re-record every consumer of the modified operator.
     }
 )
 
