@@ -206,3 +206,37 @@ def test_session_expiry_option_reaches_connect():
     assert t.session_expiry == 77
     # the wire client stores the CONNECT session-expiry it will send
     assert t.client._session_expiry == 77
+
+
+def test_reader_options_reach_transport(fake_paho):
+    """max_inflight and properties_mode source options must plumb from the
+    DataSource options dict through the stream reader to the transport /
+    batch builders."""
+    from flink_emqx_connector_spark.schema import (
+        EMQX_MESSAGE_SCHEMA,
+        EMQX_MESSAGE_SCHEMA_ORDERED_PROPS,
+    )
+    from flink_emqx_connector_spark.sources.emqx import (
+        EMQXDataSource,
+        EMQXStreamReader,
+    )
+
+    r = EMQXStreamReader(
+        EMQX_MESSAGE_SCHEMA,
+        {"transport": "paho", "max_inflight": "123", "properties_mode": "list",
+         "clientid": "opt-test"},
+    )
+    assert r.max_inflight == 123
+    assert r.props_mode == "list"
+
+    ds = EMQXDataSource(options={"properties_mode": "list"})
+    assert ds.schema() == EMQX_MESSAGE_SCHEMA_ORDERED_PROPS
+    ds2 = EMQXDataSource(options={})
+    assert ds2.schema() == EMQX_MESSAGE_SCHEMA
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        EMQXStreamReader(
+            EMQX_MESSAGE_SCHEMA, {"transport": "paho", "properties_mode": "bogus"}
+        )
