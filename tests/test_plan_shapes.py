@@ -393,3 +393,46 @@ def test_bpe_pairs_counted_over_vocab_not_corpus(plans):
     # word-freq aggregate's scan... simpler invariant: a Generate exists and
     # no Python nodes anywhere
     assert "Generate" in p and "Python" not in p, p
+
+
+def test_token_entropy_two_stage_aggs_no_window(plans):
+    """token_entropy_docs: the algebraic entropy form must plan as plain
+    partial+final aggregates — no WindowExec, no Python, no second scan of
+    documents (one parquet scan only)."""
+    p = plans("token_entropy_docs")
+    assert p.count("HashAggregate") >= 4, p  # (doc,term) 2-stage + doc 2-stage
+    assert "Window" not in p and "Python" not in p, p
+    import re
+
+    # formatted explain names each node twice (tree + detail section);
+    # count the numbered detail entries, one per physical scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+def test_source_kl_joins_on_vocab_not_corpus(plans):
+    """source_token_kl: corpus term totals re-aggregate the (source,term)
+    frame — the term join must join two AGGREGATED sides (vocab-bounded),
+    and the per-source totals / corpus scalar must attach via broadcast."""
+    p = plans("source_token_kl")
+    assert "BroadcastExchange" in p, p
+    assert p.count("HashAggregate") >= 6, p  # st, t, s (+ final agg) partials
+    assert "Python" not in p, p
+
+
+def test_prefix_dupes_blocked_equi_join_not_cartesian(plans):
+    """prefix_truncation_dupes: the self-join must key on the fixed-width
+    prefix (equi-join — hash or sort-merge), never CartesianProduct /
+    BroadcastNestedLoopJoin; the length guard must push to the scan."""
+    p = plans("prefix_truncation_dupes")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Join" in p, p
+
+
+def test_mad_outliers_broadcast_medians_no_wide_shuffle(plans):
+    """mad_outlier_events: both median frames are tiny (one row per event
+    type) and must broadcast back onto the fact scan — the fact table is
+    never exchanged on a wide key."""
+    p = plans("mad_outlier_events")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
