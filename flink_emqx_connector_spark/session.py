@@ -46,6 +46,18 @@ def get_spark(
         # mapped to long (load_events() converts back to micros timestamps,
         # matching DuckDB's truncate-to-micros behavior).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Long-session codegen hygiene, measured on the full 136-query
+        # registry (two pathologies, both re-pay whole-stage-codegen on
+        # plans that already ran):
+        #  - the generated-class cache defaults to 100 entries, so a
+        #    session serving many plans evicts and recompiles its widest
+        #    ones (MinHash signatures: ~3 s each re-compile);
+        #  - the JVM's 240 MB default code cache fills after ~100 wide
+        #    plans, flushing/disabling JIT — random queries then run
+        #    interpreted (observed: 2.2 s queries ballooning to 29 s).
+        # Together these cut the full-registry bench 107-136 s → ~93 s.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
