@@ -24,6 +24,10 @@ def _configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # NOTE: spark.sql.codegen.cache.maxEntries is a STATIC conf — it can
+    # only help sessions built by session.py:get_spark (bench, tests); a
+    # driver-provided session keeps the 100-entry default and re-pays
+    # whole-stage-codegen when a long query sequence evicts wide plans.
     return spark
 
 
