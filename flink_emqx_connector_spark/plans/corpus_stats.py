@@ -355,3 +355,171 @@ def mad_outlier_events(spark, sf_dir):
             .alias("n_outliers"),
         )
     )
+
+
+def _embeddings(spark, sf_dir):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+_HIST_BINS = 20
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    WITH ex AS (
+      -- parallel unnests zip elementwise in DuckDB: (pos, val) pairs
+      SELECT label,
+             unnest(range(len(embedding))) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           round(avg(val), 6) AS centroid,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM ex GROUP BY 1, 2
+    """,
+    doc="Per-label centroid of the embedding space, one row per (label, "
+    "dimension) — the class prototype behind semantic dedup, drift "
+    "monitoring, and cluster-balance checks. posexplode + one "
+    "(label,pos) aggregate: map-side partial means the shuffle carries "
+    "|labels|x|dims| rows per task, never the vectors; reducer "
+    "parallelism is dimension-bounded, which is exactly right because "
+    "the reduce work is too.",
+    tags=("embeddings", "centroid", "pipeline"),
+)
+def label_centroids(spark, sf_dir):
+    ex = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+    )
+    return ex.groupBy("label", F.col("pos").cast("bigint").alias("pos")).agg(
+        F.round(F.avg("val"), 6).alias("centroid"),
+        F.count("*").cast("bigint").alias("n_vecs"),
+    )
+
+
+@register(
+    "intra_label_cosine",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(range(len(embedding))) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), cm AS (
+      SELECT label, pos, avg(val) AS c FROM ex GROUP BY 1, 2
+    ), cent AS (
+      SELECT label, list(c ORDER BY pos) AS centroid FROM cm GROUP BY 1
+    ), scored AS (
+      SELECT e.label,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    c.centroid) AS cs
+      FROM embeddings e JOIN cent c USING (label)
+      WHERE e.embedding IS NOT NULL
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(cs), 4) AS mean_cos,
+           round(min(cs), 4) AS min_cos
+    FROM scored GROUP BY 1
+    """,
+    doc="Intra-class cohesion: mean/min cosine of each vector to its own "
+    "label centroid — the label-noise / cluster-quality gate (a low "
+    "min_cos flags mislabeled or outlier points). Centroids come from "
+    "the dimension-bounded (label,pos) aggregate, are re-assembled into "
+    "arrays (|labels| rows) and BROADCAST back onto the vector scan; "
+    "the per-vector cosine runs in the Arrow-batched numpy kernel "
+    "(operators/similarity.py:cosine_pairs_vectorized — HOF lambdas are "
+    "interpreted per element, measured ~100x slower on 64-dim vectors).",
+    tags=("embeddings", "cohesion", "quality", "pipeline"),
+)
+def intra_label_cosine(spark, sf_dir):
+    from ..operators.similarity import cosine_pairs_vectorized
+
+    emb = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select("label", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    cm = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+    )
+    cent = cm.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    scored = cosine_pairs_vectorized(
+        emb.join(F.broadcast(cent), "label"), "v", "centroid", "cs"
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.avg("cs"), 4).alias("mean_cos"),
+        F.round(F.min("cs"), 4).alias("min_cos"),
+    )
+
+
+@register(
+    "histogram_events",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT e.event_type,
+             least(CAST(floor((e.value - s.mn)
+                 / ((s.mx - s.mn) / {_HIST_BINS})) AS BIGINT),
+                 {_HIST_BINS - 1}) AS bin,
+             s.mn, s.mx
+      FROM events e JOIN s USING (event_type)
+    )
+    SELECT event_type, bin,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(any_value(mn)
+                 + bin * ((any_value(mx) - any_value(mn)) / {_HIST_BINS}), 6)
+             AS bin_lo
+    FROM b GROUP BY 1, 2
+    """,
+    doc="Equi-width 20-bin histogram of the value distribution per event "
+    "type — the profiling primitive behind drift dashboards and "
+    "bin-packing decisions. Two passes: a tiny per-type min/max "
+    "aggregate broadcast back onto the scan, then one (type,bin) "
+    "aggregate with map-side combine. The max value lands in the last "
+    "bin via least() on both engines — identical IEEE double edge "
+    "arithmetic, so bin assignment is bit-reproducible.",
+    tags=("events", "histogram", "profiling", "pipeline"),
+)
+def histogram_events(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    s = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / _HIST_BINS
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("mn")) / width).cast("bigint"),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .withColumn("bin", bin_)
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(
+                F.any_value("mn")
+                + F.col("bin") * ((F.any_value("mx") - F.any_value("mn")) / _HIST_BINS),
+                6,
+            ).alias("bin_lo"),
+        )
+    )

@@ -436,3 +436,32 @@ def test_mad_outliers_broadcast_medians_no_wide_shuffle(plans):
     p = plans("mad_outlier_events")
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_label_centroids_partial_agg_dimension_bounded(plans):
+    """label_centroids: the (label,pos) aggregate must be 2-stage (map-side
+    partial means — the shuffle carries labels×dims rows per task, not the
+    vectors) with no Python anywhere."""
+    p = plans("label_centroids")
+    assert p.count("HashAggregate") >= 2, p
+    assert "Python" not in p, p
+
+
+def test_intra_label_cosine_broadcasts_centroids_numpy_kernel(plans):
+    """intra_label_cosine: centroid arrays (|labels| rows) must broadcast
+    onto the vector scan, and the cosine must run in the Arrow-batched
+    Python kernel (the HOF form is ~100x slower on 64-dim vectors)."""
+    p = plans("intra_label_cosine")
+    assert "BroadcastHashJoin" in p, p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_histogram_broadcast_minmax_single_fact_shuffle(plans):
+    """histogram_events: the per-type min/max frame must broadcast back;
+    the only exchange of fact-derived rows is the (type,bin) aggregate's,
+    which is partial-aggregated."""
+    p = plans("histogram_events")
+    assert "BroadcastHashJoin" in p, p
+    assert p.count("HashAggregate") >= 4, p  # min/max 2-stage + bin 2-stage
+    assert "Python" not in p, p
