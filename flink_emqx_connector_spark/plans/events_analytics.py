@@ -1,0 +1,202 @@
+"""Seventh wave (SURVEY.md §2.5 X61-X63): classic product-analytics
+operators over the event stream — Markov transition matrix, weekly
+retention cohorts, and a strictly-sequential conversion funnel. These are
+the workloads the reference's own domain (event streams into Flink)
+exists to serve; the reference delegates them wholesale to Flink's API
+(SURVEY §2.2), so here they are first-class, oracle-checked plans.
+
+Scale posture, per operator:
+- transition matrix: ONE user-keyed window (lead over (ts, event_id) —
+  a total order, so tie-handling is engine-independent) feeding a
+  |types|²-bounded aggregate; the row-probability normalizer is a window
+  over that tiny aggregate, not the fact table.
+- retention cohorts: two user-keyed aggregates (first-week, distinct
+  active weeks) joined on user_id — the join reuses the aggregates' own
+  hash partitioning; output is |weeks|² rows.
+- funnel: one conditional-min aggregate per stage, each a user-keyed
+  shuffle with map-side combine, chained by joins on user_id that reuse
+  the same partitioning; stages are a fixed small constant. The strict
+  sequencing (first click AFTER first view, first purchase AFTER that
+  click) is what one-pass min-per-type gets wrong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+def _events(spark, sf_dir):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type,
+           CAST(n AS BIGINT) AS n_transitions,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM pairs
+    """,
+    doc="First-order Markov transition matrix between event types per "
+    "user journey — the behavioral-model / anomaly-detection primitive. "
+    "One user-keyed window with the (ts, event_id) total order (ties "
+    "are engine-independent), then a |types|²-bounded count; the "
+    "row-stochastic normalizer is a window over that tiny aggregate, "
+    "never the fact table.",
+    tags=("events", "markov", "analytics"),
+)
+def event_transition_matrix(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    pairs = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 4).alias("p"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH fw AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    ), aw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT fw.cohort_week,
+           CAST((aw.week - fw.cohort_week) / 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT aw.user_id) AS BIGINT) AS n_users
+    FROM aw JOIN fw USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention matrix: users grouped by first-activity "
+    "week (ISO Monday truncation — identical on both engines), counted "
+    "in each later active week. Two user-keyed aggregates joined on "
+    "user_id (the join reuses their hash partitioning); the output is "
+    "|weeks|² rows regardless of corpus size.",
+    tags=("events", "retention", "cohort", "analytics"),
+)
+def retention_cohorts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    fw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    aw = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    return (
+        aw.join(fw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "funnel_stage_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+           round((SELECT count(*) FROM c)
+                 / CAST((SELECT count(*) FROM v) AS DOUBLE), 4)
+             AS view_to_click,
+           round((SELECT count(*) FROM p)
+                 / CAST((SELECT count(*) FROM c) AS DOUBLE), 4)
+             AS click_to_purchase
+    """,
+    doc="Strictly-sequential conversion funnel view → click → purchase: "
+    "each stage counts users whose FIRST qualifying event follows their "
+    "previous stage's timestamp (one-pass min-per-type gets this wrong — "
+    "a click before the first view must not convert). One conditional "
+    "user-keyed min-aggregate per stage; the stage joins reuse the "
+    "user_id partitioning, and the stage count is a small constant.",
+    tags=("events", "funnel", "analytics"),
+)
+def funnel_stage_conversion(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click"))
+    np_ = p.agg(F.count("*").alias("n_purchase"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            F.col("n_view").cast("bigint").alias("n_view"),
+            F.col("n_click").cast("bigint").alias("n_click"),
+            F.col("n_purchase").cast("bigint").alias("n_purchase"),
+            F.round(
+                F.col("n_click") / F.col("n_view").cast("double"), 4
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchase") / F.col("n_click").cast("double"), 4
+            ).alias("click_to_purchase"),
+        )
+    )

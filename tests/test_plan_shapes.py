@@ -465,3 +465,39 @@ def test_histogram_broadcast_minmax_single_fact_shuffle(plans):
     assert "BroadcastHashJoin" in p, p
     assert p.count("HashAggregate") >= 4, p  # min/max 2-stage + bin 2-stage
     assert "Python" not in p, p
+
+
+def test_transition_matrix_normalizer_over_aggregate(plans):
+    """event_transition_matrix: the fact table sees ONE user-keyed window;
+    the probability normalizer's window runs over the (from,to) aggregate
+    (formatted explain: the second Window node sits above a HashAggregate,
+    and there are exactly two Window nodes)."""
+    import re
+
+    p = plans("event_transition_matrix")
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2, p
+    assert p.count("HashAggregate") >= 2, p
+    assert "Python" not in p, p
+
+
+def test_retention_cohort_join_reuses_agg_partitioning(plans):
+    """retention_cohorts: the shuffles are the two user-keyed aggregates
+    plus the final count_distinct's expand/final pair — the user_id JOIN
+    itself must not add an exchange (4 total; a 5th means the join
+    re-shuffled an already-partitioned side)."""
+    import re
+
+    p = plans("retention_cohorts")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4, p
+    assert "Python" not in p, p
+
+
+def test_funnel_filters_pushed_to_stage_scans(plans):
+    """funnel_stage_conversion: each stage's event_type filter must reach
+    its parquet scan as a pushed filter, so every stage reads only its own
+    slice of the fact table."""
+    p = plans("funnel_stage_conversion")
+    flat = p.replace(" ", "")
+    for t in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{t})" in flat, (t, p)
+    assert "Python" not in p, p
