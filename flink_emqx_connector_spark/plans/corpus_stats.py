@@ -54,19 +54,12 @@ _PREFIX_W = 24  # truncation-dupe blocking-key width (chars)
 
 
 def _bigrams_distinct(text_col):
-    """Distinct word bigrams as an array — zip_with over shifted slice
-    views (the word_ngrams shape; see operators/dedup.py:40 for why not
-    transform+element_at: HOF lambdas interpret indexed access per
-    element)."""
-    w = F.split(text_col, " ")
-    length = F.greatest(F.size(w) - 1, F.lit(0))
-    return F.array_distinct(
-        F.zip_with(
-            F.slice(w, 1, length),
-            F.slice(w, 2, length),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-    )
+    """Distinct word bigrams as an array — the single shared shingling
+    expression (operators/dedup.py:word_ngrams), not a copy: tokenization
+    fixes must land in exactly one place."""
+    from ..operators.dedup import word_ngrams
+
+    return word_ngrams(text_col, 2)
 
 
 @register(
@@ -477,9 +470,11 @@ def intra_label_cosine(spark, sf_dir):
       SELECT event_type, min(value) AS mn, max(value) AS mx
       FROM events GROUP BY 1
     ), b AS (
+      -- nullif: a constant-valued type has width 0; NULL propagates and
+      -- least() skips it, so every row lands in the last bin (both engines)
       SELECT e.event_type,
              least(CAST(floor((e.value - s.mn)
-                 / ((s.mx - s.mn) / {_HIST_BINS})) AS BIGINT),
+                 / nullif((s.mx - s.mn) / {_HIST_BINS}, 0)) AS BIGINT),
                  {_HIST_BINS - 1}) AS bin,
              s.mn, s.mx
       FROM events e JOIN s USING (event_type)
@@ -505,7 +500,11 @@ def histogram_events(spark, sf_dir):
     s = ev.groupBy("event_type").agg(
         F.min("value").alias("mn"), F.max("value").alias("mx")
     )
-    width = (F.col("mx") - F.col("mn")) / _HIST_BINS
+    # nullif guards the degenerate constant-valued type (width 0): under
+    # Spark's default ANSI mode a bare 0/0 would abort the query, while
+    # NULL propagates through floor and is skipped by least → bin 19,
+    # matching DuckDB's NULL-division semantics.
+    width = F.nullif((F.col("mx") - F.col("mn")) / _HIST_BINS, F.lit(0.0))
     bin_ = F.least(
         F.floor((F.col("value") - F.col("mn")) / width).cast("bigint"),
         F.lit(_HIST_BINS - 1),

@@ -147,10 +147,10 @@ def retention_cohorts(spark, sf_dir):
            CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
            CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
            round((SELECT count(*) FROM c)
-                 / CAST((SELECT count(*) FROM v) AS DOUBLE), 4)
+                 / CAST(nullif((SELECT count(*) FROM v), 0) AS DOUBLE), 4)
              AS view_to_click,
            round((SELECT count(*) FROM p)
-                 / CAST((SELECT count(*) FROM c) AS DOUBLE), 4)
+                 / CAST(nullif((SELECT count(*) FROM c), 0) AS DOUBLE), 4)
              AS click_to_purchase
     """,
     doc="Strictly-sequential conversion funnel view → click → purchase: "
@@ -192,11 +192,18 @@ def funnel_stage_conversion(spark, sf_dir):
             F.col("n_view").cast("bigint").alias("n_view"),
             F.col("n_click").cast("bigint").alias("n_click"),
             F.col("n_purchase").cast("bigint").alias("n_purchase"),
+            # try_divide: an empty stage (no views / no converting clicks)
+            # yields a NULL rate instead of an ANSI DIVIDE_BY_ZERO abort —
+            # mirroring the oracle's nullif denominator
             F.round(
-                F.col("n_click") / F.col("n_view").cast("double"), 4
+                F.try_divide(F.col("n_click"), F.col("n_view").cast("double")),
+                4,
             ).alias("view_to_click"),
             F.round(
-                F.col("n_purchase") / F.col("n_click").cast("double"), 4
+                F.try_divide(
+                    F.col("n_purchase"), F.col("n_click").cast("double")
+                ),
+                4,
             ).alias("click_to_purchase"),
         )
     )

@@ -46,12 +46,21 @@ def test_entropy_known_value(spark):
     assert h == pytest.approx(math.log(3) - 2 * math.log(2) / 3, abs=1e-12)
 
 
-def test_kl_nonnegative_gibbs(results):
+def test_kl_nonnegative_gibbs(spark, sf_dir, results):
     """KL(source || corpus) >= 0 (Gibbs' inequality) for every source,
-    and token masses must sum to the corpus total."""
+    and per-source token masses must sum to the corpus total."""
+    from flink_emqx_connector_spark.session import load_table
+
     df = results("source_token_kl")
     assert len(df) > 0
     assert (df.kl_nats >= -1e-6).all()
+    [(corpus_tokens,)] = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .agg(F.sum(F.size(F.split("text", " "))))
+        .collect()
+    )
+    assert int(df.n_tokens.sum()) == corpus_tokens
 
 
 def test_novelty_fraction_bounds_and_first_doc(results):
@@ -125,9 +134,13 @@ def test_centroid_consistency_with_cohesion(results):
     census, and cosine stats must lie in [-1, 1] with mean >= min."""
     cent = results("label_centroids")
     coh = results("intra_label_cosine")
-    per_label = cent.groupby("label").n_vecs.first().sort_index()
+    # every dimension of a label must report the same vector count (the
+    # corpus has uniform dims) — min==max guards against order-dependent
+    # row picking AND ragged counts
+    per_label = cent.groupby("label").n_vecs.agg(["min", "max"]).sort_index()
     census = coh.set_index("label").n_vecs.sort_index()
-    assert (per_label == census).all()
+    assert (per_label["min"] == per_label["max"]).all()
+    assert (per_label["min"] == census).all()
     assert ((coh.mean_cos <= 1 + 1e-9) & (coh.mean_cos >= -1 - 1e-9)).all()
     assert (coh.min_cos <= coh.mean_cos + 1e-9).all()
 
@@ -144,3 +157,68 @@ def test_histogram_partitions_every_event(spark, sf_dir, results):
     for _, g in df.groupby("event_type"):
         lo = g.sort_values("bin").bin_lo.to_numpy()
         assert (lo[1:] > lo[:-1]).all()
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(path / "events.parquet"))
+
+
+def _duck_events(path):
+    import duckdb
+
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the part-file glob
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{path}/events.parquet/*.parquet'"
+    )
+    return con
+
+
+def test_histogram_constant_type_lands_in_last_bin(spark, tmp_path):
+    """Degenerate width-0 type (all values equal): no ANSI divide-by-zero
+    abort; every row lands in bin 19 on BOTH engines."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "flat", 5.0, "{}") for i in range(4)] + [
+        (9 + i, t0, 1, "spread", float(i), "{}") for i in range(4)
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = (
+        QUERIES["histogram_events"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["event_type", "bin"])
+    )
+    flat = got[got.event_type == "flat"]
+    assert list(flat.bin) == [19] and int(flat.n_events.iloc[0]) == 4
+    duck = (
+        _duck_events(tmp_path)
+        .execute(QUERIES["histogram_events"].oracle)
+        .fetch_df()
+        .sort_values(["event_type", "bin"])
+    )
+    assert list(duck[duck.event_type == "flat"].bin) == [19]
+    assert len(duck) == len(got)
+
+
+def test_funnel_empty_stage_yields_null_rates(spark, tmp_path):
+    """No view events at all: stage counts are 0 and the conversion rates
+    are NULL (not an ANSI divide-by-zero abort) on BOTH engines."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, i, "click", 1.0, "{}") for i in range(3)]
+    _write_events(spark, tmp_path, rows)
+    [g] = QUERIES["funnel_stage_conversion"].spark(spark, str(tmp_path)).collect()
+    assert (g.n_view, g.n_click, g.n_purchase) == (0, 0, 0)
+    assert g.view_to_click is None and g.click_to_purchase is None
+    [d] = (
+        _duck_events(tmp_path)
+        .execute(QUERIES["funnel_stage_conversion"].oracle)
+        .fetchall()
+    )
+    assert tuple(d[:3]) == (0, 0, 0) and d[3] is None and d[4] is None
