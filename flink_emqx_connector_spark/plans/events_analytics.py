@@ -1,6 +1,9 @@
-"""Seventh wave (SURVEY.md §2.5 X61-X63): classic product-analytics
+"""Seventh wave (SURVEY.md §2.5 X61-X66): classic product-analytics
 operators over the event stream — Markov transition matrix, weekly
-retention cohorts, and a strictly-sequential conversion funnel. These are
+retention cohorts, a strictly-sequential conversion funnel, daily
+anomaly flags (median/MAD over the per-type daily series), LTV decile
+bands (broadcast percentile boundaries, no global rank window), and a
+nearest-centroid confusion matrix over the embeddings. These are
 the workloads the reference's own domain (event streams into Flink)
 exists to serve; the reference delegates them wholesale to Flink's API
 (SURVEY §2.2), so here they are first-class, oracle-checked plans.
@@ -206,4 +209,191 @@ def funnel_stage_conversion(spark, sf_dir):
                 4,
             ).alias("click_to_purchase"),
         )
+    )
+
+
+_LTV_Q = [i / 10 for i in range(1, 10)]  # decile boundaries
+
+
+@register(
+    "daily_anomaly_events",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, median(n) AS med, mad(n) AS md
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n_events,
+           abs(d.n - s.med) > 3 * 1.4826 * s.md AS anomaly
+    FROM d JOIN s USING (event_type)
+    """,
+    doc="Time-series anomaly flags: each (type, day) count is compared "
+    "against that type's median/MAD over its own daily series — the "
+    "volume-spike/outage detector behind ingest monitoring. The fact "
+    "table collapses to a |types|x|days| daily aggregate FIRST (map-side "
+    "combined); the robust stats and the flag join then run over that "
+    "tiny series. No division anywhere, so integer-count comparisons "
+    "are exactly reproducible across engines (MAD=0 degrades to "
+    "'any deviation flags' on both).",
+    tags=("events", "timeseries", "anomaly", "analytics"),
+)
+def daily_anomaly_events(spark, sf_dir):
+    # The daily series feeds three consumers (median, MAD, flag join);
+    # without pinning, Catalyst re-derives it per consumer = 4 scans of
+    # the fact table. localCheckpoint materializes the types×days rows
+    # once — tiny, and freed on GC (the round-2 cache lesson).
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    s = d.groupBy("event_type").agg(F.median("n").alias("med"))
+    dev = d.join(F.broadcast(s), "event_type").withColumn(
+        "dv", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("dv").alias("md"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n_events"),
+            (F.col("dv") > 3 * 1.4826 * F.col("md")).alias("anomaly"),
+        )
+    )
+
+
+@register(
+    "user_ltv_deciles",
+    oracle=f"""
+    WITH ltv AS (
+      SELECT user_id, round(CAST(sum(value) AS DOUBLE), 2) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), b AS (
+      SELECT quantile_cont(v, {_LTV_Q}) AS qs FROM ltv
+    ), assigned AS (
+      SELECT ltv.v,
+             ({" + ".join(f"CASE WHEN ltv.v > b.qs[{i + 1}] THEN 1 ELSE 0 END" for i in range(9))})
+               AS decile
+      FROM ltv CROSS JOIN b
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(min(v), 2) AS min_ltv,
+           round(max(v), 2) AS max_ltv,
+           round(avg(v), 4) AS avg_ltv
+    FROM assigned GROUP BY 1
+    """,
+    doc="Customer-lifetime-value decile bands over per-user purchase "
+    "totals. The SCALE-SOUND form: decile BOUNDARIES come from one "
+    "single-buffer percentile aggregate (the percentiles_lineitem "
+    "pattern) broadcast back as 9 scalars, and users bucket via "
+    "comparisons — no global ntile/percent_rank window, whose "
+    "single-partition sort is exactly the plan the vocab-coverage fix "
+    "removed. LTVs are rounded to cents BEFORE bucketing so summation-"
+    "order drift cannot flip a user across an engine-identical boundary.",
+    tags=("events", "ltv", "quantile", "analytics"),
+)
+def user_ltv_deciles(spark, sf_dir):
+    ltv = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value").cast("double"), 2).alias("v"))
+    )
+    b = ltv.agg(F.percentile("v", F.lit(_LTV_Q)).alias("qs"))
+    decile = sum(
+        F.when(F.col("v") > F.col("qs")[i], 1).otherwise(0) for i in range(9)
+    )
+    return (
+        ltv.crossJoin(F.broadcast(b))
+        .groupBy(decile.cast("bigint").alias("decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(F.min("v"), 2).alias("min_ltv"),
+            F.round(F.max("v"), 2).alias("max_ltv"),
+            F.round(F.avg("v"), 4).alias("avg_ltv"),
+        )
+    )
+
+
+@register(
+    "nearest_centroid_confusion",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(range(len(embedding))) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), cm AS (
+      SELECT label, pos, avg(val) AS c FROM ex GROUP BY 1, 2
+    ), cent AS (
+      SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+      FROM cm GROUP BY 1
+    ), scored AS (
+      SELECT e.vec_id, e.label, cent.c_label,
+             round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), cent.centroid), 6) AS cs
+      FROM embeddings e CROSS JOIN cent
+      WHERE e.embedding IS NOT NULL
+    ), best AS (
+      SELECT vec_id, label, c_label,
+             row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, c_label) AS rk
+      FROM scored
+    )
+    SELECT label, c_label AS assigned_label,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM best WHERE rk = 1
+    GROUP BY 1, 2
+    """,
+    doc="Nearest-centroid confusion matrix: every vector is assigned to "
+    "its argmax-cosine class prototype; off-diagonal mass is label noise "
+    "or genuine class overlap — the 1-NN-to-centroid classifier that "
+    "gates auto-labeled training data. Centroids (|labels| arrays) "
+    "BROADCAST against the vector scan; the |vecs|x|labels| scores run "
+    "in the Arrow-batched numpy kernel; argmax is a window over each "
+    "vector's |labels| rows (cosines rounded to 6 dp first, with the "
+    "centroid label as tie-break, so cross-engine argmax is stable).",
+    tags=("embeddings", "classification", "quality", "pipeline"),
+)
+def nearest_centroid_confusion(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine_pairs_vectorized
+    from ..session import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    cm = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+    )
+    cent = cm.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    scored = cosine_pairs_vectorized(
+        emb.crossJoin(F.broadcast(cent)), "v", "centroid", "cs"
+    ).withColumn("cs", F.round("cs", 6))
+    rk = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "c_label")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .groupBy("label", F.col("c_label").alias("assigned_label"))
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
     )

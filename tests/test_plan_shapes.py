@@ -501,3 +501,37 @@ def test_funnel_filters_pushed_to_stage_scans(plans):
     for t in ("view", "click", "purchase"):
         assert f"EqualTo(event_type,{t})" in flat, (t, p)
     assert "Python" not in p, p
+
+
+def test_ltv_deciles_no_global_rank_window(plans):
+    """user_ltv_deciles: bucketing must come from broadcast percentile
+    boundaries — NO WindowExec anywhere (a global ntile/percent_rank is
+    the single-partition sort this plan exists to avoid), and the
+    event_type filter must reach the scan."""
+    p = plans("user_ltv_deciles")
+    assert "Window" not in p, p
+    assert "EqualTo(event_type,purchase)" in p.replace(" ", ""), p
+    assert "Python" not in p, p
+
+
+def test_daily_anomaly_stats_over_daily_series_only(plans):
+    """daily_anomaly_events: the fact table collapses to the daily series
+    FIRST and the series is pinned (ExistingRDD) — the median passes and
+    the flag join must NOT re-scan the parquet (zero parquet scans in the
+    final plan; the single real scan happened inside the checkpoint)."""
+    import re
+
+    p = plans("daily_anomaly_events")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0, p
+    assert "ExistingRDD" in p, p
+
+
+def test_centroid_confusion_broadcast_and_kernel(plans):
+    """nearest_centroid_confusion: centroids broadcast (the cross join is
+    a BroadcastNestedLoopJoin over |labels| rows, never a shuffle), the
+    scoring runs in the Arrow-batched kernel, and the argmax window
+    partitions by vec_id (bounded |labels|-row groups)."""
+    p = plans("nearest_centroid_confusion")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+    assert "Window" in p, p
