@@ -229,12 +229,14 @@ def read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
     h = _recv_exact(sock, 1)
     ptype, flags = h[0] >> 4, h[0] & 0x0F
     mult, length = 1, 0
-    while True:
+    for _ in range(4):  # MQTT-1.5.5: Variable Byte Integer is at most 4 bytes
         b = _recv_exact(sock, 1)[0]
         length += (b & 0x7F) * mult
         if not b & 0x80:
             break
         mult *= 128
+    else:
+        raise ValueError("malformed Variable Byte Integer (>4 bytes)")
     body = _recv_exact(sock, length) if length else b""
     return ptype, flags, body
 
@@ -260,12 +262,14 @@ class _PacketReader:
         h = self._read_exact(1)
         ptype, flags = h[0] >> 4, h[0] & 0x0F
         mult, length = 1, 0
-        while True:
+        for _ in range(4):  # MQTT-1.5.5: VBI is at most 4 bytes
             b = self._read_exact(1)[0]
             length += (b & 0x7F) * mult
             if not b & 0x80:
                 break
             mult *= 128
+        else:
+            raise ValueError("malformed Variable Byte Integer (>4 bytes)")
         body = self._read_exact(length) if length else b""
         return ptype, flags, body
 
@@ -319,10 +323,20 @@ class _BrokerConn:
             while True:
                 ptype, flags, body = self._reader.read_packet()
                 self.broker._handle(self, ptype, flags, body)
-        except (ConnectionError, OSError, ValueError):
+        except (ConnectionError, OSError, ValueError, struct.error, IndexError):
+            # MQTT-4.13: a malformed packet closes the network connection.
             pass
         finally:
             self.broker._detach(self)
+            # shutdown BEFORE closing: the _PacketReader's makefile holds a
+            # second reference to the fd, so a bare sock.close() never sends
+            # FIN — the peer would hang on a connection the broker believes
+            # is gone (and the fd would live until GC).
+            try:
+                self.sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            self._reader.close()
             try:
                 self.sock.close()
             except OSError:

@@ -701,3 +701,59 @@ def test_qos2_client_suppresses_dup_after_lost_pubrec():
     assert received == {"pubrec": 3, "pubcomp": 1}
     cli.loop_stop()
     srv.close()
+
+
+def test_broker_survives_garbage_and_malformed_frames():
+    """MQTT-4.13 robustness: a connection feeding garbage (including an
+    over-long Variable Byte Integer, MQTT-1.5.5) or a truncated PUBACK is
+    CLOSED — and the broker keeps serving well-formed clients."""
+    import socket as _socket
+    import time
+
+    from flink_emqx_connector_spark.sources.mqtt_wire import (
+        CallbackAPIVersion,
+        Client,
+        EmbeddedBroker,
+        MQTTv5,
+        connect_packet,
+    )
+
+    broker = EmbeddedBroker().start()
+    try:
+        # 1. pure garbage with continuation bits set forever: the VBI cap
+        #    must reject it instead of waiting for a multi-GB body
+        g = _socket.create_connection(("127.0.0.1", broker.port), timeout=5)
+        g.sendall(bytes([0x30]) + b"\xff\xff\xff\xff\xff\xff")
+        assert g.recv(1) == b"", "broker must close the garbage connection"
+        g.close()
+
+        # 2. well-formed CONNECT then a truncated PUBACK (1-byte body where
+        #    the packet id needs 2): connection must close, thread must not
+        #    crash the broker
+        m = _socket.create_connection(("127.0.0.1", broker.port), timeout=5)
+        m.sendall(connect_packet("mal", True, 60, None))
+        m.recv(64)  # CONNACK
+        m.sendall(bytes([0x40, 0x01, 0x07]))  # PUBACK, len 1, body b"\x07"
+        assert m.recv(1) == b"", "broker must close on truncated PUBACK"
+        m.close()
+
+        # 3. the broker still serves a legitimate round-trip afterwards
+        got = []
+        sub = Client(CallbackAPIVersion.VERSION2, client_id="ok-sub", protocol=MQTTv5)
+        sub.on_message = lambda c, u, msg: got.append(bytes(msg.payload))
+        sub.connect("127.0.0.1", broker.port)
+        sub.loop_start()
+        sub.subscribe("t/ok", qos=1)
+        time.sleep(0.2)
+        pub = Client(CallbackAPIVersion.VERSION2, client_id="ok-pub", protocol=MQTTv5)
+        pub.connect("127.0.0.1", broker.port)
+        pub.loop_start()
+        pub.publish("t/ok", b"alive", qos=1).wait_for_publish(10)
+        deadline = time.time() + 10
+        while not got and time.time() < deadline:
+            time.sleep(0.05)
+        assert got == [b"alive"]
+        pub.disconnect()
+        sub.disconnect()
+    finally:
+        broker.stop()
