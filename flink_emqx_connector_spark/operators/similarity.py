@@ -204,3 +204,30 @@ def deterministic_query_vector(dim: int = 64, seed: str = "ann-query") -> list[f
         d = hashlib.sha256(f"{seed}-{i}".encode()).digest()
         vals.append(int.from_bytes(d[:4], "big") / 2**31 - 1.0)
     return vals
+
+
+def label_centroid_arrays(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "v",
+    out_col: str = "centroid",
+) -> DataFrame:
+    """Per-label mean vector, re-assembled as an array column.
+
+    The (label, pos) average is the dimension-bounded aggregate (map-side
+    partial means — the shuffle carries |labels|×|dims| rows per task);
+    the array re-assembly via array_sort(collect_list(struct)) runs over
+    |labels| tiny groups. Shared by ``intra_label_cosine`` and
+    ``nearest_centroid_confusion`` so centroid semantics can never
+    silently diverge between them.
+    """
+    cm = (
+        emb.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy(label_col, "pos")
+        .agg(F.avg("val").alias("c"))
+    )
+    return cm.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias(out_col)
+    )

@@ -436,23 +436,17 @@ def label_centroids(spark, sf_dir):
     tags=("embeddings", "cohesion", "quality", "pipeline"),
 )
 def intra_label_cosine(spark, sf_dir):
-    from ..operators.similarity import cosine_pairs_vectorized
+    from ..operators.similarity import (
+        cosine_pairs_vectorized,
+        label_centroid_arrays,
+    )
 
     emb = (
         _embeddings(spark, sf_dir)
         .filter(F.col("embedding").isNotNull())
         .select("label", F.col("embedding").cast("array<double>").alias("v"))
     )
-    cm = (
-        emb.select("label", F.posexplode("v").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg("val").alias("c"))
-    )
-    cent = cm.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("centroid")
-    )
+    cent = label_centroid_arrays(emb)
     scored = cosine_pairs_vectorized(
         emb.join(F.broadcast(cent), "label"), "v", "centroid", "cs"
     )

@@ -365,7 +365,10 @@ def user_ltv_deciles(spark, sf_dir):
 def nearest_centroid_confusion(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    from ..operators.similarity import cosine_pairs_vectorized
+    from ..operators.similarity import (
+        cosine_pairs_vectorized,
+        label_centroid_arrays,
+    )
     from ..session import load_table
 
     emb = (
@@ -375,16 +378,7 @@ def nearest_centroid_confusion(spark, sf_dir):
             "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
         )
     )
-    cm = (
-        emb.select("label", F.posexplode("v").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg("val").alias("c"))
-    )
-    cent = cm.groupBy(F.col("label").alias("c_label")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("centroid")
-    )
+    cent = label_centroid_arrays(emb).withColumnRenamed("label", "c_label")
     scored = cosine_pairs_vectorized(
         emb.crossJoin(F.broadcast(cent)), "v", "centroid", "cs"
     ).withColumn("cs", F.round("cs", 6))

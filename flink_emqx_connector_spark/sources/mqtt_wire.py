@@ -137,6 +137,13 @@ def _packet(ptype: int, flags: int, body: bytes) -> bytes:
     return bytes([(ptype << 4) | flags]) + _varint(len(body)) + body
 
 
+
+# MQTT-3.1.2-24 Maximum Packet Size, as a server-chosen bound: a legal
+# 4-byte VBI can declare up to 268 MB — accepting it lets one garbage
+# frame pin a thread buffering that much. 16 MiB is far above any test
+# payload and far below harm.
+_MAX_PACKET_SIZE = 1 << 24
+
 def connect_packet(
     clientid: str, clean_start: bool, keepalive: int, session_expiry: int | None
 ) -> bytes:
@@ -237,6 +244,8 @@ def read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
         mult *= 128
     else:
         raise ValueError("malformed Variable Byte Integer (>4 bytes)")
+    if length > _MAX_PACKET_SIZE:
+        raise ValueError(f"declared packet length {length} exceeds bound")
     body = _recv_exact(sock, length) if length else b""
     return ptype, flags, body
 
@@ -270,6 +279,8 @@ class _PacketReader:
             mult *= 128
         else:
             raise ValueError("malformed Variable Byte Integer (>4 bytes)")
+        if length > _MAX_PACKET_SIZE:
+            raise ValueError(f"declared packet length {length} exceeds bound")
         body = self._read_exact(length) if length else b""
         return ptype, flags, body
 
@@ -721,6 +732,12 @@ class Client:
             sock.shutdown(socket.SHUT_RDWR)
         except OSError:
             pass
+        # the packet reader's makefile holds a second fd reference: without
+        # closing it, sock.close() never actually releases the fd (the
+        # broker-side half of this bug is fixed in _BrokerConn.run)
+        preader, self._preader = self._preader, None
+        if preader is not None:
+            preader.close()
         try:
             sock.close()
         except OSError:
@@ -813,63 +830,68 @@ class Client:
                     time.sleep(delay)
                     delay = min(delay * 2, self._max_delay)
                     continue
-            try:
-                ptype, flags, body = self._preader.read_packet()
-            except (ConnectionError, OSError):
-                if self._sock is not None:
-                    try:
-                        self._sock.close()
-                    except OSError:
-                        pass
+            preader = self._preader
+            if preader is None:  # torn down between the running check and here
                 self._sock = None
                 continue
-            if ptype == CONNACK:
-                session_present = bool(body[0] & 0x01)
-                if self.on_connect is not None:
-                    self.on_connect(self, None, _Flags(session_present), 0, None)
-            elif ptype == PUBLISH:
-                qos = (flags >> 1) & 0x03
-                dup = bool(flags & 0x08)
-                retain = bool(flags & 0x01)
-                topic, i = _parse_str(body, 0)
-                mid = 0
-                if qos:
-                    (mid,) = struct.unpack_from(">H", body, i)
-                    i += 2
-                props, i = _parse_props(body, i)
-                msg = MQTTMessage(topic, qos, retain, body[i:], mid, dup, props["user"])
-                if qos == 2 and mid in self._rx_qos2:
-                    # DUP retransmission of a message we already PUBREC'd
-                    # and dispatched (our PUBREC was lost): re-PUBREC so
-                    # the broker can finish the handshake, don't re-deliver
-                    self._send(pubrec_packet(mid))
-                    continue
-                if qos == 2 and not self._manual_ack:
-                    self._rx_qos2.add(mid)
-                    self._send(pubrec_packet(mid))
-                elif qos and not self._manual_ack:
-                    self._send(puback_packet(mid))
-                if self.on_message is not None:
-                    self.on_message(self, None, msg)
-            elif ptype == PUBACK:
-                (pid,) = struct.unpack_from(">H", body, 0)
-                ev = self._pub_events.pop(pid, None)
-                if ev is not None:
-                    ev.set()
-            elif ptype == PUBREC:
-                # broker took our QoS 2 publish: release it
-                (pid,) = struct.unpack_from(">H", body, 0)
-                self._send(pubrel_packet(pid))
-            elif ptype == PUBCOMP:
-                (pid,) = struct.unpack_from(">H", body, 0)
-                ev = self._pub_events.pop(pid, None)
-                if ev is not None:
-                    ev.set()
-            elif ptype == PUBREL:
-                # broker finishing an inbound QoS 2 handshake we PUBREC'd;
-                # the mid leaves the dedup window — the broker may now
-                # reuse it for a NEW message
-                (pid,) = struct.unpack_from(">H", body, 0)
-                self._rx_qos2.discard(pid)
-                self._send(pubcomp_packet(pid))
-            # PINGRESP / SUBACK need no action
+            try:
+                ptype, flags, body = preader.read_packet()
+                self._dispatch_packet(ptype, flags, body)
+            except (ConnectionError, OSError, ValueError, struct.error, IndexError):
+                # transport failure OR malformed frame (MQTT-4.13): tear the
+                # connection down — including the reader's fd reference —
+                # and let the loop reconnect with backoff
+                self._close_sock()
+                self._sock = None
+
+    def _dispatch_packet(self, ptype: int, flags: int, body: bytes) -> None:
+        if ptype == CONNACK:
+            session_present = bool(body[0] & 0x01)
+            if self.on_connect is not None:
+                self.on_connect(self, None, _Flags(session_present), 0, None)
+        elif ptype == PUBLISH:
+            qos = (flags >> 1) & 0x03
+            dup = bool(flags & 0x08)
+            retain = bool(flags & 0x01)
+            topic, i = _parse_str(body, 0)
+            mid = 0
+            if qos:
+                (mid,) = struct.unpack_from(">H", body, i)
+                i += 2
+            props, i = _parse_props(body, i)
+            msg = MQTTMessage(topic, qos, retain, body[i:], mid, dup, props["user"])
+            if qos == 2 and mid in self._rx_qos2:
+                # DUP retransmission of a message we already PUBREC'd
+                # and dispatched (our PUBREC was lost): re-PUBREC so
+                # the broker can finish the handshake, don't re-deliver
+                self._send(pubrec_packet(mid))
+                return
+            if qos == 2 and not self._manual_ack:
+                self._rx_qos2.add(mid)
+                self._send(pubrec_packet(mid))
+            elif qos and not self._manual_ack:
+                self._send(puback_packet(mid))
+            if self.on_message is not None:
+                self.on_message(self, None, msg)
+        elif ptype == PUBACK:
+            (pid,) = struct.unpack_from(">H", body, 0)
+            ev = self._pub_events.pop(pid, None)
+            if ev is not None:
+                ev.set()
+        elif ptype == PUBREC:
+            # broker took our QoS 2 publish: release it
+            (pid,) = struct.unpack_from(">H", body, 0)
+            self._send(pubrel_packet(pid))
+        elif ptype == PUBCOMP:
+            (pid,) = struct.unpack_from(">H", body, 0)
+            ev = self._pub_events.pop(pid, None)
+            if ev is not None:
+                ev.set()
+        elif ptype == PUBREL:
+            # broker finishing an inbound QoS 2 handshake we PUBREC'd;
+            # the mid leaves the dedup window — the broker may now
+            # reuse it for a NEW message
+            (pid,) = struct.unpack_from(">H", body, 0)
+            self._rx_qos2.discard(pid)
+            self._send(pubcomp_packet(pid))
+        # PINGRESP / SUBACK need no action

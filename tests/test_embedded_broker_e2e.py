@@ -727,6 +727,13 @@ def test_broker_survives_garbage_and_malformed_frames():
         assert g.recv(1) == b"", "broker must close the garbage connection"
         g.close()
 
+        # 1b. LEGAL 4-byte VBI declaring a 268 MB body: the packet-size
+        #     bound must reject it instead of pinning a thread buffering it
+        g2 = _socket.create_connection(("127.0.0.1", broker.port), timeout=5)
+        g2.sendall(bytes([0x10]) + b"\xff\xff\xff\x7f")
+        assert g2.recv(1) == b"", "broker must reject an oversized packet"
+        g2.close()
+
         # 2. well-formed CONNECT then a truncated PUBACK (1-byte body where
         #    the packet id needs 2): connection must close, thread must not
         #    crash the broker
