@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .registry import register
+from .rounding import stable_round
 
 
 def _t(spark, sf_dir, name):
@@ -799,12 +800,9 @@ def q21_last_shipper_census(spark, sf_dir):
     oracle="""
     WITH cost AS (
       SELECT l_partkey, l_suppkey,
-             -- floor(x*1e4+0.5)/1e4, NOT round(): Spark rounds the shortest
-             -- decimal repr of a double while DuckDB rounds its true binary
-             -- value, and a quotient at a ...5 boundary (sf0.1: 312.30875)
-             -- flips the last digit between them; this form is computed in
-             -- identical IEEE steps on both engines (costs are positive, so
-             -- half-up == half-away)
+             -- engine-stable rounding (see plans/rounding.py): round() flips
+             -- the last digit between engines at repr boundaries (sf0.1 hit
+             -- 312.30875 here)
              floor(min(l_extendedprice / l_quantity) * 10000 + 0.5) / 10000
                AS unit_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey
@@ -840,15 +838,8 @@ def q2_min_cost_supplier(spark, sf_dir):
     cost = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(
-            # floor(x*1e4+0.5)/1e4 — engine-identical IEEE rounding; see
-            # the oracle comment (round() disagrees at repr boundaries)
-            (
-                F.floor(
-                    F.min(F.col("l_extendedprice") / F.col("l_quantity"))
-                    * 10000
-                    + 0.5
-                )
-                / 10000
+            stable_round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
             ).alias("unit_cost")
         )
         .localCheckpoint()

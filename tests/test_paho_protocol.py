@@ -241,64 +241,3 @@ def test_reader_options_reach_transport(fake_paho):
             EMQX_MESSAGE_SCHEMA, {"transport": "paho", "properties_mode": "bogus"}
         )
 
-
-def test_client_reconnects_after_malformed_frame():
-    """A malformed frame from the peer must tear the connection down and
-    re-enter the reconnect/backoff path (previously it killed the network
-    thread with an uncaught ValueError) — observed as a SECOND TCP
-    connect against the listener."""
-    import socket
-    import threading
-    import time
-
-    from flink_emqx_connector_spark.sources.mqtt_wire import (
-        CallbackAPIVersion,
-        Client,
-        MQTTv5,
-        connack_packet,
-    )
-
-    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-    srv.bind(("127.0.0.1", 0))
-    srv.listen(8)
-    port = srv.getsockname()[1]
-    accepted = []
-    stop = threading.Event()
-
-    def fake_broker():
-        while not stop.is_set():
-            try:
-                conn, _ = srv.accept()
-            except OSError:
-                return
-            accepted.append(conn)
-            try:
-                conn.recv(512)  # CONNECT
-                conn.sendall(connack_packet(False))
-                if len(accepted) == 1:
-                    # first connection: answer with an over-long VBI frame
-                    conn.sendall(bytes([0x30]) + b"\xff\xff\xff\xff\xff")
-                # later connections: stay silent (healthy idle)
-            except OSError:
-                pass
-
-    th = threading.Thread(target=fake_broker, daemon=True)
-    th.start()
-    cli = Client(CallbackAPIVersion.VERSION2, client_id="mal-cli", protocol=MQTTv5)
-    cli.connect("127.0.0.1", port)
-    cli.loop_start()
-    deadline = time.time() + 10
-    while len(accepted) < 2 and time.time() < deadline:
-        time.sleep(0.05)
-    try:
-        assert len(accepted) >= 2, "client never reconnected after malformed frame"
-    finally:
-        cli.loop_stop()
-        stop.set()
-        srv.close()
-        for c in accepted:
-            try:
-                c.close()
-            except OSError:
-                pass
