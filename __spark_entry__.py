@@ -100,11 +100,31 @@ _DRIVER_RECORDED = frozenset(
         "sequence_pack_docs", "sequence_pack_contiguous",
         "chunk_docs_overlap", "balance_lang_sample", "global_shuffle_docs",
         "repetition_filter_docs",
-        # "dedup_minhash_lsh" removed: r3 record is a NameError, re-record.
-        # "bucketed_colocated_join" removed: round-5 table-naming change.
-        # "dedup_clusters", "dedup_keep_list", "embedding_clusters" removed:
-        # round-5 connected_components change (raw-pair checkpoint) —
-        # re-record every consumer of the modified operator.
+        # round 5 (recorded in CORRECTNESS_r05.json)
+        "bigram_lm_topk", "bpe_merge_candidates", "bucketed_colocated_join",
+        "cross_source_duplication", "daily_anomaly_events", "dedup_clusters",
+        "dedup_graph_triangles", "dedup_incremental", "dedup_keep_list",
+        "embedding_clusters", "event_transition_matrix",
+        "funnel_stage_conversion", "histogram_events", "intra_label_cosine",
+        "label_centroids", "line_dedup_docs", "lm_perplexity_docs",
+        "mad_outlier_events", "ngram_novelty_docs", "prefix_truncation_dupes",
+        "q10_returned_revenue_topk", "q11_important_stock",
+        "q12_priority_by_status", "q13_customer_order_distribution",
+        "q15_top_supplier", "q16_supplier_part_variety",
+        "q17_small_quantity_revenue", "q19_brand_quantity_disjunction",
+        "q20_part_share_suppliers", "q21_last_shipper_census",
+        "q22_idle_wealthy_customers", "q2_min_cost_supplier",
+        "q4_late_shipment_priority", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "quality_model_score", "retention_cohorts", "source_token_kl",
+        "split_by_cluster", "temperature_resample_sources", "tfidf_top_terms",
+        "time_decay_user_scores", "token_entropy_docs",
+        "token_vocab_coverage", "user_ltv_deciles", "weighted_sample_docs",
+        # "dedup_minhash_lsh" NOT added: r5 record was rows-only
+        #   (no_oracle); round 6 made it fully deterministic with a DuckDB
+        #   oracle — re-record for the full hash-match verdict.
+        # "nearest_centroid_confusion" NOT added: round 6 converts its
+        #   rounding to the engine-stable form (ADVICE item) — re-record.
     }
 )
 

@@ -150,16 +150,61 @@ def _full_path_leg(seconds: float = 60.0, n_pub: int = 4):
     return (seq1 - seq0) / (t1 - t0), seq1 - seq0, t1 - t0
 
 
+def _cell(spool: str, seconds: float) -> None:
+    """One self-contained broker+bridge+publishers stack (= one host of
+    the multi-bridge scale-out posture). Prints its own JSON and exits."""
+    rate, n, el = _full_path_leg(seconds=seconds)
+    print(json.dumps({"cell_msgs_per_sec": round(rate), "n": n, "s": round(el, 1)}))
+
+
+def _multi_bridge_leg(seconds: float, n_cells: int = 2) -> tuple[float, float]:
+    """(aggregate msgs/s across n_cells processes, single-cell msgs/s).
+
+    Each cell is a separate OS process running its own broker + bridge +
+    publishers — the 'one bridge per topic-filter on any stable host'
+    scale-out unit from sources/bridge.py, executed rather than claimed.
+    Near-linear aggregate (≈ n_cells × single) shows the single-process
+    ingest ceiling is a per-host ceiling, not a design ceiling.
+    """
+    import subprocess
+
+    def run_cells(k: int) -> float:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, __file__, "--cell", str(seconds)],
+                stdout=subprocess.PIPE, text=True, cwd=REPO,
+            )
+            for _ in range(k)
+        ]
+        total = 0.0
+        for p in procs:
+            out, _ = p.communicate(timeout=seconds + 120)
+            total += json.loads(out.strip().splitlines()[-1])["cell_msgs_per_sec"]
+        return total
+
+    single = run_cells(1)
+    aggregate = run_cells(n_cells)
+    return aggregate, single
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--cell":
+        _cell("", float(sys.argv[2]) if len(sys.argv) > 2 else 20.0)
+        return
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
     spark_leg = _spark_ingest_leg()
     full_path, n_msgs, el = _full_path_leg(seconds=seconds)
+    # scale-out probe at a shorter window: the number that matters is the
+    # RATIO aggregate/single, which stabilizes quickly
+    multi, single = _multi_bridge_leg(seconds=min(seconds, 20.0), n_cells=2)
     print(
         json.dumps(
             {
                 "metric": "streaming_ingest",
                 "spark_leg_msgs_per_sec": round(spark_leg),
                 "full_path_msgs_per_sec": round(full_path),
+                "two_bridge_aggregate_msgs_per_sec": round(multi),
+                "one_bridge_msgs_per_sec": round(single),
                 "seconds": round(el, 1),
                 "n_messages": n_msgs,
             }

@@ -452,8 +452,10 @@ def ngram_jaccard_pairs_auto(
 def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) coefficients for h_j(x) = (a*x + b) mod p.
 
-    a < 2^29 and x < 2^33 keep a*x + b < 2^63 — no int64 overflow under
-    ANSI arithmetic (Spark 4 default).
+    a < 2^29 and x < 2^32 keep a*x + b < 2^62 — no int64 overflow under
+    ANSI arithmetic (Spark 4 default), and the identical expression is
+    safe in DuckDB BIGINT arithmetic (the SQL oracle embeds the same
+    literals; see plans/dedup.py:_minhash_oracle_sql).
     """
     out = []
     for j in range(num_hashes):
@@ -462,6 +464,23 @@ def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
         b = int.from_bytes(d[8:16], "big") % (1 << 61)
         out.append((a, b))
     return out
+
+
+def _shingle_hash_expr(col):
+    """Engine-portable 32-bit shingle hash: first 8 hex chars of md5.
+
+    Replaces the earlier murmur3 (``F.hash``) element hash so the ENTIRE
+    MinHash pipeline — signatures, banding, screen, verify — is
+    deterministically replayable in DuckDB SQL
+    (``('0x' || substr(md5(s),1,8))::UBIGINT``), the same md5-replica
+    pattern the SimHash oracle proved (plans/dedup.py dedup_simhash).
+    h < 2^32 keeps h*a + b < 2^62 for the permutation arithmetic.
+    Cross-shingle collisions (~|V|²/2³³) perturb a signature slot with
+    vanishing probability and affect only recall, never the exact verify.
+    """
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
 
 
 def minhash_signatures(
@@ -473,9 +492,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: ``doc, mh0..mh{k-1}``.
 
-    Shingles are exploded, hashed JVM-side with murmur3 (``F.hash``, fixed
-    seed), and the k universal-hash permutations fold as ``min()``
-    aggregates over the exploded rows. Every expression is plain arithmetic
+    Shingles are exploded, hashed JVM-side with the md5-derived 32-bit
+    element hash (``_shingle_hash_expr`` — deterministic across engines,
+    so the DuckDB oracle replays the exact signatures), and the k
+    universal-hash permutations fold as ``min()`` aggregates over the
+    exploded rows. Every expression is plain arithmetic
     — whole-stage-codegen'd — where the earlier ``transform``/``array_min``
     HOF form ran interpreted lambdas per array element; and the groupBy's
     partial (map-side) aggregation means the shuffle moves only
@@ -486,9 +507,8 @@ def minhash_signatures(
     """
     params = _minhash_params(num_hashes)
     sh = _shingle_table(docs, text_col, id_col, n)
-    # murmur3 of each shingle, lifted to non-negative 64-bit
     ex = sh.select("doc", F.explode("sh").alias("s")).select(
-        "doc", (F.hash("s").cast("bigint") + F.lit(1 << 32)).alias("h")
+        "doc", _shingle_hash_expr(F.col("s")).alias("h")
     )
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{j}")
@@ -570,11 +590,15 @@ def _verify_candidates(
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
+    # Engine-stable rounding (floor(x*1e4+0.5)/1e4 — see plans/rounding.py):
+    # identical IEEE steps on Spark and DuckDB, so the oracle matches
+    # bit-for-bit even at shortest-repr boundaries. Jaccard is non-negative.
+    jac_r = F.floor(jac * 10000 + 0.5) / 10000
     return (
         sa.join(screened, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac_r.alias("jaccard"))
     )
 
 
@@ -658,11 +682,18 @@ def minhash_lsh_pairs(
     # adversarial templated corpus still collides heavily at r rows/band —
     # which the estimator filter absorbs.
     sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col).localCheckpoint()
+    # Exact band key (concat of the band's r signature slots) instead of a
+    # murmur3 hash of them: grouping is identical-or-better (no bucket-hash
+    # collisions) and the key is trivially reproducible in the SQL oracle.
+    # The shuffle rows grow from 4-byte ints to ~2×20-char strings — still
+    # short rows, |docs|×bands of them.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.hash(*[F.col(f"mh{bi * r + j}") for j in range(r)]).alias("bh"),
+                F.concat_ws(
+                    ":", *[F.col(f"mh{bi * r + j}") for j in range(r)]
+                ).alias("bh"),
             )
             for bi in range(bands)
         ]

@@ -65,6 +65,63 @@ def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     )
 
 
+def _compare_bounded(q, sf_dir: str, s_cols: list[str], s_rows: list[tuple]) -> dict:
+    """Bounded-error gate for sketch queries (QueryDef.bounded contract).
+
+    Joins the Spark output to the EXACT DuckDB values by the contract's key
+    columns and asserts each bounded column within its rated error —
+    ("exact", _) must match exactly, ("rel", tol) within relative tolerance.
+    Rows must match 1:1 on the key. This upgrades approximate operators
+    from rows-only to a failing gate when a sketch drifts outside its
+    error contract.
+    """
+    spec = q.bounded
+    key, bounds = list(spec["key"]), dict(spec["bounds"])
+    con = duckdb_connect(sf_dir)
+    cur = con.execute(spec["sql"])
+    d_cols = [c[0] for c in cur.description]
+    d_rows = cur.fetchall()
+    con.close()
+
+    res = {
+        "name": q.name,
+        "mode": "bounded-oracle",
+        "spark_rows": len(s_rows),
+        "duck_rows": len(d_rows),
+    }
+    s_idx = {c: i for i, c in enumerate(s_cols)}
+    d_idx = {c: i for i, c in enumerate(d_cols)}
+    missing = [c for c in key + list(bounds) if c not in s_idx or c not in d_idx]
+    if missing:
+        res.update(ok=False, why=f"bounded contract columns missing: {missing}")
+        return res
+    s_by_key = {tuple(_norm(r[s_idx[c]]) for c in key): r for r in s_rows}
+    d_by_key = {tuple(_norm(r[d_idx[c]]) for c in key): r for r in d_rows}
+    if set(s_by_key) != set(d_by_key) or len(s_by_key) != len(s_rows):
+        res.update(ok=False, why="key sets differ")
+        return res
+    violations = []
+    for k, sr in s_by_key.items():
+        dr = d_by_key[k]
+        for col, bound in bounds.items():
+            kind, tol, *rest = bound
+            atol = rest[0] if rest else 0.0
+            sv, dv = sr[s_idx[col]], dr[d_idx[col]]
+            if kind == "exact":
+                if _norm(sv) != _norm(dv):
+                    violations.append((k, col, sv, dv))
+            else:  # relative error vs the exact value (+ absolute slack)
+                sv, dv = float(sv), float(dv)
+                if abs(sv - dv) > tol * abs(dv) + atol:
+                    violations.append((k, col, sv, dv))
+    if violations:
+        res.update(ok=False, why="error contract violated",
+                   sample_diff=violations[:3])
+        return res
+    res["ok"] = True
+    return res
+
+
 def compare_query(spark, sf_dir: str, name: str) -> dict:
     """Run one query both ways; return a result dict (ok/raw details)."""
     from .registry import QUERIES
@@ -75,6 +132,8 @@ def compare_query(spark, sf_dir: str, name: str) -> dict:
     s_rows = [tuple(r) for r in sdf.collect()]
 
     if q.oracle is None:
+        if q.bounded is not None:
+            return _compare_bounded(q, sf_dir, s_cols, s_rows)
         return {
             "name": name,
             "ok": len(s_rows) >= 0,

@@ -1,10 +1,12 @@
 """Dedup queries over ``documents``/``embeddings`` (operators/dedup.py).
 
-Oracle coverage: exact dedup, n-gram Jaccard, embedding near-dup, and
-SimHash (md5-replica SQL) have full DuckDB oracles. MinHash-LSH's recall is
-probabilistic (murmur3-seeded permutations, not SQL-reproducible) — it is
-registered without an oracle (driver records the weaker rows-only check);
-its verification step is exact and pinned subset-of-exact in tests/.
+Oracle coverage: every dedup query has a full DuckDB oracle, including
+MinHash-LSH since round 6: the element hash is md5-derived
+(``operators/dedup.py:_shingle_hash_expr``) and the band keys are exact
+concats, so the ENTIRE pipeline — canonicalization, signatures, banding,
+screen, exact verify, member expansion — replays deterministically in SQL
+(``_minhash_oracle_sql`` below, the same md5-replica pattern the SimHash
+oracle proved first).
 """
 
 from __future__ import annotations
@@ -73,12 +75,136 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs_auto(_docs(spark, sf_dir), threshold=0.5, n=2)
 
 
+def _minhash_oracle_sql(
+    threshold: float = 0.5, num_hashes: int = 32, bands: int = 16, n: int = 2
+) -> str:
+    """DuckDB replica of the full ``minhash_lsh_pairs`` pipeline.
+
+    Embeds the SAME (a, b) permutation literals as the Spark expressions
+    (``D._minhash_params``) and replays every stage: md5-group
+    canonicalization → md5-based 32-bit shingle hash → k min-hash
+    aggregates → exact band-concat bucketing → band-collision candidate
+    pairs → signature-agreement screen (same float floor literal) → exact
+    shingle-Jaccard verify with engine-stable rounding → member expansion.
+    The SQL always canonicalizes; the Spark side's no-canonicalize branch
+    (probe says the corpus is already ≥95%-distinct) is output-equivalent:
+    identical texts have identical signatures, so they collide in every
+    band, pass the screen at agreement 1, and verify at exactly 1.0.
+    """
+    params = D._minhash_params(num_hashes)
+    r = num_hashes // bands
+    p = (1 << 61) - 1
+    est_floor = max(
+        threshold - 2.5 * (threshold * (1 - threshold) / num_hashes) ** 0.5, 0.0
+    )
+    mh_aggs = ",\n         ".join(
+        f"min((h*{a} + {b}) % {p}) AS mh{j}" for j, (a, b) in enumerate(params)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc, {bi} AS band, {key} AS bh FROM sigs".format(
+            bi=bi,
+            key=" || ':' || ".join(
+                f"CAST(mh{bi * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for bi in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes)
+    )
+    words = "string_split(text, ' ')"
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS doc, text FROM documents
+      WHERE len({words}) >= {n}
+    ),
+    grp AS (
+      SELECT md5(text) AS fp, min(doc) AS rep, list(doc) AS members
+      FROM base GROUP BY 1
+    ),
+    reps AS (SELECT g.rep AS doc, b.text FROM grp g JOIN base b ON b.doc = g.rep),
+    sh AS (
+      SELECT doc,
+             list_distinct(list_transform(range(1, len({words})),
+                 i -> {words}[i] || ' ' || {words}[i+1])) AS bg
+      FROM reps
+    ),
+    hx AS (
+      SELECT doc,
+             CAST(CAST('0x' || substr(md5(s), 1, 8) AS UBIGINT) AS BIGINT) AS h
+      FROM (SELECT doc, unnest(bg) AS s FROM sh)
+    ),
+    sigs AS (
+      SELECT doc,
+         {mh_aggs}
+      FROM hx GROUP BY doc
+    ),
+    buckets AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    screened AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sigs sa ON sa.doc = c.doc_a
+      JOIN sigs sb ON sb.doc = c.doc_b
+      WHERE CAST({agree} AS DOUBLE) / {num_hashes} >= {est_floor!r}
+    ),
+    cids AS (
+      SELECT DISTINCT doc FROM (
+        SELECT doc_a AS doc FROM screened
+        UNION ALL SELECT doc_b AS doc FROM screened
+      )
+    ),
+    vsh AS (SELECT t.doc, unnest(t.bg) AS s FROM sh t JOIN cids USING (doc)),
+    sizes AS (SELECT t.doc, len(t.bg) AS nsz FROM sh t JOIN cids USING (doc)),
+    inter AS (
+      SELECT pr.doc_a, pr.doc_b, count(*) AS i
+      FROM screened pr
+      JOIN vsh a ON a.doc = pr.doc_a
+      JOIN vsh b ON b.doc = pr.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    repp AS (
+      SELECT i.doc_a, i.doc_b,
+             floor((CAST(i.i AS DOUBLE) / (sa.nsz + sb.nsz - i.i)) * 10000 + 0.5)
+               / 10000 AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc = i.doc_a
+      JOIN sizes sb ON sb.doc = i.doc_b
+      WHERE CAST(i.i AS DOUBLE) / (sa.nsz + sb.nsz - i.i) >= {threshold!r}
+    ),
+    mem AS (SELECT fp, rep, unnest(members) AS m FROM grp),
+    crossx AS (
+      SELECT least(ma.m, mb.m) AS doc_a, greatest(ma.m, mb.m) AS doc_b, p.jaccard
+      FROM repp p
+      JOIN mem ma ON ma.rep = p.doc_a
+      JOIN mem mb ON mb.rep = p.doc_b
+    ),
+    withinx AS (
+      SELECT a.m AS doc_a, b.m AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+      FROM mem a JOIN mem b ON a.fp = b.fp AND a.m < b.m
+    )
+    SELECT doc_a, doc_b, jaccard FROM crossx
+    UNION ALL
+    SELECT doc_a, doc_b, jaccard FROM withinx
+    """
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # probabilistic recall — verified exactly in tests instead
+    oracle=_minhash_oracle_sql(),
     doc="MinHash(32 hashes) + LSH banding (16 bands × 2 rows) candidate "
     "generation, exact-Jaccard verification ≥ 0.5 on candidates only. "
-    "operators/dedup.py:minhash_lsh_pairs — the 100 TB near-dup path.",
+    "operators/dedup.py:minhash_lsh_pairs — the 100 TB near-dup path. "
+    "Fully deterministic (md5-derived element hash + exact band keys) so "
+    "the DuckDB oracle replays signatures→bands→screen→verify exactly.",
     tags=("dedup", "minhash", "approx"),
 )
 def dedup_minhash_lsh(spark, sf_dir):

@@ -337,8 +337,9 @@ def user_ltv_deciles(spark, sf_dir):
       FROM cm GROUP BY 1
     ), scored AS (
       SELECT e.vec_id, e.label, cent.c_label,
-             round(list_cosine_similarity(
-                 CAST(e.embedding AS DOUBLE[]), cent.centroid), 6) AS cs
+             floor(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), cent.centroid)
+                 * 1000000 + 0.5) / 1000000 AS cs
       FROM embeddings e CROSS JOIN cent
       WHERE e.embedding IS NOT NULL
     ), best AS (
@@ -381,7 +382,13 @@ def nearest_centroid_confusion(spark, sf_dir):
     cent = label_centroid_arrays(emb).withColumnRenamed("label", "c_label")
     scored = cosine_pairs_vectorized(
         emb.crossJoin(F.broadcast(cent)), "v", "centroid", "cs"
-    ).withColumn("cs", F.round("cs", 6))
+        # Engine-stable floor-form rounding (plans/rounding.py) before the
+        # argmax: round() diverges between Spark and DuckDB at
+        # shortest-repr boundaries, and a boundary hit here flips
+        # assigned_label. floor(x*1e6+0.5)/1e6 runs the same IEEE steps on
+        # both engines (uniformly half-up — fine for negative cosines too,
+        # since BOTH sides use the identical form).
+    ).withColumn("cs", F.floor(F.col("cs") * 1000000 + 0.5) / 1000000)
     rk = F.row_number().over(
         W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "c_label")
     )

@@ -135,11 +135,33 @@ def interval_join_event_pairs(spark, sf_dir):
 
 @register(
     "approx_aggregates",
-    oracle=None,  # approximate by definition; exactness bound tested in tests/
+    oracle=None,  # sketch values are engine-specific — no hash-match oracle
+    # ... but the ERROR CONTRACT is a gate (plans/check.py bounded-oracle
+    # mode): every sketch value must sit within its rated error of DuckDB's
+    # exact aggregate, and the plain count must match exactly. rsd=0.02 →
+    # 3σ ≈ 6% (+3 absolute for tiny groups); percentile accuracy 10000 →
+    # ≤1% relative on these distributions.
+    bounded={
+        "sql": """
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS approx_parts,
+               quantile_disc(l_extendedprice, 0.5) AS p50_approx,
+               quantile_disc(l_extendedprice, 0.95) AS p95_approx,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+        """,
+        "key": ["l_returnflag"],
+        "bounds": {
+            "approx_parts": ("rel", 0.06, 3.0),
+            "p50_approx": ("rel", 0.01),
+            "p95_approx": ("rel", 0.01),
+            "n": ("exact", 0),
+        },
+    },
     doc="The 100 TB aggregation surface: HLL++ approx distinct and "
     "approx percentiles — sketch-mergeable, constant memory per group, "
-    "no expand step. Property-tested against exact values within rated "
-    "error (tests/test_approx.py).",
+    "no expand step. Gate-checked against exact DuckDB values within "
+    "rated error (bounded-oracle mode) and property-tested in tests/.",
     tags=("agg", "approx"),
 )
 def approx_aggregates(spark, sf_dir):

@@ -30,6 +30,15 @@ class QueryDef:
     oracle: str | None  # DuckDB SQL over pre-registered table views, or None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # For approximate operators (sketches) that can never hash-match an
+    # exact oracle: a bounded-error contract the LOCAL gate enforces
+    # (plans/check.py "bounded-oracle" mode). The driver still records its
+    # weaker rows-only check — this field makes the error contract a gate,
+    # not just a pytest property. Shape:
+    #   {"sql": <DuckDB SQL producing the EXACT values, same key cols>,
+    #    "key": [join cols],
+    #    "bounds": {col: ("exact"|"rel", tol)}}
+    bounded: dict | None = None
 
 
 QUERIES: dict[str, QueryDef] = {}
@@ -40,13 +49,16 @@ def register(
     oracle: str | None,
     doc: str = "",
     tags: tuple[str, ...] = (),
+    bounded: dict | None = None,
 ):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QueryDef(name=name, spark=fn, oracle=oracle, doc=doc, tags=tags)
+        QUERIES[name] = QueryDef(
+            name=name, spark=fn, oracle=oracle, doc=doc, tags=tags, bounded=bounded
+        )
         return fn
 
     return deco

@@ -18,6 +18,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _driver_java_options() -> str:
+    """Our code-cache sizing MERGED with whatever the environment already
+    sets (spark-defaults.conf / SPARK_GRAFT_JAVA_OPTS), not clobbering it.
+
+    If the environment already chose a ReservedCodeCacheSize, it is kept
+    verbatim; otherwise ours is prepended, and because HotSpot takes the
+    LAST occurrence of a repeated flag, every other environment-provided
+    option still wins any conflict with ours.
+    """
+    from pyspark import SparkConf
+
+    existing = (
+        SparkConf(loadDefaults=True).get("spark.driver.extraJavaOptions", None)
+        or os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+        or ""
+    )
+    ours = "-XX:ReservedCodeCacheSize=1g"
+    if "-XX:ReservedCodeCacheSize" in existing:
+        return existing  # caller chose a size — respect it
+    return f"{ours} {existing}".strip()
+
+
 def get_spark(
     app_name: str = "flink-emqx-connector-spark",
     cpus: int | None = None,
@@ -57,7 +79,7 @@ def get_spark(
         #    interpreted (observed: 2.2 s queries ballooning to 29 s).
         # Together these cut the full-registry bench 107-136 s → ~93 s.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        .config("spark.driver.extraJavaOptions", _driver_java_options())
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -31,6 +31,7 @@ messages, topic aliases, auth, session-expiry timers.
 
 from __future__ import annotations
 
+import logging
 import socket
 import struct
 import threading
@@ -825,7 +826,6 @@ class Client:
             if self._sock is None:
                 try:
                     self._tcp_connect()
-                    delay = self._min_delay
                 except OSError:
                     time.sleep(delay)
                     delay = min(delay * 2, self._max_delay)
@@ -837,18 +837,52 @@ class Client:
             try:
                 ptype, flags, body = preader.read_packet()
                 self._dispatch_packet(ptype, flags, body)
+                # Pacing resets only after a cleanly-parsed packet — NOT on
+                # bare TCP connect — so a peer that accepts connections and
+                # immediately sends garbage still backs off exponentially
+                # rather than spinning connect/teardown.
+                delay = self._min_delay
             except (ConnectionError, OSError, ValueError, struct.error, IndexError):
                 # transport failure OR malformed frame (MQTT-4.13): tear the
                 # connection down — including the reader's fd reference —
-                # and let the loop reconnect with backoff
+                # and let the loop reconnect with backoff. Application
+                # callback errors are NOT classified here: _dispatch_packet
+                # isolates on_connect/on_message exceptions itself (they are
+                # app bugs, not protocol violations).
                 self._close_sock()
                 self._sock = None
+                if self._running:
+                    time.sleep(delay)
+                    delay = min(delay * 2, self._max_delay)
+
+    def _safe_callback(self, cb, *args) -> None:
+        """Run a user callback, isolating its exceptions from the wire loop.
+
+        A ValueError/IndexError raised by on_message/on_connect is an
+        APPLICATION bug, not an MQTT-4.13 malformed frame — without this
+        isolation the loop's parse-error handler would silently tear down
+        and reconnect a healthy connection, hiding the bug (and, under
+        manual-ack, replaying the same message into the same crash).
+        Transport errors (a callback acking on a just-died socket) are NOT
+        app bugs — they propagate to the loop's teardown/backoff path.
+        """
+        try:
+            cb(*args)
+        except (ConnectionError, OSError):
+            raise
+        except Exception:
+            logging.getLogger(__name__).exception(
+                "mqtt_wire: user callback %r raised; connection kept alive",
+                getattr(cb, "__name__", cb),
+            )
 
     def _dispatch_packet(self, ptype: int, flags: int, body: bytes) -> None:
         if ptype == CONNACK:
             session_present = bool(body[0] & 0x01)
             if self.on_connect is not None:
-                self.on_connect(self, None, _Flags(session_present), 0, None)
+                self._safe_callback(
+                    self.on_connect, self, None, _Flags(session_present), 0, None
+                )
         elif ptype == PUBLISH:
             qos = (flags >> 1) & 0x03
             dup = bool(flags & 0x08)
@@ -872,7 +906,7 @@ class Client:
             elif qos and not self._manual_ack:
                 self._send(puback_packet(mid))
             if self.on_message is not None:
-                self.on_message(self, None, msg)
+                self._safe_callback(self.on_message, self, None, msg)
         elif ptype == PUBACK:
             (pid,) = struct.unpack_from(">H", body, 0)
             ev = self._pub_events.pop(pid, None)

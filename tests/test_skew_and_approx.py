@@ -81,3 +81,35 @@ def test_approx_percentile_within_bound(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p")
     ).head()["p"]
     assert abs(approx - exact) / exact < 0.01, (approx, exact)
+
+
+def test_bounded_oracle_gate_passes_and_detects_drift(spark, sf_dir):
+    """The plans.check bounded-oracle mode: approx_aggregates passes its
+    rated-error contract, and the SAME machinery fails when a bound is
+    tightened past what the sketch can deliver (the gate discriminates,
+    it doesn't rubber-stamp)."""
+    import dataclasses
+
+    from flink_emqx_connector_spark.plans.check import compare_query
+    from flink_emqx_connector_spark.plans.registry import QUERIES
+
+    res = compare_query(spark, sf_dir, "approx_aggregates")
+    assert res["mode"] == "bounded-oracle" and res["ok"], res
+
+    q = QUERIES["approx_aggregates"]
+    impossible = dict(q.bounded)
+    impossible["bounds"] = {
+        # exact-match demand on a sketch output: must trip unless the HLL
+        # happens to be exact on every group — pair with a zero-tolerance
+        # percentile bound so at least one violation is guaranteed
+        "approx_parts": ("exact", 0),
+        "p50_approx": ("rel", 0.0),
+        "p95_approx": ("rel", 0.0),
+    }
+    strict = dataclasses.replace(q, bounded=impossible)
+    QUERIES["approx_aggregates"] = strict
+    try:
+        res2 = compare_query(spark, sf_dir, "approx_aggregates")
+    finally:
+        QUERIES["approx_aggregates"] = q
+    assert res2["ok"] is False and res2["why"] == "error contract violated", res2
