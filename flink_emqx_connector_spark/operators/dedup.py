@@ -734,10 +734,20 @@ def minhash_lsh_pairs(
             "jaccard",
         )
     )
+    # Within-group (jaccard-1.0) pairs via a self-join on the digest key,
+    # NOT a nested explode of the collected member array: a hot-template
+    # corpus puts 10⁴⁺ members in ONE group row, and exploding that row
+    # twice generates the whole C(m,2) block in a single task (measured:
+    # a 25k-member group = 312M pairs through one straggler). The fp
+    # self-join shuffles short (fp, doc) rows and AQE's skew-join splits
+    # the hot key across tasks; output is the same quadratic pair set —
+    # that part is the ANSWER — but produced in parallel.
+    memf = groups.filter(F.size("members") > 1).select(
+        "fp", F.explode("members").alias("m")
+    )
     within = (
-        groups.filter(F.size("members") > 1)
-        .select(F.explode("members").alias("doc_a"), "members")
-        .select("doc_a", F.explode("members").alias("doc_b"))
+        memf.select("fp", F.col("m").alias("doc_a"))
+        .join(memf.select("fp", F.col("m").alias("doc_b")), "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
     )

@@ -1,0 +1,630 @@
+"""Seventh wave of LLM-training-pipeline operators (SURVEY.md §2.5
+X67-X76): vector-compression QA, corpus statistics for tokenizer/sampling
+decisions, and event-stream order/latency accounting. Absent from the
+reference by design scope (it is a connector — SURVEY §0). All
+deterministic, all DuckDB oracle-checked.
+
+Scale posture, per operator:
+- embedding quantization: the exact explode+agg form here is the oracle
+  anchor (two vec_id-bounded shuffles, dimension-bounded rows); the
+  100 TB hot path is the same math as a numpy kernel over mapInPandas
+  (plans/similarity.py pattern) — per-vector state is 64 floats, the
+  aggregate is label-bounded.
+- centroid distances: |labels| centroids broadcast, |labels|² bounded
+  output — the Arrow-batched cosine kernel reused from
+  nearest_centroid_confusion.
+- zipf fit: one vocab-bounded term shuffle; the regression folds into
+  covar_pop/var_pop over the top-K rank table (K rows, one reducer — K
+  is a constant 1000, not data-scaled).
+- length bands: three exact quantiles over ONE aggregate buffer
+  (array-form percentile), broadcast to the band assignment; the 100 TB
+  swap is approx_percentile (see percentiles_lineitem's note).
+- coverage curve: TakeOrdered K=100 + a K-row window with a
+  non-foldable constant partition key (the token_vocab_coverage
+  pattern) — never a corpus-wide single-partition window.
+- session gaps / late arrivals / latest state: per-user or per-arrival
+  windows whose partition keys are high-cardinality (user_id, type) —
+  each is one shuffle, map-side combinable aggregates after.
+- top-token coverage: two vocab-bounded aggregates + a 10-row broadcast
+  semi-join.
+- PMI: the bigram and unigram tables reuse ONE tokenized scan; totals
+  are 1-row broadcasts; output is top-50 bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .rounding import stable_round, stable_round_sql
+
+
+def _docs(spark, sf_dir):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _events(spark, sf_dir):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def _emb(spark, sf_dir):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "embedding_quantization_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT label, vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    s AS (
+      SELECT label, vec_id, greatest(max(abs(x)), 1e-30) / 127 AS scale
+      FROM e GROUP BY 1, 2
+    ),
+    err AS (
+      SELECT e.label, e.vec_id,
+             avg(pow(e.x - floor(e.x / s.scale + 0.5) * s.scale, 2)) AS mse,
+             max(abs(e.x - floor(e.x / s.scale + 0.5) * s.scale)) AS mae
+      FROM e JOIN s USING (label, vec_id)
+      GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           {stable_round_sql('avg(mse)', 8)} AS avg_mse,
+           {stable_round_sql('max(mae)', 6)} AS max_abs_err
+    FROM err GROUP BY label
+    """,
+    doc="X67: int8 symmetric-quantization error per label — the QA gate "
+    "before shipping a quantized ANN index (scale = max|x|/127 per "
+    "vector, q = floor(x/scale + 0.5); identical IEEE steps on both "
+    "engines). Exact explode form = oracle anchor; same math runs as a "
+    "numpy kernel over mapInPandas at 100 TB (plans/similarity.py "
+    "pattern). Output is label-bounded.",
+    tags=("embeddings", "quantization", "quality", "pipeline"),
+)
+def embedding_quantization_stats(spark, sf_dir):
+    e = (
+        _emb(spark, sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "label", "vec_id",
+            F.explode(F.col("embedding").cast("array<double>")).alias("x"),
+        )
+    )
+    s = e.groupBy("label", "vec_id").agg(
+        (F.greatest(F.max(F.abs("x")), F.lit(1e-30)) / 127).alias("scale")
+    )
+    q = F.floor(F.col("x") / F.col("scale") + 0.5) * F.col("scale")
+    err = (
+        e.join(s, ["label", "vec_id"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.avg(F.pow(F.col("x") - q, 2)).alias("mse"),
+            F.max(F.abs(F.col("x") - q)).alias("mae"),
+        )
+    )
+    return err.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        stable_round(F.avg("mse"), 8).alias("avg_mse"),
+        stable_round(F.max("mae"), 6).alias("max_abs_err"),
+    )
+
+
+@register(
+    "pairwise_centroid_distances",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label,
+             unnest(range(len(embedding))) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), cm AS (
+      SELECT label, pos, avg(val) AS c FROM ex GROUP BY 1, 2
+    ), cent AS (
+      SELECT label, list(c ORDER BY pos) AS centroid FROM cm GROUP BY 1
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           {stable_round_sql('list_cosine_similarity(a.centroid, b.centroid)', 6)}
+             AS cos_sim
+    FROM cent a JOIN cent b ON a.label < b.label
+    """,
+    doc="X68: label-centroid cosine matrix (upper triangle) — the "
+    "class-separability report that decides whether auto-labels are "
+    "trustworthy. |labels| centroids broadcast against themselves, "
+    "|labels|²-bounded output; cosines via the Arrow-batched numpy "
+    "kernel shared with nearest_centroid_confusion; floor-form rounding "
+    "on both engines.",
+    tags=("embeddings", "classification", "quality"),
+)
+def pairwise_centroid_distances(spark, sf_dir):
+    from ..operators.similarity import cosine_pairs_vectorized, label_centroid_arrays
+
+    emb = (
+        _emb(spark, sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select("label", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    cent = label_centroid_arrays(emb.withColumnRenamed("v", "embedding").selectExpr("label", "embedding AS v"))
+    a = cent.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    scored = cosine_pairs_vectorized(pairs, "ca", "cb", "cos_sim")
+    return scored.select(
+        "label_a", "label_b",
+        (F.floor(F.col("cos_sim") * 1000000 + 0.5) / 1000000).alias("cos_sim"),
+    )
+
+
+_ZIPF_K = 1000
+
+
+@register(
+    "zipf_fit_docs",
+    oracle=f"""
+    WITH tf AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY c DESC, tok) AS r, c
+      FROM tf ORDER BY c DESC, tok LIMIT {_ZIPF_K}
+    ),
+    pts AS (SELECT ln(CAST(r AS DOUBLE)) AS lr, ln(CAST(c AS DOUBLE)) AS lc FROM ranked)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           {stable_round_sql('covar_pop(lc, lr) / var_pop(lr)', 6)} AS zipf_slope,
+           {stable_round_sql('avg(lc) - (covar_pop(lc, lr) / var_pop(lr)) * avg(lr)', 6)}
+             AS zipf_intercept
+    FROM pts
+    """,
+    doc="X69: Zipf-law fit over the top-1000 term frequencies — the "
+    "one-number corpus-health check (natural text ≈ -1; templated/"
+    "machine-generated corpora bend it). Least squares in closed form "
+    "(covar_pop/var_pop over ln rank, ln freq); one vocab-bounded term "
+    "shuffle, then a constant-K rank table.",
+    tags=("text", "stats", "quality", "pipeline"),
+)
+def zipf_fit_docs(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    tf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(_ZIPF_K)
+    )
+    # rank within the K-row table: non-foldable constant partition key
+    # (the token_vocab_coverage pattern — avoids the corpus-wide
+    # single-partition window warning while staying a K-row sort)
+    w = W.partitionBy(F.pmod(F.col("c"), F.lit(1))).orderBy(
+        F.col("c").desc(), "tok"
+    )
+    pts = tf.withColumn("r", F.row_number().over(w)).select(
+        F.log(F.col("r").cast("double")).alias("lr"),
+        F.log(F.col("c").cast("double")).alias("lc"),
+    )
+    slope = F.covar_pop("lc", "lr") / F.var_pop("lr")
+    return pts.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        stable_round(slope, 6).alias("zipf_slope"),
+        stable_round(F.avg("lc") - slope * F.avg("lr"), 6).alias("zipf_intercept"),
+    )
+
+
+@register(
+    "doc_length_percentile_bands",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents
+    ),
+    qs AS (
+      SELECT quantile_cont(n_words, 0.25) AS q1,
+             quantile_cont(n_words, 0.50) AS q2,
+             quantile_cont(n_words, 0.75) AS q3
+      FROM lens
+    )
+    SELECT CASE WHEN n_words <= q1 THEN 'p00-p25'
+                WHEN n_words <= q2 THEN 'p25-p50'
+                WHEN n_words <= q3 THEN 'p50-p75'
+                ELSE 'p75-p100' END AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_words) AS BIGINT) AS min_words,
+           CAST(max(n_words) AS BIGINT) AS max_words
+    FROM lens CROSS JOIN qs
+    GROUP BY 1
+    """,
+    doc="X70: document-length quartile bands — the curriculum/packing "
+    "planner's length histogram. Three exact quantiles from ONE "
+    "aggregate buffer (array-form percentile ≡ quantile_cont), broadcast "
+    "to the band assignment; swap approx_percentile at 100 TB "
+    "(percentiles_lineitem's documented route).",
+    tags=("text", "stats", "sampling", "pipeline"),
+)
+def doc_length_percentile_bands(spark, sf_dir):
+    lens = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    qs = lens.agg(
+        F.expr("percentile(n_words, array(0.25D, 0.5D, 0.75D))").alias("q")
+    ).select(
+        F.col("q")[0].alias("q1"), F.col("q")[1].alias("q2"), F.col("q")[2].alias("q3")
+    )
+    band = (
+        F.when(F.col("n_words") <= F.col("q1"), "p00-p25")
+        .when(F.col("n_words") <= F.col("q2"), "p25-p50")
+        .when(F.col("n_words") <= F.col("q3"), "p50-p75")
+        .otherwise("p75-p100")
+    )
+    return (
+        lens.crossJoin(F.broadcast(qs))
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_words").cast("bigint").alias("min_words"),
+            F.max("n_words").cast("bigint").alias("max_words"),
+        )
+    )
+
+
+_COVERAGE_K = 100
+
+
+@register(
+    "ngram_coverage_curve",
+    oracle=f"""
+    WITH bg AS (
+      SELECT array_to_string(w[i:i+1], ' ') AS g
+      FROM (SELECT string_split(text, ' ') AS w FROM documents),
+           LATERAL unnest(range(1, len(w))) AS t(i)
+    ),
+    tf AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+    tot AS (SELECT sum(c) AS n FROM tf),
+    top AS (
+      SELECT g, c, row_number() OVER (ORDER BY c DESC, g) AS r
+      FROM tf ORDER BY c DESC, g LIMIT {_COVERAGE_K}
+    )
+    SELECT r AS rank, g AS bigram,
+           {stable_round_sql(
+               'CAST(sum(c) OVER (ORDER BY r) AS DOUBLE) / tot.n', 6
+           )} AS cum_frac
+    FROM top CROSS JOIN tot
+    """,
+    doc="X71: cumulative coverage of the top-100 bigrams — how much of "
+    "the corpus a tiny head of the n-gram distribution explains "
+    "(tokenizer-merge and boilerplate signal). TakeOrdered K + a K-row "
+    "running-sum window with a non-foldable constant partition key (the "
+    "token_vocab_coverage fix); the total is a 1-row broadcast.",
+    tags=("text", "stats", "pipeline"),
+)
+def ngram_coverage_curve(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import word_ngrams
+
+    # occurrences, not distinct-per-doc: coverage is over the token stream
+    w = F.split("text", " ")
+    bg = _docs(spark, sf_dir).select(
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g")
+    )
+    tf = bg.groupBy("g").agg(F.count("*").alias("c"))
+    tot = tf.agg(F.sum("c").alias("n"))
+    top = tf.orderBy(F.col("c").desc(), "g").limit(_COVERAGE_K)
+    win = W.partitionBy(F.pmod(F.col("c"), F.lit(1))).orderBy(
+        F.col("c").desc(), "g"
+    )
+    ranked = top.withColumn("r", F.row_number().over(win)).withColumn(
+        "cum", F.sum("c").over(win.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        F.col("r").alias("rank"),
+        F.col("g").alias("bigram"),
+        stable_round(F.col("cum").cast("double") / F.col("n"), 6).alias("cum_frac"),
+    )
+
+
+@register(
+    "session_gap_stats",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             epoch(ts) - lag(epoch(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           {stable_round_sql('avg(gap)', 4)} AS avg_gap_s,
+           {stable_round_sql('max(gap)', 4)} AS max_gap_s
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="X72: inter-event gap distribution per event type (gap = seconds "
+    "since the same user's previous event; the later event's type owns "
+    "the gap) — the dwell-time signal behind sessionization thresholds. "
+    "One user_id-partitioned window (high-cardinality key, one shuffle), "
+    "then a type-bounded aggregate; ties broken by event_id on both "
+    "engines.",
+    tags=("events", "sessions", "stats"),
+)
+def session_gap_stats(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.col("ts").cast("timestamp").cast("double")
+    g = _events(spark, sf_dir).select(
+        "event_type", (t - F.lag(t).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        stable_round(F.avg("gap"), 4).alias("avg_gap_s"),
+        stable_round(F.max("gap"), 4).alias("max_gap_s"),
+    )
+
+
+@register(
+    "latest_state_per_user",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rk,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id, event_type AS last_type,
+           round(value, 3) AS last_value,
+           ts AS last_ts,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM ranked WHERE rk = 1
+    """,
+    doc="X73: latest event per user (SCD-1 snapshot) with a deterministic "
+    "tie-break — the BATCH analogue of the streaming materialized "
+    "latest-state view (streaming/materialized_view.py, X49): same "
+    "semantics, two execution modes, one engine. One user_id shuffle "
+    "serves both the row_number and the per-user count.",
+    tags=("events", "state", "parity-streaming"),
+)
+def latest_state_per_user(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    wc = W.partitionBy("user_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_events", F.count("*").over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 3).alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "late_arrival_accounting",
+    oracle=f"""
+    WITH o AS (
+      SELECT event_type, epoch(ts) AS t,
+             max(epoch(ts)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS hwm
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN t < hwm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           {stable_round_sql(
+               'coalesce(max(CASE WHEN t < hwm THEN hwm - t END), 0.0)', 4
+           )} AS max_late_s
+    FROM o GROUP BY event_type
+    """,
+    doc="X74: out-of-order arrival accounting per event type — events "
+    "whose timestamp is behind the running high-water mark of their "
+    "arrival order (event_id = ingest order). This is the batch estimate "
+    "of the WATERMARK DELAY a streaming deployment of the same pipeline "
+    "needs (streaming/stateful.py windows): max_late_s bounds "
+    "withWatermark. One type-partitioned running-max window, "
+    "type-bounded output.",
+    tags=("events", "streaming", "watermark", "stats"),
+)
+def late_arrival_accounting(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    t = F.col("ts").cast("timestamp").cast("double")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    o = _events(spark, sf_dir).select(
+        "event_type", t.alias("t"), F.max(t).over(w).alias("hwm")
+    )
+    late = F.col("t") < F.col("hwm")
+    return o.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+        stable_round(
+            F.coalesce(
+                F.max(F.when(late, F.col("hwm") - F.col("t"))), F.lit(0.0)
+            ),
+            4,
+        ).alias("max_late_s"),
+    )
+
+
+_TOP_TOKENS = 10
+
+
+@register(
+    "top_token_coverage_by_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    globally AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok LIMIT {_TOP_TOKENS}
+      )
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           {stable_round_sql(
+               'CAST(sum(CASE WHEN tok IN (SELECT tok FROM globally) '
+               'THEN 1 ELSE 0 END) AS DOUBLE) / count(*)', 6
+           )} AS top10_frac
+    FROM toks GROUP BY lang
+    """,
+    doc="X75: fraction of each language slice's token stream covered by "
+    "the corpus-global top-10 tokens — a cross-lingual contamination/"
+    "drift smell (a 'de' slice full of English stopwords is mislabeled). "
+    "Two vocab-bounded aggregates; the 10-row head is a broadcast "
+    "semi-join against the token stream.",
+    tags=("text", "lang", "quality", "pipeline"),
+)
+def top_token_coverage_by_lang(spark, sf_dir):
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(_TOP_TOKENS)
+        .select("tok", F.lit(1).alias("is_top"))
+    )
+    return (
+        toks.join(F.broadcast(top), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            stable_round(
+                F.sum(F.coalesce(F.col("is_top"), F.lit(0))).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("top10_frac"),
+        )
+    )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_K = 50
+
+
+@register(
+    "token_cooccurrence_pmi",
+    oracle=f"""
+    WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM w, LATERAL unnest(range(1, len(w))) AS t(i)
+    ),
+    big AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+      HAVING count(*) >= {_PMI_MIN_COUNT}
+    ),
+    uni AS (
+      SELECT tok, count(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY tok
+    ),
+    tots AS (
+      SELECT (SELECT sum(c) FROM uni) AS nu,
+             (SELECT CAST(count(*) AS BIGINT) FROM bg) AS nb
+    ),
+    pmi AS (
+      SELECT b.w1 || ' ' || b.w2 AS bigram, b.c12,
+             ln((CAST(b.c12 AS DOUBLE) / t.nb)
+                / ((CAST(u1.c AS DOUBLE) / t.nu) * (CAST(u2.c AS DOUBLE) / t.nu)))
+               AS pmi_raw
+      FROM big b
+      JOIN uni u1 ON u1.tok = b.w1
+      JOIN uni u2 ON u2.tok = b.w2
+      CROSS JOIN tots t
+    )
+    SELECT bigram, CAST(c12 AS BIGINT) AS n_cooc,
+           {stable_round_sql('pmi_raw', 4)} AS pmi
+    FROM pmi
+    ORDER BY pmi_raw DESC, bigram
+    LIMIT {_PMI_K}
+    """,
+    doc="X76: top-50 pointwise mutual information bigrams (count ≥ 5) — "
+    "collocation mining for tokenizer-merge and phrase-protection "
+    "decisions. The text column is scanned (column-pruned) for the "
+    "bigram and unigram counts separately — shuffles, the expensive "
+    "part, are vocab-bounded; at 100 TB checkpoint the tokenized scan "
+    "once and derive both counts from it. Totals are 1-row broadcasts; "
+    "the PMI doubles are bit-identical across engines (same integer "
+    "inputs, same IEEE ops), so the top-k order (pmi desc, bigram asc) "
+    "is deterministic.",
+    tags=("text", "stats", "tokenizer", "pipeline"),
+)
+def token_cooccurrence_pmi(spark, sf_dir):
+    w = F.split("text", " ")
+    bg = _docs(spark, sf_dir).select(
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_COUNT)
+    )
+    uni = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tots = uni.agg(F.sum("c").alias("nu")).crossJoin(
+        bg.agg(F.count("*").alias("nb"))
+    )
+    pmi_raw = F.log(
+        (F.col("c12").cast("double") / F.col("nb"))
+        / (
+            (F.col("c1").cast("double") / F.col("nu"))
+            * (F.col("c2").cast("double") / F.col("nu"))
+        )
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tots))
+        .withColumn("pmi_raw", pmi_raw)
+        .orderBy(F.col("pmi_raw").desc(), F.concat_ws(" ", "w1", "w2"))
+        .limit(_PMI_K)
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c12").cast("bigint").alias("n_cooc"),
+            stable_round(F.col("pmi_raw"), 4).alias("pmi"),
+        )
+    )

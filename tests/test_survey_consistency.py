@@ -12,8 +12,11 @@ from flink_emqx_connector_spark.plans.registry import QUERIES as REG
 SURVEY = Path(__file__).resolve().parent.parent / "SURVEY.md"
 
 # Queries whose oracle is omitted by fundamental limitation, each with a
-# property-test stand-in (see SURVEY §2.5 / NOTES.md).
-ROWS_ONLY = {"dedup_minhash_lsh", "approx_aggregates"}
+# property-test stand-in (see SURVEY §2.5 / NOTES.md). dedup_minhash_lsh
+# left this set in round 6 (md5-deterministic pipeline → full oracle);
+# approx_aggregates has no value-hash oracle but its error contract IS
+# gate-enforced (QueryDef.bounded, plans/check.py bounded-oracle mode).
+ROWS_ONLY = {"approx_aggregates"}
 
 
 def _survey_cited_queries() -> set[str]:
