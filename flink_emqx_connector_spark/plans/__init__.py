@@ -23,6 +23,7 @@ from . import tpch_extra  # noqa: E402,F401
 from . import corpus_stats  # noqa: E402,F401
 from . import events_analytics  # noqa: E402,F401
 from . import analysis_extra  # noqa: E402,F401
+from . import sampling_quality  # noqa: E402,F401
 
 __all__ = [
     "QUERIES",

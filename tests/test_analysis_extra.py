@@ -153,3 +153,61 @@ def test_pmi_closed_form_fixture(spark, tmp_path):
     expect = math.log((5 / 18) / ((5 / 20) * (5 / 20)))
     assert abs(r["pmi"] - round(expect, 4)) < 1e-9, (r["pmi"], expect)
     assert r["n_cooc"] == 5
+
+
+# ---- X77-X82 wave (plans/sampling_quality.py) ------------------------------
+
+
+def test_reservoir_sample_fixed_size_and_stable(spark, sf_dir):
+    """k rows per source, and the SAME k rows on a re-run (the panel is
+    deterministic, not a random sample)."""
+    a = _run("reservoir_sample_per_source", spark, sf_dir)
+    b = _run("reservoir_sample_per_source", spark, sf_dir)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import Counter
+
+    per_src = Counter(r["source"] for r in a)
+    assert all(v <= 20 for v in per_src.values())
+
+
+def test_fertility_census_sane(spark, sf_dir):
+    rows = _run("tokenizer_fertility_by_lang", spark, sf_dir)
+    for r in rows:
+        assert r["chars_per_token"] > 1  # tokens are words + spaces
+        assert r["p50_tokens"] <= r["p95_tokens"]
+
+
+def test_norm_outliers_bounded(spark, sf_dir):
+    rows = _run("vector_norm_outliers", spark, sf_dir)
+    for r in rows:
+        # Chebyshev: at most 1/9 of any distribution is beyond 3 sigma
+        assert r["n_outliers"] <= r["n_vecs"] / 9 + 1, r
+        assert r["std_norm"] >= 0 and r["mean_norm"] > 0
+
+
+def test_dup_inflation_consistent_with_exact_dedup(spark, sf_dir):
+    from flink_emqx_connector_spark.session import load_table
+
+    rows = _run("dup_inflation_by_source", spark, sf_dir)
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert r["n_distinct"] <= r["n_docs"]
+        assert r["max_copies"] >= 1 and r["inflation"] >= 1.0
+
+
+def test_cooccurrence_lift_symmetric_bounds(spark, sf_dir):
+    rows = _run("event_type_cooccurrence", spark, sf_dir)
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert r["n_both"] >= 1 and r["lift"] > 0
+
+
+def test_weekday_enrichment_partitions_events(spark, sf_dir):
+    from flink_emqx_connector_spark.session import load_table
+
+    rows = _run("events_weekday_enrichment", spark, sf_dir)
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == total  # dim covers every day
+    weekend = {r["day_name"] for r in rows if r["is_weekend"]}
+    assert weekend <= {"Sat", "Sun"}
