@@ -150,9 +150,10 @@ def _full_path_leg(seconds: float = 60.0, n_pub: int = 4):
     return (seq1 - seq0) / (t1 - t0), seq1 - seq0, t1 - t0
 
 
-def _cell(spool: str, seconds: float) -> None:
+def _cell(seconds: float) -> None:
     """One self-contained broker+bridge+publishers stack (= one host of
-    the multi-bridge scale-out posture). Prints its own JSON and exits."""
+    the multi-bridge scale-out posture), run to completion in THIS
+    process; prints one JSON line for the parent to aggregate."""
     rate, n, el = _full_path_leg(seconds=seconds)
     print(json.dumps({"cell_msgs_per_sec": round(rate), "n": n, "s": round(el, 1)}))
 
@@ -177,9 +178,16 @@ def _multi_bridge_leg(seconds: float, n_cells: int = 2) -> tuple[float, float]:
             for _ in range(k)
         ]
         total = 0.0
-        for p in procs:
-            out, _ = p.communicate(timeout=seconds + 120)
-            total += json.loads(out.strip().splitlines()[-1])["cell_msgs_per_sec"]
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=seconds + 120)
+                total += json.loads(out.strip().splitlines()[-1])["cell_msgs_per_sec"]
+        finally:
+            # a wedged cell must not leak its broker+publishers — kill the
+            # whole batch before propagating TimeoutExpired
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
         return total
 
     single = run_cells(1)
@@ -189,7 +197,7 @@ def _multi_bridge_leg(seconds: float, n_cells: int = 2) -> tuple[float, float]:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--cell":
-        _cell("", float(sys.argv[2]) if len(sys.argv) > 2 else 20.0)
+        _cell(float(sys.argv[2]) if len(sys.argv) > 2 else 20.0)
         return
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
     spark_leg = _spark_ingest_leg()

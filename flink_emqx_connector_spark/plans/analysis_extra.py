@@ -151,14 +151,15 @@ def pairwise_centroid_distances(spark, sf_dir):
         .filter(F.col("embedding").isNotNull())
         .select("label", F.col("embedding").cast("array<double>").alias("v"))
     )
-    cent = label_centroid_arrays(emb.withColumnRenamed("v", "embedding").selectExpr("label", "embedding AS v"))
+    cent = label_centroid_arrays(emb)
     a = cent.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
     b = cent.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
     pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
     scored = cosine_pairs_vectorized(pairs, "ca", "cb", "cos_sim")
+    # stable_round is the floor form — fine for negative cosines because
+    # BOTH engines use it (uniform half-up; see plans/rounding.py)
     return scored.select(
-        "label_a", "label_b",
-        (F.floor(F.col("cos_sim") * 1000000 + 0.5) / 1000000).alias("cos_sim"),
+        "label_a", "label_b", stable_round(F.col("cos_sim"), 6).alias("cos_sim")
     )
 
 
@@ -308,8 +309,6 @@ _COVERAGE_K = 100
 def ngram_coverage_curve(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    from ..operators.dedup import word_ngrams
-
     # occurrences, not distinct-per-doc: coverage is over the token stream
     w = F.split("text", " ")
     bg = _docs(spark, sf_dir).select(
@@ -389,7 +388,7 @@ def session_gap_stats(spark, sf_dir):
       FROM events
     )
     SELECT user_id, event_type AS last_type,
-           round(value, 3) AS last_value,
+           floor(value * 1000 + 0.5) / 1000 AS last_value,
            ts AS last_ts,
            CAST(n_events AS BIGINT) AS n_events
     FROM ranked WHERE rk = 1
@@ -414,7 +413,7 @@ def latest_state_per_user(spark, sf_dir):
         .select(
             "user_id",
             F.col("event_type").alias("last_type"),
-            F.round("value", 3).alias("last_value"),
+            stable_round(F.col("value"), 3).alias("last_value"),
             F.col("ts").alias("last_ts"),
             F.col("n_events").cast("bigint").alias("n_events"),
         )

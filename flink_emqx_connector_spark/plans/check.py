@@ -97,7 +97,11 @@ def _compare_bounded(q, sf_dir: str, s_cols: list[str], s_rows: list[tuple]) -> 
         return res
     s_by_key = {tuple(_norm(r[s_idx[c]]) for c in key): r for r in s_rows}
     d_by_key = {tuple(_norm(r[d_idx[c]]) for c in key): r for r in d_rows}
-    if set(s_by_key) != set(d_by_key) or len(s_by_key) != len(s_rows):
+    if (
+        set(s_by_key) != set(d_by_key)
+        or len(s_by_key) != len(s_rows)
+        or len(d_by_key) != len(d_rows)  # duplicate oracle keys must FAIL too
+    ):
         res.update(ok=False, why="key sets differ")
         return res
     violations = []
@@ -109,6 +113,11 @@ def _compare_bounded(q, sf_dir: str, s_cols: list[str], s_rows: list[tuple]) -> 
             sv, dv = sr[s_idx[col]], dr[d_idx[col]]
             if kind == "exact":
                 if _norm(sv) != _norm(dv):
+                    violations.append((k, col, sv, dv))
+            elif sv is None or dv is None:
+                # a NULL sketch on either side is a contract violation,
+                # not a crash (float(None) would TypeError out of the gate)
+                if sv is not None or dv is not None:
                     violations.append((k, col, sv, dv))
             else:  # relative error vs the exact value (+ absolute slack)
                 sv, dv = float(sv), float(dv)

@@ -29,6 +29,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .registry import register
+from .rounding import stable_round
 
 
 def _events(spark, sf_dir):
@@ -382,13 +383,13 @@ def nearest_centroid_confusion(spark, sf_dir):
     cent = label_centroid_arrays(emb).withColumnRenamed("label", "c_label")
     scored = cosine_pairs_vectorized(
         emb.crossJoin(F.broadcast(cent)), "v", "centroid", "cs"
-        # Engine-stable floor-form rounding (plans/rounding.py) before the
-        # argmax: round() diverges between Spark and DuckDB at
-        # shortest-repr boundaries, and a boundary hit here flips
-        # assigned_label. floor(x*1e6+0.5)/1e6 runs the same IEEE steps on
-        # both engines (uniformly half-up — fine for negative cosines too,
-        # since BOTH sides use the identical form).
-    ).withColumn("cs", F.floor(F.col("cs") * 1000000 + 0.5) / 1000000)
+        # Engine-stable rounding before the argmax: round() diverges
+        # between Spark and DuckDB at shortest-repr boundaries, and a
+        # boundary hit here flips assigned_label. stable_round's floor
+        # form runs the same IEEE steps on both engines (uniformly
+        # half-up — fine for negative cosines too, since BOTH sides use
+        # the identical form).
+    ).withColumn("cs", stable_round(F.col("cs"), 6))
     rk = F.row_number().over(
         W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "c_label")
     )

@@ -18,6 +18,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _defaults_conf_java_options() -> str:
+    """spark.driver.extraJavaOptions from spark-defaults.conf, read from
+    the FILE: SparkConf(loadDefaults=True) is backed by the JVM system
+    properties and silently returns nothing before the JVM exists — which
+    is exactly when get_spark runs — so a cold start through SparkConf
+    would still clobber the user's options."""
+    home = os.environ.get("SPARK_HOME")
+    conf_dir = os.environ.get("SPARK_CONF_DIR") or (
+        os.path.join(home, "conf") if home else None
+    )
+    if not conf_dir:
+        return ""
+    path = os.path.join(conf_dir, "spark-defaults.conf")
+    try:
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("spark.driver.extraJavaOptions"):
+                    return line.split(None, 1)[1] if " " in line or "\t" in line else ""
+    except OSError:
+        pass
+    return ""
+
+
 def _driver_java_options() -> str:
     """Our code-cache sizing MERGED with whatever the environment already
     sets (spark-defaults.conf / SPARK_GRAFT_JAVA_OPTS), not clobbering it.
@@ -27,13 +51,14 @@ def _driver_java_options() -> str:
     LAST occurrence of a repeated flag, every other environment-provided
     option still wins any conflict with ours.
     """
-    from pyspark import SparkConf
-
-    existing = (
-        SparkConf(loadDefaults=True).get("spark.driver.extraJavaOptions", None)
-        or os.environ.get("SPARK_GRAFT_JAVA_OPTS")
-        or ""
-    )
+    existing = " ".join(
+        part
+        for part in (
+            _defaults_conf_java_options(),
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
+        )
+        if part
+    ).strip()
     ours = "-XX:ReservedCodeCacheSize=1g"
     if "-XX:ReservedCodeCacheSize" in existing:
         return existing  # caller chose a size — respect it

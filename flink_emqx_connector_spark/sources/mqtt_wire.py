@@ -822,10 +822,12 @@ class Client:
 
     def _loop(self) -> None:
         delay = self._min_delay
+        connected_at = 0.0
         while self._running:
             if self._sock is None:
                 try:
                     self._tcp_connect()
+                    connected_at = time.monotonic()
                 except OSError:
                     time.sleep(delay)
                     delay = min(delay * 2, self._max_delay)
@@ -837,11 +839,6 @@ class Client:
             try:
                 ptype, flags, body = preader.read_packet()
                 self._dispatch_packet(ptype, flags, body)
-                # Pacing resets only after a cleanly-parsed packet — NOT on
-                # bare TCP connect — so a peer that accepts connections and
-                # immediately sends garbage still backs off exponentially
-                # rather than spinning connect/teardown.
-                delay = self._min_delay
             except (ConnectionError, OSError, ValueError, struct.error, IndexError):
                 # transport failure OR malformed frame (MQTT-4.13): tear the
                 # connection down — including the reader's fd reference —
@@ -852,6 +849,14 @@ class Client:
                 self._close_sock()
                 self._sock = None
                 if self._running:
+                    # Pacing resets only after a connection that LIVED a
+                    # while — not on a bare TCP connect, and not on a few
+                    # cleanly-parsed packets (a peer sending a valid CONNACK
+                    # then garbage must still escalate, not spin at
+                    # min_delay forever). 2×max_delay of uptime ≈ "the
+                    # outage is over"; anything shorter keeps escalating.
+                    if time.monotonic() - connected_at >= 2 * self._max_delay:
+                        delay = self._min_delay
                     time.sleep(delay)
                     delay = min(delay * 2, self._max_delay)
 
