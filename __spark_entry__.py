@@ -120,11 +120,36 @@ _DRIVER_RECORDED = frozenset(
         "split_by_cluster", "temperature_resample_sources", "tfidf_top_terms",
         "time_decay_user_scores", "token_entropy_docs",
         "token_vocab_coverage", "user_ltv_deciles", "weighted_sample_docs",
-        # "dedup_minhash_lsh" NOT added: r5 record was rows-only
-        #   (no_oracle); round 6 made it fully deterministic with a DuckDB
-        #   oracle — re-record for the full hash-match verdict.
-        # "nearest_centroid_confusion" NOT added: round 6 converts its
-        #   rounding to the engine-stable form (ADVICE item) — re-record.
+        # round 6 (recorded in CORRECTNESS_r06.json — 50/50 full-pass,
+        # including the md5-permutation dedup_minhash_lsh and the
+        # stable-rounded nearest_centroid_confusion re-records)
+        "anti_join_customers_without_orders", "asof_join_purchase_view",
+        "cube_orders", "date_functions_orders", "decode_json",
+        "dedup_clusters", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash", "distinct_counts",
+        "doc_fingerprint_dupes", "doc_length_percentile_bands",
+        "dup_inflation_by_source", "embedding_clusters",
+        "event_type_cooccurrence",
+        "events_weekday_enrichment", "lang_id_confusion",
+        "late_arrival_accounting", "latest_state_per_user",
+        "nearest_centroid_confusion", "ngram_coverage_curve",
+        "pairwise_centroid_distances", "pivot_lineitem_status",
+        "q1_pricing_summary", "q3_top_revenue_orders",
+        "reservoir_sample_per_source", "rolling_sum", "rollup_lineitem",
+        "scalar_functions_part", "semi_join_customers_with_orders",
+        "session_gap_stats", "sessionization", "set_except_users",
+        "set_intersect_users", "star_join_supplier_region",
+        "text_quality_scores", "text_token_stats", "token_cooccurrence_pmi",
+        "tokenizer_fertility_by_lang", "top_token_coverage_by_lang",
+        "topic_filter", "topk_global_lineitems", "tumbling_window",
+        "window_running_total",
+        "window_topk_orders_per_customer", "wordcount", "zipf_fit_docs",
+        # NOTE: many round-6 names duplicate earlier-round entries (the r6
+        # window re-recorded changed plans); a set absorbs the overlap.
+        # Round-7 removals (re-record-on-change): vector_norm_outliers and
+        # embedding_quantization_stats switched their cross-vector stats to
+        # exact scaled-integer accumulation (ADVICE r6: FP accumulation-
+        # order hazard) — values changed at the rounding grain.
     }
 )
 

@@ -178,10 +178,19 @@ def _multi_bridge_leg(seconds: float, n_cells: int = 2) -> tuple[float, float]:
             for _ in range(k)
         ]
         total = 0.0
+        # ONE deadline shared by all cells (they run concurrently): k
+        # wedged cells time out together after seconds+120, not k times
+        # sequentially.
+        deadline = time.time() + seconds + 120
         try:
-            for p in procs:
-                out, _ = p.communicate(timeout=seconds + 120)
-                total += json.loads(out.strip().splitlines()[-1])["cell_msgs_per_sec"]
+            for i, p in enumerate(procs):
+                out, _ = p.communicate(timeout=max(deadline - time.time(), 1.0))
+                lines = (out or "").strip().splitlines()
+                if not lines:
+                    raise RuntimeError(
+                        f"cell {i}/{k} exited rc={p.returncode} with no JSON"
+                    )
+                total += json.loads(lines[-1])["cell_msgs_per_sec"]
         finally:
             # a wedged cell must not leak its broker+publishers — kill the
             # whole batch before propagating TimeoutExpired

@@ -19,7 +19,11 @@ Values are NOT the driver's values — the oracle gate compares Spark vs
 DuckDB on the same files, so any deterministic dataset with these
 invariants works.
 
-Usage: python dev/gen_testdata.py <out_dir> <sf>
+Usage: python dev/gen_testdata.py <out_dir> <sf> [table,table,...]
+
+The optional third argument restricts generation to a comma-separated
+subset of tables (e.g. ``documents,embeddings`` for a dedup-family scale
+probe at a large sf without paying for a 60M-row lineitem).
 """
 
 from __future__ import annotations
@@ -76,8 +80,9 @@ def _doc_text(rng: np.random.Generator) -> str:
     return " ".join(rng.choice(WORDS, n))
 
 
-def generate(out_dir: str, sf: float, seed: int = 42) -> None:
-    rng = np.random.default_rng(seed)
+def generate(
+    out_dir: str, sf: float, seed: int = 42, tables: set[str] | None = None
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     n_li = max(int(6_000_000 * sf), 600)
@@ -89,97 +94,150 @@ def generate(out_dir: str, sf: float, seed: int = 42) -> None:
     n_doc = max(int(50_000 * sf), 500)
     n_vec = max(int(20_000 * sf), 500)
 
-    def w(name: str, table: pa.Table) -> None:
-        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    # Per-table seeded generators: a filtered subset run produces tables
+    # byte-identical to a full run (no shared RNG stream to perturb).
+    _TABLE_ORDER = [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]
 
-    w("region", pa.table({
-        "r_regionkey": pa.array(range(5), pa.int32()),
-        "r_name": REGIONS,
-    }))
-    w("nation", pa.table({
-        "n_nationkey": pa.array(range(25), pa.int32()),
-        "n_name": [f"NATION_{i:02d}" for i in range(25)],
-        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
-    }))
-    w("customer", pa.table({
-        "c_custkey": pa.array(range(1, n_cust + 1), pa.int64()),
-        "c_name": [f"Customer#{i:09d}" for i in range(1, n_cust + 1)],
-        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
-        "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
-        "c_mktsegment": list(rng.choice(SEGMENTS, n_cust)),
-    }))
-    w("supplier", pa.table({
-        "s_suppkey": pa.array(range(1, n_supp + 1), pa.int64()),
-        "s_name": [f"Supplier#{i:09d}" for i in range(1, n_supp + 1)],
-        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
-        "s_acctbal": np.round(rng.uniform(-999, 9999, n_supp), 2),
-    }))
-    w("part", pa.table({
-        "p_partkey": pa.array(range(1, n_part + 1), pa.int64()),
-        "p_name": [
-            f"{rng.choice(ADJS)} {rng.choice(NOUNS)}" for _ in range(n_part)
-        ],
-        "p_brand": list(rng.choice(BRANDS, n_part)),
-        "p_type": list(rng.choice(TYPES, n_part)),
-        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
-        "p_retailprice": np.round(rng.uniform(900, 2100, n_part), 2),
-    }))
-    w("orders", pa.table({
-        "o_orderkey": pa.array(range(1, n_ord + 1), pa.int64()),
-        "o_custkey": pa.array(rng.integers(1, n_cust + 1, n_ord), pa.int64()),
-        "o_orderstatus": list(rng.choice(STATUSES, n_ord)),
-        "o_totalprice": np.round(rng.uniform(800, 500_000, n_ord), 2),
-        "o_orderdate": _midnight_ts(rng, n_ord, "1995-01-01", 2400),
-        "o_orderpriority": list(rng.choice(PRIORITIES, n_ord)),
-    }))
-    w("lineitem", pa.table({
-        "l_orderkey": pa.array(rng.integers(1, n_ord + 1, n_li), pa.int64()),
-        "l_partkey": pa.array(rng.integers(1, n_part + 1, n_li), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(1, n_supp + 1, n_li), pa.int64()),
-        "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
-        "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
-        "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
-        "l_discount": np.round(rng.uniform(0, 0.1, n_li), 2),
-        "l_tax": np.round(rng.uniform(0, 0.08, n_li), 2),
-        "l_returnflag": list(rng.choice(FLAGS, n_li)),
-        "l_linestatus": list(rng.choice(["F", "O"], n_li)),
-        "l_shipdate": _midnight_ts(rng, n_li, "1995-01-02", 2500),
-    }))
-    w("events", pa.table({
-        "event_id": pa.array(range(1, n_ev + 1), pa.int64()),
-        "ts": _event_ts_ns(rng, n_ev),
-        "user_id": pa.array(rng.integers(0, max(n_ev // 67, 10), n_ev), pa.int64()),
-        "event_type": list(rng.choice(EVENT_TYPES, n_ev, p=[0.5, 0.3, 0.1, 0.05, 0.05])),
-        "value": np.round(rng.exponential(50, n_ev) + 0.03, 2),
-        "props": ['{"k": %d}' % rng.integers(0, 100) for _ in range(n_ev)],
-    }))
-    # mostly-distinct corpus with a small exact-dup + near-dup tail (the
-    # dedup family must find a nonzero but bounded answer)
-    texts = [_doc_text(rng) for _ in range(n_doc)]
-    for i in range(0, n_doc, 200):
-        if i + 1 < n_doc:
-            texts[i + 1] = texts[i]  # exact dup
-    for i in range(100, n_doc, 400):
-        if i + 1 < n_doc:
-            texts[i + 1] = texts[i] + " extra"  # near dup
-    w("documents", pa.table({
-        "doc_id": pa.array(range(n_doc), pa.int64()),
-        "text": texts,
-        "lang": list(rng.choice(LANGS, n_doc, p=[0.4, 0.15, 0.12, 0.1, 0.08, 0.06, 0.05, 0.04])),
-        "source": list(rng.choice([f"src{i}" for i in range(20)], n_doc)),
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
-    }))
-    dim = 64
-    vecs = rng.normal(0, 1, (n_vec, dim)).astype("float32")
-    w("embeddings", pa.table({
-        "vec_id": pa.array(range(n_vec), pa.int64()),
-        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
-        "label": pa.array(rng.integers(0, 10, n_vec), pa.int32()),
-    }))
-    print(f"wrote 10 tables to {out_dir} (sf={sf}, lineitem={n_li})")
+    def _rng_for(name: str) -> np.random.Generator:
+        return np.random.default_rng(seed * 1000 + _TABLE_ORDER.index(name))
+
+    def _region() -> pa.Table:
+        return pa.table({
+            "r_regionkey": pa.array(range(5), pa.int32()),
+            "r_name": REGIONS,
+        })
+
+    def _nation() -> pa.Table:
+        return pa.table({
+            "n_nationkey": pa.array(range(25), pa.int32()),
+            "n_name": [f"NATION_{i:02d}" for i in range(25)],
+            "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+        })
+
+    def _customer() -> pa.Table:
+        rng = _rng_for("customer")
+        return pa.table({
+            "c_custkey": pa.array(range(1, n_cust + 1), pa.int64()),
+            "c_name": [f"Customer#{i:09d}" for i in range(1, n_cust + 1)],
+            "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+            "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
+            "c_mktsegment": list(rng.choice(SEGMENTS, n_cust)),
+        })
+
+    def _supplier() -> pa.Table:
+        rng = _rng_for("supplier")
+        return pa.table({
+            "s_suppkey": pa.array(range(1, n_supp + 1), pa.int64()),
+            "s_name": [f"Supplier#{i:09d}" for i in range(1, n_supp + 1)],
+            "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+            "s_acctbal": np.round(rng.uniform(-999, 9999, n_supp), 2),
+        })
+
+    def _part() -> pa.Table:
+        rng = _rng_for("part")
+        return pa.table({
+            "p_partkey": pa.array(range(1, n_part + 1), pa.int64()),
+            "p_name": [
+                f"{a} {b}" for a, b in zip(
+                    rng.choice(ADJS, n_part), rng.choice(NOUNS, n_part)
+                )
+            ],
+            "p_brand": list(rng.choice(BRANDS, n_part)),
+            "p_type": list(rng.choice(TYPES, n_part)),
+            "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+            "p_retailprice": np.round(rng.uniform(900, 2100, n_part), 2),
+        })
+
+    def _orders() -> pa.Table:
+        rng = _rng_for("orders")
+        return pa.table({
+            "o_orderkey": pa.array(range(1, n_ord + 1), pa.int64()),
+            "o_custkey": pa.array(rng.integers(1, n_cust + 1, n_ord), pa.int64()),
+            "o_orderstatus": list(rng.choice(STATUSES, n_ord)),
+            "o_totalprice": np.round(rng.uniform(800, 500_000, n_ord), 2),
+            "o_orderdate": _midnight_ts(rng, n_ord, "1995-01-01", 2400),
+            "o_orderpriority": list(rng.choice(PRIORITIES, n_ord)),
+        })
+
+    def _lineitem() -> pa.Table:
+        rng = _rng_for("lineitem")
+        return pa.table({
+            "l_orderkey": pa.array(rng.integers(1, n_ord + 1, n_li), pa.int64()),
+            "l_partkey": pa.array(rng.integers(1, n_part + 1, n_li), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(1, n_supp + 1, n_li), pa.int64()),
+            "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
+            "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
+            "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
+            "l_discount": np.round(rng.uniform(0, 0.1, n_li), 2),
+            "l_tax": np.round(rng.uniform(0, 0.08, n_li), 2),
+            "l_returnflag": list(rng.choice(FLAGS, n_li)),
+            "l_linestatus": list(rng.choice(["F", "O"], n_li)),
+            "l_shipdate": _midnight_ts(rng, n_li, "1995-01-02", 2500),
+        })
+
+    def _events() -> pa.Table:
+        rng = _rng_for("events")
+        ks = rng.integers(0, 100, n_ev)
+        return pa.table({
+            "event_id": pa.array(range(1, n_ev + 1), pa.int64()),
+            "ts": _event_ts_ns(rng, n_ev),
+            "user_id": pa.array(rng.integers(0, max(n_ev // 67, 10), n_ev), pa.int64()),
+            "event_type": list(rng.choice(EVENT_TYPES, n_ev, p=[0.5, 0.3, 0.1, 0.05, 0.05])),
+            "value": np.round(rng.exponential(50, n_ev) + 0.03, 2),
+            "props": ['{"k": %d}' % k for k in ks],
+        })
+
+    def _documents() -> pa.Table:
+        # mostly-distinct corpus with a small exact-dup + near-dup tail (the
+        # dedup family must find a nonzero but bounded answer)
+        rng = _rng_for("documents")
+        texts = [_doc_text(rng) for _ in range(n_doc)]
+        for i in range(0, n_doc, 200):
+            if i + 1 < n_doc:
+                texts[i + 1] = texts[i]  # exact dup
+        for i in range(100, n_doc, 400):
+            if i + 1 < n_doc:
+                texts[i + 1] = texts[i] + " extra"  # near dup
+        return pa.table({
+            "doc_id": pa.array(range(n_doc), pa.int64()),
+            "text": texts,
+            "lang": list(rng.choice(LANGS, n_doc, p=[0.4, 0.15, 0.12, 0.1, 0.08, 0.06, 0.05, 0.04])),
+            "source": list(rng.choice([f"src{i}" for i in range(20)], n_doc)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        })
+
+    def _embeddings() -> pa.Table:
+        rng = _rng_for("embeddings")
+        dim = 64
+        vecs = rng.normal(0, 1, (n_vec, dim)).astype("float32")
+        return pa.table({
+            "vec_id": pa.array(range(n_vec), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 10, n_vec), pa.int32()),
+        })
+
+    builders = {
+        "region": _region, "nation": _nation, "customer": _customer,
+        "supplier": _supplier, "part": _part, "orders": _orders,
+        "lineitem": _lineitem, "events": _events, "documents": _documents,
+        "embeddings": _embeddings,
+    }
+    wanted = [
+        t for t in _TABLE_ORDER if tables is None or t in tables
+    ]
+    unknown = (tables or set()) - set(_TABLE_ORDER)
+    if unknown:
+        raise SystemExit(f"unknown tables: {sorted(unknown)}")
+    for name in wanted:
+        pq.write_table(builders[name](), os.path.join(out_dir, f"{name}.parquet"))
+    print(f"wrote {len(wanted)} tables to {out_dir} (sf={sf}, lineitem={n_li})")
 
 
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata/sf0.001"
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 0.001
-    generate(out, sf)
+    subset = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    generate(out, sf, tables=subset)

@@ -70,21 +70,27 @@ def _emb(spark, sf_dir):
     ),
     err AS (
       SELECT e.label, e.vec_id,
-             avg(pow(e.x - floor(e.x / s.scale + 0.5) * s.scale, 2)) AS mse,
+             CAST(floor(
+               avg(pow(e.x - floor(e.x / s.scale + 0.5) * s.scale, 2)) * 1e12
+               + 0.5) AS BIGINT) AS mse_i,
              max(abs(e.x - floor(e.x / s.scale + 0.5) * s.scale)) AS mae
       FROM e JOIN s USING (label, vec_id)
       GROUP BY 1, 2
     )
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           {stable_round_sql('avg(mse)', 8)} AS avg_mse,
+           floor(CAST(sum(CAST(mse_i AS HUGEINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1e12 * 1e8 + 0.5) / 1e8
+               AS avg_mse,
            {stable_round_sql('max(mae)', 6)} AS max_abs_err
     FROM err GROUP BY label
     """,
     doc="X67: int8 symmetric-quantization error per label — the QA gate "
     "before shipping a quantized ANN index (scale = max|x|/127 per "
     "vector, q = floor(x/scale + 0.5); identical IEEE steps on both "
-    "engines). Exact explode form = oracle anchor; same math runs as a "
+    "engines; cross-vector avg accumulates 1e12-scaled integer per-"
+    "vector errors exactly, so partition order can't shift an ulp). "
+    "Exact explode form = oracle anchor; same math runs as a "
     "numpy kernel over mapInPandas at 100 TB (plans/similarity.py "
     "pattern). Output is label-bounded.",
     tags=("embeddings", "quantization", "quality", "pipeline"),
@@ -106,13 +112,28 @@ def embedding_quantization_stats(spark, sf_dir):
         e.join(s, ["label", "vec_id"])
         .groupBy("label", "vec_id")
         .agg(
-            F.avg(F.pow(F.col("x") - q, 2)).alias("mse"),
+            # Per-vector mse rounded to a 1e12-scaled integer so the
+            # cross-vector average can accumulate EXACTLY (order-free);
+            # the per-vector avg itself is order-stable (one exploded
+            # row's elements never split across tasks).
+            F.floor(F.avg(F.pow(F.col("x") - q, 2)) * 1e12 + 0.5)
+            .cast("bigint")
+            .alias("mse_i"),
             F.max(F.abs(F.col("x") - q)).alias("mae"),
         )
     )
     return err.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_vecs"),
-        stable_round(F.avg("mse"), 8).alias("avg_mse"),
+        (
+            F.floor(
+                F.sum(F.col("mse_i").cast("decimal(38,0)")).cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1e12)
+                * 1e8
+                + 0.5
+            )
+            / 1e8
+        ).alias("avg_mse"),
         stable_round(F.max("mae"), 6).alias("max_abs_err"),
     )
 

@@ -121,6 +121,12 @@ def _compare_bounded(q, sf_dir: str, s_cols: list[str], s_rows: list[tuple]) -> 
                     violations.append((k, col, sv, dv))
             else:  # relative error vs the exact value (+ absolute slack)
                 sv, dv = float(sv), float(dv)
+                # A ("rel", tol) bound with no absolute term degenerates to
+                # exact equality when the exact value is ~0 — any sketch
+                # noise would false-fail. Default a tiny absolute slack so
+                # zero-valued exact columns keep a meaningful tolerance.
+                if not rest:
+                    atol = 1e-9
                 if abs(sv - dv) > tol * abs(dv) + atol:
                     violations.append((k, col, sv, dv))
     if violations:

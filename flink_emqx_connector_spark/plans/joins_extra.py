@@ -190,6 +190,77 @@ def approx_aggregates(spark, sf_dir):
 
 
 @register(
+    "approx_aggregates_bounded",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_within_3sigma,
+           TRUE AS p50_within_1pct,
+           TRUE AS p95_within_1pct
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Driver-hashable form of the sketch error contract (VERDICT r6 "
+    "item 2): ONE Spark plan computes the HLL++ distinct sketch, the "
+    "KLL-style percentile sketch, AND the exact aggregates (exact "
+    "distinct count; exact discrete percentiles via one cume_dist "
+    "window), then emits deterministic within-tolerance BOOLEANS "
+    "(HLL within 3σ≈6% + 3 absolute; percentiles within 1%). The "
+    "DuckDB oracle asserts the same booleans from its exact values, so "
+    "a full hash-match ⟺ every sketch sits inside its rated error — "
+    "the contract `approx_aggregates` can only express in the local "
+    "bounded gate becomes driver-visible. The exact legs exist to "
+    "VERIFY the sketches; production queries run the sketch-only "
+    "`approx_aggregates` plan (no global sort, constant memory).",
+    tags=("agg", "approx", "quality"),
+)
+def approx_aggregates_bounded(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+        ).alias("ps"),
+        F.count("*").alias("n"),
+    )
+    # Exact discrete percentile = min value with cume_dist >= p (both
+    # targets from ONE window pass); exact distinct via count(distinct).
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    cd = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.cume_dist().over(w).alias("cd"),
+    )
+    exact = cd.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cd") >= 0.5, F.col("l_extendedprice"))).alias("p50_exact"),
+        F.min(F.when(F.col("cd") >= 0.95, F.col("l_extendedprice"))).alias("p95_exact"),
+    )
+    exact_parts = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_parts")
+    )
+    j = sk.join(F.broadcast(exact), "l_returnflag").join(
+        F.broadcast(exact_parts), "l_returnflag"
+    )
+    return j.select(
+        "l_returnflag",
+        "n",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.06 * F.col("exact_parts") + 3.0
+        ).alias("hll_within_3sigma"),
+        (
+            F.abs(F.col("ps")[0] - F.col("p50_exact")) <= 0.01 * F.col("p50_exact")
+        ).alias("p50_within_1pct"),
+        (
+            F.abs(F.col("ps")[1] - F.col("p95_exact")) <= 0.01 * F.col("p95_exact")
+        ).alias("p95_within_1pct"),
+    )
+
+
+@register(
     "decode_csv_payload",
     oracle="""
     SELECT CAST(string_split(csv, ',')[1] AS BIGINT) % 3 AS bucket,

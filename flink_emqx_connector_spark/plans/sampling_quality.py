@@ -135,20 +135,29 @@ _NORM_Z = 3.0
     oracle=f"""
     WITH n AS (
       SELECT label, vec_id,
-             floor(sqrt(sum(x * x)) * 1e8 + 0.5) / 1e8 AS nrm
+             CAST(floor(sqrt(sum(x * x)) * 1e8 + 0.5) AS BIGINT) AS nrm_i
       FROM (SELECT label, vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
             FROM embeddings WHERE embedding IS NOT NULL)
       GROUP BY 1, 2
     ),
+    agg AS (
+      SELECT label,
+             CAST(count(*) AS DOUBLE) AS cnt,
+             CAST(sum(CAST(nrm_i AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(nrm_i AS HUGEINT) * nrm_i) AS DOUBLE) AS s2
+      FROM n GROUP BY label
+    ),
     s AS (
       SELECT label,
-             floor(avg(nrm) * 1e6 + 0.5) / 1e6 AS mean_norm,
-             floor(stddev_pop(nrm) * 1e6 + 0.5) / 1e6 AS std_norm
-      FROM n GROUP BY label
+             floor((s1 / cnt / 1e8) * 1e6 + 0.5) / 1e6 AS mean_norm,
+             floor(sqrt(greatest(
+                 s2 / cnt / 1e16 - (s1 / cnt / 1e8) * (s1 / cnt / 1e8), 0
+             )) * 1e6 + 0.5) / 1e6 AS std_norm
+      FROM agg
     )
     SELECT n.label,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(sum(CASE WHEN abs(n.nrm - s.mean_norm)
+           CAST(sum(CASE WHEN abs(n.nrm_i / 1e8 - s.mean_norm)
                               > {_NORM_Z} * s.std_norm + 1e-6
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            any_value(s.mean_norm) AS mean_norm,
@@ -162,7 +171,12 @@ _NORM_Z = 3.0
     "explode+agg; per-label stats broadcast back; norms and thresholds "
     "are floor-form ROUNDED before comparison (plus a granularity "
     "floor on the threshold) so the classification is engine-stable, "
-    "not ulp-sensitive, and a zero-variance group flags nothing.",
+    "not ulp-sensitive, and a zero-variance group flags nothing. "
+    "Cross-vector mean/std accumulate the 1e8-scaled integer norms "
+    "exactly (decimal/hugeint sums are associative), so partition "
+    "accumulation ORDER cannot shift the stats by an ulp — the exact "
+    "integer sums convert to the same double on both engines and the "
+    "mean/variance formula is written identically on both sides.",
     tags=("embeddings", "quality", "stats"),
 )
 def vector_norm_outliers(spark, sf_dir):
@@ -175,17 +189,35 @@ def vector_norm_outliers(spark, sf_dir):
         )
     )
     n = e.groupBy("label", "vec_id").agg(
-        (F.floor(F.sqrt(F.sum(F.col("x") * F.col("x"))) * 1e8 + 0.5) / 1e8).alias("nrm")
+        F.floor(F.sqrt(F.sum(F.col("x") * F.col("x"))) * 1e8 + 0.5)
+        .cast("bigint")
+        .alias("nrm_i")
     )
-    s = n.groupBy("label").agg(
-        (F.floor(F.avg("nrm") * 1e6 + 0.5) / 1e6).alias("mean_norm"),
-        (F.floor(F.stddev_pop("nrm") * 1e6 + 0.5) / 1e6).alias("std_norm"),
+    # Exact integer accumulation (decimal sums are associative) → the
+    # label stats cannot depend on partition order; both engines convert
+    # the same exact sums to double and run the same scalar formula.
+    agg = n.groupBy("label").agg(
+        F.count("*").cast("double").alias("cnt"),
+        F.sum(F.col("nrm_i").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(F.col("nrm_i").cast("decimal(38,0)") * F.col("nrm_i"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean_raw = F.col("s1") / F.col("cnt") / F.lit(1e8)
+    var_raw = F.greatest(
+        F.col("s2") / F.col("cnt") / F.lit(1e16) - mean_raw * mean_raw,
+        F.lit(0.0),
+    )
+    s = agg.select(
+        "label",
+        (F.floor(mean_raw * 1e6 + 0.5) / 1e6).alias("mean_norm"),
+        (F.floor(F.sqrt(var_raw) * 1e6 + 0.5) / 1e6).alias("std_norm"),
     )
     # +1e-6: deviations below the stats' rounding granularity are noise,
     # not outliers — and the floor keeps a zero-variance group (unit-
     # normalized embeddings round to std 0) from flagging everything
     out = (
-        F.abs(F.col("nrm") - F.col("mean_norm"))
+        F.abs(F.col("nrm_i") / F.lit(1e8) - F.col("mean_norm"))
         > _NORM_Z * F.col("std_norm") + 1e-6
     )
     return (

@@ -31,15 +31,19 @@ def _defaults_conf_java_options() -> str:
     if not conf_dir:
         return ""
     path = os.path.join(conf_dir, "spark-defaults.conf")
+    found = ""
     try:
         with open(path, encoding="utf-8") as f:
             for line in f:
-                line = line.strip()
-                if line.startswith("spark.driver.extraJavaOptions"):
-                    return line.split(None, 1)[1] if " " in line or "\t" in line else ""
+                parts = line.strip().split(None, 1)
+                # Exact key match (prefix matching would also capture e.g.
+                # spark.driver.extraJavaOptionsExtra); Spark honors the LAST
+                # occurrence of a repeated key, so scan the whole file.
+                if parts and parts[0] == "spark.driver.extraJavaOptions":
+                    found = parts[1] if len(parts) == 2 else ""
     except OSError:
         pass
-    return ""
+    return found
 
 
 def _driver_java_options() -> str:
