@@ -393,3 +393,149 @@ def dedup_graph_triangles(spark, sf_dir):
         F.count("*").alias("n_triangles"),
         F.count_distinct("a").cast("bigint").alias("n_apex_docs"),
     )
+
+
+@register(
+    "dedup_pipeline_report",
+    oracle=_CLOSURE
+    + """
+    , keepx AS (
+      SELECT d.doc_id, CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS grp,
+             (c.comp IS NULL OR c.comp = d.doc_id) AS keep
+      FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc
+    ),
+    assigned AS (
+      SELECT doc_id, grp, keep,
+             CASE CAST(('0x' || substr(md5('split:' || CAST(grp AS VARCHAR)), 1, 8))
+                       ::UBIGINT % 10 AS BIGINT)
+                  WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END AS split
+      FROM keepx
+    ),
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT 'pairs' AS metric, 'all' AS dim, CAST(count(*) AS BIGINT) AS value
+    FROM pairs
+    UNION ALL
+    SELECT 'components', 'all', CAST(count(DISTINCT comp) AS BIGINT) FROM comps
+    UNION ALL
+    SELECT 'clustered_docs', 'all', CAST(count(*) AS BIGINT) FROM comps
+    UNION ALL
+    SELECT 'keep', CASE WHEN keep THEN 'true' ELSE 'false' END,
+           CAST(count(*) AS BIGINT)
+    FROM assigned GROUP BY 2
+    UNION ALL
+    SELECT 'split_docs', split, CAST(count(*) AS BIGINT)
+    FROM assigned GROUP BY 2
+    UNION ALL
+    SELECT 'split_groups', split, CAST(count(DISTINCT grp) AS BIGINT)
+    FROM assigned GROUP BY 2
+    UNION ALL
+    SELECT 'triangles', 'all', CAST(count(*) AS BIGINT) FROM tri
+    UNION ALL
+    SELECT 'triangle_apex', 'all', CAST(count(DISTINCT a) AS BIGINT) FROM tri
+    """,
+    doc="The composed curation pipeline as ONE plan (VERDICT r6 item 6): "
+    "the exact bigram-Jaccard pair list is generated and checkpointed "
+    "ONCE, then feeds connected components, the keep/drop census, the "
+    "leakage-safe split census, and the triangle census — the artifact-"
+    "reuse shape a real pipeline runs, vs. the standalone queries "
+    "(dedup_clusters / dedup_keep_list / split_by_cluster / "
+    "dedup_graph_triangles) which each re-pay pair generation when run "
+    "as a suite. Output is a long-format metrics report (metric, dim, "
+    "value); the oracle replays the identical closure + censuses. At "
+    "100 TB the checkpoint becomes a persisted pair table every "
+    "downstream consumer shares.",
+    tags=("pipeline", "dedup", "clustering", "graph", "split"),
+)
+def dedup_pipeline_report(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    # Pair-gen paid ONCE: consumed by the pair census, CC, and the 3-way
+    # triangle self-join.
+    pairs = (
+        D.ngram_jaccard_pairs_auto(docs, threshold=0.5, n=2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    # comps is small (docs that appear in a pair) and already materialized
+    # by connected_components (driver union-find → local relation on the
+    # small-graph path; checkpointed labels on the distributed path) — a
+    # further checkpoint here is a wasted eager action (A/B: 4.9→3.6 s
+    # warm at sf0.1 dropping this + the assigned checkpoint).
+    comps = D.connected_components(pairs)
+    grp = F.coalesce("comp", F.col("doc_id")).cast("bigint")
+    keep = F.col("comp").isNull() | (F.col("comp") == F.col("doc_id"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("grp").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    assigned = (
+        docs.select("doc_id")
+        .join(comps, docs.doc_id == comps.doc, "left")
+        .select("doc_id", grp.alias("grp"), keep.alias("keep"))
+        .withColumn(
+            "split",
+            F.when(bucket == 8, "val").when(bucket == 9, "test").otherwise("train"),
+        )
+    )
+    # assigned is consumed twice (keep census + split census) but its
+    # recompute is one broadcast join over the already-materialized comps
+    # — cheaper than another checkpoint action (round-4 lesson: only
+    # materialize what costs more to recompute than to write).
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a")
+    )
+    m_pairs = pairs.agg(F.count("*").alias("v")).select(
+        F.lit("pairs").alias("metric"), F.lit("all").alias("dim"),
+        F.col("v").cast("bigint").alias("value"),
+    )
+    m_comps = comps.agg(
+        F.count_distinct("comp").alias("n_comp"), F.count("*").alias("n_docs")
+    ).selectExpr(
+        "stack(2, 'components', 'all', CAST(n_comp AS BIGINT),"
+        " 'clustered_docs', 'all', CAST(n_docs AS BIGINT))"
+        " AS (metric, dim, value)"
+    )
+    m_keep = (
+        assigned.groupBy("keep")
+        .agg(F.count("*").alias("v"))
+        .select(
+            F.lit("keep").alias("metric"),
+            F.when(F.col("keep"), "true").otherwise("false").alias("dim"),
+            F.col("v").cast("bigint").alias("value"),
+        )
+    )
+    m_split = (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("grp").alias("n_groups"),
+        )
+        .selectExpr(
+            "stack(2, 'split_docs', split, CAST(n_docs AS BIGINT),"
+            " 'split_groups', split, CAST(n_groups AS BIGINT))"
+            " AS (metric, dim, value)"
+        )
+    )
+    m_tri = tri.agg(
+        F.count("*").alias("n_tri"), F.count_distinct("a").alias("n_apex")
+    ).selectExpr(
+        "stack(2, 'triangles', 'all', CAST(n_tri AS BIGINT),"
+        " 'triangle_apex', 'all', CAST(n_apex AS BIGINT))"
+        " AS (metric, dim, value)"
+    )
+    return m_pairs.unionAll(m_comps).unionAll(m_keep).unionAll(m_split).unionAll(m_tri)
