@@ -125,7 +125,7 @@ _DRIVER_RECORDED = frozenset(
         # stable-rounded nearest_centroid_confusion re-records)
         "anti_join_customers_without_orders", "asof_join_purchase_view",
         "cube_orders", "date_functions_orders", "decode_json",
-        "dedup_clusters", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_clusters", "dedup_exact",
         "dedup_ngram_jaccard", "dedup_simhash", "distinct_counts",
         "doc_fingerprint_dupes", "doc_length_percentile_bands",
         "dup_inflation_by_source", "embedding_clusters",
@@ -149,7 +149,9 @@ _DRIVER_RECORDED = frozenset(
         # Round-7 removals (re-record-on-change): vector_norm_outliers and
         # embedding_quantization_stats switched their cross-vector stats to
         # exact scaled-integer accumulation (ADVICE r6: FP accumulation-
-        # order hazard) — values changed at the rounding grain.
+        # order hazard) — values changed at the rounding grain;
+        # dedup_minhash_lsh's within-group expansion moved to the pre-group
+        # (doc, fp) self-join (skew-splittable at map-output boundaries).
     }
 )
 

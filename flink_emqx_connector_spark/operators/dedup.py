@@ -655,10 +655,15 @@ def minhash_lsh_pairs(
         F.count("*").alias("n"), F.approx_count_distinct(text_col).alias("nd")
     ).collect()[0]
     groups = None
+    doc_fp = None
     if (probe["nd"] or 0) < 0.95 * (probe["n"] or 0):
+        # Pre-group (doc, fp) rows: kept around because the within-group
+        # pair expansion below must join THESE (spread across all corpus-
+        # scan map tasks), not the collected members arrays (whose hot
+        # group is one row written by ONE mapper — see the within comment).
+        doc_fp = base.select("doc", F.md5(F.encode(text_col, "UTF-8")).alias("fp"))
         groups = (
-            base.select("doc", F.md5(F.encode(text_col, "UTF-8")).alias("fp"))
-            .groupBy("fp")
+            doc_fp.groupBy("fp")
             .agg(F.min("doc").alias("rep"), F.collect_list("doc").alias("members"))
             # consumed three times below (rep filter, 2-sided member
             # expansion, within-group pairs); one row per distinct text —
@@ -734,20 +739,26 @@ def minhash_lsh_pairs(
             "jaccard",
         )
     )
-    # Within-group (jaccard-1.0) pairs via a self-join on the digest key,
-    # NOT a nested explode of the collected member array: a hot-template
-    # corpus puts 10⁴⁺ members in ONE group row, and exploding that row
-    # twice generates the whole C(m,2) block in a single task (measured:
-    # a 25k-member group = 312M pairs through one straggler). The fp
-    # self-join shuffles short (fp, doc) rows and AQE's skew-join splits
-    # the hot key across tasks; output is the same quadratic pair set —
-    # that part is the ANSWER — but produced in parallel.
-    memf = groups.filter(F.size("members") > 1).select(
-        "fp", F.explode("members").alias("m")
-    )
+    # Within-group (jaccard-1.0) pairs via a self-join of the PRE-group
+    # (doc, fp) rows on the digest key, NOT a nested explode of the
+    # collected member array: a hot-template corpus puts 10⁴⁺ members in
+    # ONE group row, and exploding that row twice generates the whole
+    # C(m,2) block in a single task (measured: a 25k-member group = 312M
+    # pairs through one straggler). Joining the pre-group rows matters
+    # twice over:
+    #  - memory: the join streams short (fp, doc) rows instead of
+    #    materializing the full members array per output row;
+    #  - parallelism: AQE's skew split can only cut a reduce partition at
+    #    MAP-OUTPUT boundaries. Exploding the one collected group row
+    #    yields a single-mapper block (unsplittable); the pre-group rows
+    #    come from every corpus-scan task, so the hot fp's reduce block
+    #    has as many split points as scan partitions and the C(m,2)
+    #    expansion fans out across tasks (pinned by
+    #    tests/test_dedup.py::test_minhash_within_group_expansion_is_skew_splittable).
+    # Singleton fps produce no a<b pairs, so no pre-filter is needed.
     within = (
-        memf.select("fp", F.col("m").alias("doc_a"))
-        .join(memf.select("fp", F.col("m").alias("doc_b")), "fp")
+        doc_fp.select("fp", F.col("doc").alias("doc_a"))
+        .join(doc_fp.select("fp", F.col("doc").alias("doc_b")), "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
     )
