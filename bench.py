@@ -113,6 +113,24 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # stable33 is THE cross-round comparator, but a single pass carries
+    # ±15-30% host noise (BASELINE.md rounds 4-6). Run the stable prefix
+    # two more times and report the MEDIAN pass total plus the spread —
+    # three interleaved totals bound the noise without tripling the whole
+    # bench.
+    stable = HEADLINE[:N_STABLE]
+    stable_passes = [round(sum(timings[k] for k in stable), 3)]
+    for _ in range(2):
+        t_pass = 0.0
+        for name in stable:
+            t0 = time.perf_counter()
+            QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t_pass += time.perf_counter() - t0
+        stable_passes.append(round(t_pass, 3))
+    stable_median = sorted(stable_passes)[1]
     # Full per-query detail goes to a side file; the stdout line must stay
     # short (the driver captures only a bounded tail of stdout — an
     # oversized line gets decapitated and parses as nothing).
@@ -123,6 +141,7 @@ def main() -> int:
         "queries": timings,
         "cold_total": round(sum(cold.values()), 3),
         "cold_queries": cold,
+        "stable33_runs": stable_passes,
         "sf": sf,
         "cpus": cpus,
     }
@@ -130,12 +149,12 @@ def main() -> int:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     curated = HEADLINE[:N_CURATED]
-    stable = HEADLINE[:N_STABLE]
     summary = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "stable33_total": round(sum(timings[k] for k in stable if k in timings), 3),
+        "stable33_total": stable_median,  # median of 3 interleaved passes
+        "stable33_runs": stable_passes,
         "queries": {k: timings[k] for k in curated if k in timings},
         "n_queries": len(timings),
         "sf": sf,

@@ -158,14 +158,18 @@ def _cell(seconds: float) -> None:
     print(json.dumps({"cell_msgs_per_sec": round(rate), "n": n, "s": round(el, 1)}))
 
 
-def _multi_bridge_leg(seconds: float, n_cells: int = 2) -> tuple[float, float]:
-    """(aggregate msgs/s across n_cells processes, single-cell msgs/s).
+def _multi_bridge_leg(
+    seconds: float, cells: tuple[int, ...] = (1, 2, 4)
+) -> dict[int, float]:
+    """{n_cells: aggregate msgs/s} for each point of the scale-out curve.
 
     Each cell is a separate OS process running its own broker + bridge +
     publishers — the 'one bridge per topic-filter on any stable host'
     scale-out unit from sources/bridge.py, executed rather than claimed.
     Near-linear aggregate (≈ n_cells × single) shows the single-process
-    ingest ceiling is a per-host ceiling, not a design ceiling.
+    ingest ceiling is a per-host ceiling, not a design ceiling; the
+    4-cell point pins the TREND, not just one ratio (32 cores here, so
+    4 cells of ~3 threads each stay CPU-unconstrained).
     """
     import subprocess
 
@@ -199,9 +203,7 @@ def _multi_bridge_leg(seconds: float, n_cells: int = 2) -> tuple[float, float]:
                     p.kill()
         return total
 
-    single = run_cells(1)
-    aggregate = run_cells(n_cells)
-    return aggregate, single
+    return {k: run_cells(k) for k in cells}
 
 
 def main() -> None:
@@ -211,17 +213,21 @@ def main() -> None:
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
     spark_leg = _spark_ingest_leg()
     full_path, n_msgs, el = _full_path_leg(seconds=seconds)
-    # scale-out probe at a shorter window: the number that matters is the
-    # RATIO aggregate/single, which stabilizes quickly
-    multi, single = _multi_bridge_leg(seconds=min(seconds, 20.0), n_cells=2)
+    # scale-out probe at a shorter window: the numbers that matter are the
+    # RATIOS aggregate/single, which stabilize quickly
+    curve = _multi_bridge_leg(seconds=min(seconds, 20.0))
     print(
         json.dumps(
             {
                 "metric": "streaming_ingest",
                 "spark_leg_msgs_per_sec": round(spark_leg),
                 "full_path_msgs_per_sec": round(full_path),
-                "two_bridge_aggregate_msgs_per_sec": round(multi),
-                "one_bridge_msgs_per_sec": round(single),
+                "bridge_cells_msgs_per_sec": {
+                    str(k): round(v) for k, v in curve.items()
+                },
+                # legacy keys for cross-round comparison
+                "two_bridge_aggregate_msgs_per_sec": round(curve.get(2, 0)),
+                "one_bridge_msgs_per_sec": round(curve.get(1, 0)),
                 "seconds": round(el, 1),
                 "n_messages": n_msgs,
             }

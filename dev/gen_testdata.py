@@ -75,9 +75,23 @@ def _event_ts_ns(rng: np.random.Generator, n: int) -> pa.Array:
     return pa.array((us * 1000).astype("datetime64[ns]"), type=pa.timestamp("ns"))
 
 
-def _doc_text(rng: np.random.Generator) -> str:
+def _doc_vocab(n_doc: int) -> np.ndarray:
+    """Heaps-law-ish vocabulary growth: |V| ~ corpus_size^0.55.
+
+    A fixed small vocabulary makes every doc pair share bigrams, which
+    turns the exact-Jaccard pair generation (and its DuckDB oracle) into
+    all-pairs work at sf >= 1 — unrealistic for real corpora and
+    quadratic for the scale gate. With vocabulary growth, per-bigram
+    document frequency stays bounded as the corpus scales, matching the
+    sparsity the inverted-index/LSH plans are designed around.
+    """
+    v = max(2000, int(8 * n_doc**0.55))
+    return np.array(WORDS + [f"w{i:05d}" for i in range(v)])
+
+
+def _doc_text(rng: np.random.Generator, vocab: np.ndarray) -> str:
     n = int(rng.integers(10, 100))
-    return " ".join(rng.choice(WORDS, n))
+    return " ".join(rng.choice(vocab, n))
 
 
 def generate(
@@ -194,7 +208,8 @@ def generate(
         # mostly-distinct corpus with a small exact-dup + near-dup tail (the
         # dedup family must find a nonzero but bounded answer)
         rng = _rng_for("documents")
-        texts = [_doc_text(rng) for _ in range(n_doc)]
+        vocab = _doc_vocab(n_doc)
+        texts = [_doc_text(rng, vocab) for _ in range(n_doc)]
         for i in range(0, n_doc, 200):
             if i + 1 < n_doc:
                 texts[i + 1] = texts[i]  # exact dup

@@ -141,11 +141,20 @@ def test_rolling_sum_with_state(spark, tmp_path):
 
 def _protobuf_available() -> bool:
     try:
-        import google.protobuf  # noqa: F401
+        from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
-        return False
+        # pip-less sandboxes: the conftest spark fixture activates
+        # dev/protobuf_shim (vendored pure-Python runtime) for the driver
+        # AND the workers when this source dir exists
+        import os
+
+        src = os.environ.get(
+            "PROTOBUF_SHIM_SRC",
+            "/usr/lib/google-cloud-sdk/platform/google_appengine",
+        )
+        return os.path.isdir(os.path.join(src, "google", "protobuf"))
 
 
 @pytest.mark.skipif(
