@@ -383,3 +383,83 @@ def bucketed_colocated_join(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey, c + 1000 AS new_c FROM cents
+      WHERE o_orderkey % 10 = 7
+    ),
+    ins AS (
+      SELECT o_orderkey + 10000000000 AS o_orderkey,
+             'P' AS o_orderstatus, CAST(floor(c / 2) AS BIGINT) AS c
+      FROM cents WHERE o_orderkey % 10 = 3
+    ),
+    merged AS (
+      SELECT t.o_orderkey, t.o_orderstatus,
+             coalesce(u.new_c, t.c) AS c,
+             (u.o_orderkey IS NOT NULL) AS updated
+      FROM cents t LEFT JOIN upd u USING (o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, c, FALSE FROM ins
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(c) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN updated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated
+    FROM merged GROUP BY o_orderstatus
+    """,
+    doc="X83: MERGE/upsert semantics (the warehouse refresh-function "
+    "shape, cf. TPC-H RF1/RF2): a delta batch of updates (matched keys "
+    "get a new price) and inserts (new keys) applied to the orders "
+    "target in one plan — update-on-match via LEFT JOIN + coalesce, "
+    "insert via union; census per status proves row accounting "
+    "(updated/inserted/untouched). Money is accumulated in EXACT integer "
+    "cents (floor-form at 2dp) so the census is order-independent and "
+    "engine-identical. At 100 TB this is the copy-on-write partition "
+    "rewrite: the join is key-partitioned (bucketed target + delta "
+    "co-location = shuffle-free), untouched partitions are carried "
+    "forward by reference, and the delta side is broadcast when small.",
+    tags=("pipeline", "upsert", "join"),
+)
+def merge_upsert_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    upd = cents.filter(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey", (F.col("c") + 1000).alias("new_c")
+    )
+    ins = cents.filter(F.col("o_orderkey") % 10 == 3).select(
+        (F.col("o_orderkey") + F.lit(10_000_000_000)).alias("o_orderkey"),
+        F.lit("P").alias("o_orderstatus"),
+        F.floor(F.col("c") / F.lit(2)).cast("bigint").alias("c"),
+        F.lit(False).alias("updated"),
+    )
+    merged = (
+        cents.join(upd, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.coalesce("new_c", "c").alias("c"),
+            F.col("new_c").isNotNull().alias("updated"),
+        )
+        .unionByName(ins)
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("c").cast("bigint").alias("sum_cents"),
+        F.sum(F.when(F.col("updated"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_updated"),
+    )

@@ -102,3 +102,43 @@ def doc_winnowing_fingerprints(spark, sf_dir):
     for j in range(1, _WINNOW_W):
         mins = F.zip_with(mins, F.slice("h", 1 + j, n_win), lambda a, b: F.least(a, b))
     return sh.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+
+
+@register(
+    "token_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           floor(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1e4 + 0.5) / 1e4 AS hapax_ratio
+    FROM freq GROUP BY lang
+    """,
+    doc="X84: hapax-legomena share per language — the fraction of word "
+    "types occurring exactly once. A classic corpus-quality/diversity "
+    "signal: OCR noise and boilerplate-heavy feeds push it to the "
+    "extremes, and it calibrates Heaps-law vocabulary growth for "
+    "tokenizer budgeting. One token shuffle to (lang, tok) counts "
+    "(map-side combinable), then a lang-bounded rollup; the ratio uses "
+    "engine-stable floor rounding on an exact integer quotient.",
+    tags=("text", "stats", "quality"),
+)
+def token_hapax_ratio(spark, sf_dir):
+    tok = _docs(spark, sf_dir).select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = tok.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return freq.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        hapax.cast("bigint").alias("n_hapax"),
+        (F.floor(hapax.cast("double") / F.count("*") * 1e4 + 0.5) / 1e4).alias(
+            "hapax_ratio"
+        ),
+    )
