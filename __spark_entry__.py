@@ -136,7 +136,7 @@ _DRIVER_RECORDED = frozenset(
         "pairwise_centroid_distances", "pivot_lineitem_status",
         "q1_pricing_summary", "q3_top_revenue_orders",
         "reservoir_sample_per_source", "rolling_sum", "rollup_lineitem",
-        "scalar_functions_part", "semi_join_customers_with_orders",
+        "semi_join_customers_with_orders",
         "session_gap_stats", "sessionization", "set_except_users",
         "set_intersect_users", "star_join_supplier_region",
         "text_quality_scores", "text_token_stats", "token_cooccurrence_pmi",
@@ -151,7 +151,10 @@ _DRIVER_RECORDED = frozenset(
         # exact scaled-integer accumulation (ADVICE r6: FP accumulation-
         # order hazard) — values changed at the rounding grain;
         # dedup_minhash_lsh's within-group expansion moved to the pre-group
-        # (doc, fp) self-join (skew-splittable at map-output boundaries).
+        # (doc, fp) self-join (skew-splittable at map-output boundaries);
+        # scalar_functions_part's `bumped` went floor-form after the sf1
+        # gate caught a round-half-repr divergence (first ...5-boundary
+        # product appears at 200k parts).
     }
 )
 

@@ -378,7 +378,7 @@ def topk_global_lineitems(spark, sf_dir):
            length(p_name)                      AS name_len,
            p_brand || '-' || p_type            AS brand_type,
            abs(p_size - 25)                    AS size_dist,
-           round(p_retailprice * 1.1, 2)       AS bumped,
+           floor(p_retailprice * 1.1 * 100 + 0.5) / 100 AS bumped,
            p_partkey % 7                       AS mod7
     FROM part
     """,
@@ -395,7 +395,11 @@ def scalar_functions_part(spark, sf_dir):
         F.length("p_name").cast("bigint").alias("name_len"),
         F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
         F.abs(F.col("p_size") - 25).cast("bigint").alias("size_dist"),
-        F.round(F.col("p_retailprice") * 1.1, 2).alias("bumped"),
+        # floor-form: round(x*1.1, 2) diverges between engines when the
+        # product lands on a ...5 shortest-repr boundary (first seen at
+        # sf1 — Spark rounds the shortest decimal repr, DuckDB the binary
+        # double); identical IEEE steps on both sides by construction
+        (F.floor(F.col("p_retailprice") * 1.1 * 100 + 0.5) / 100).alias("bumped"),
         (F.col("p_partkey") % 7).alias("mod7"),
     )
 
