@@ -228,10 +228,16 @@ def generate(
         rng = _rng_for("embeddings")
         dim = 64
         vecs = rng.normal(0, 1, (n_vec, dim)).astype("float32")
+        # Label cardinality scales with the table (bounded ~100-vector
+        # cells), mirroring how a real embedding store is blocked — by an
+        # IVF cell / cluster id whose COUNT grows with the data, never a
+        # fixed 10-value key. A fixed cardinality makes every label-
+        # blocked pair plan (and its oracle) quadratic at sf >= 1.
+        n_label = max(10, n_vec // 100)
         return pa.table({
             "vec_id": pa.array(range(n_vec), pa.int64()),
             "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
-            "label": pa.array(rng.integers(0, 10, n_vec), pa.int32()),
+            "label": pa.array(rng.integers(0, n_label, n_vec), pa.int32()),
         })
 
     builders = {

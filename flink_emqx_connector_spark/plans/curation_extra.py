@@ -35,22 +35,26 @@ def _docs(spark, sf_dir):
 
 # Shared recursive-CTE transitive closure over exact bigram-Jaccard >= 0.5
 # pairs — the same closure dedup_clusters/dedup_keep_list verify against.
+# Multi-referenced members are MATERIALIZED: DuckDB inlines plain CTEs
+# PER REFERENCE, so without the pin the whole shingle pipeline re-runs
+# inside every join arm (measured >100 GB / >280 s on a sibling oracle at
+# sf1; values are unchanged by the pin).
 _CLOSURE = """
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
       SELECT doc_id AS doc,
              list_distinct(list_transform(range(1, len(string_split(text, ' '))),
                  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
                AS bg
       FROM documents
     ),
-    sizes AS (SELECT doc, len(bg) AS n FROM sh),
-    ex AS (SELECT doc, unnest(bg) AS s FROM sh),
+    sizes AS MATERIALIZED (SELECT doc, len(bg) AS n FROM sh),
+    ex AS MATERIALIZED (SELECT doc, unnest(bg) AS s FROM sh),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
       GROUP BY 1, 2
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT doc_a, doc_b
       FROM inter
       JOIN sizes sa ON sa.doc = doc_a

@@ -45,15 +45,15 @@ def dedup_exact(spark, sf_dir):
 @register(
     "dedup_ngram_jaccard",
     oracle="""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT doc_id AS doc,
              list_distinct(list_transform(range(1, len(string_split(text, ' '))),
                  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
                AS bg
       FROM documents
     ),
-    sizes AS (SELECT doc, len(bg) AS n FROM sh),
-    ex AS (SELECT doc, unnest(bg) AS s FROM sh),
+    sizes AS MATERIALIZED (SELECT doc, len(bg) AS n FROM sh),
+    ex AS MATERIALIZED (SELECT doc, unnest(bg) AS s FROM sh),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
@@ -115,16 +115,16 @@ def _minhash_oracle_sql(
     )
     words = "string_split(text, ' ')"
     return f"""
-    WITH base AS (
+    WITH base AS MATERIALIZED (
       SELECT doc_id AS doc, text FROM documents
       WHERE len({words}) >= {n}
     ),
-    grp AS (
+    grp AS MATERIALIZED (
       SELECT md5(text) AS fp, min(doc) AS rep, list(doc) AS members
       FROM base GROUP BY 1
     ),
     reps AS (SELECT g.rep AS doc, b.text FROM grp g JOIN base b ON b.doc = g.rep),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc,
              list_distinct(list_transform(range(1, len({words})),
                  i -> {words}[i] || ' ' || {words}[i+1])) AS bg
@@ -135,12 +135,12 @@ def _minhash_oracle_sql(
              CAST(CAST('0x' || substr(md5(s), 1, 8) AS UBIGINT) AS BIGINT) AS h
       FROM (SELECT doc, unnest(bg) AS s FROM sh)
     ),
-    sigs AS (
+    sigs AS MATERIALIZED (
       SELECT doc,
          {mh_aggs}
       FROM hx GROUP BY doc
     ),
-    buckets AS (
+    buckets AS MATERIALIZED (
       {band_selects}
     ),
     cand AS (
@@ -149,7 +149,7 @@ def _minhash_oracle_sql(
       JOIN buckets b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
       GROUP BY 1, 2
     ),
-    screened AS (
+    screened AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b
       FROM cand c
       JOIN sigs sa ON sa.doc = c.doc_a
@@ -180,7 +180,7 @@ def _minhash_oracle_sql(
       JOIN sizes sb ON sb.doc = i.doc_b
       WHERE CAST(i.i AS DOUBLE) / (sa.nsz + sb.nsz - i.i) >= {threshold!r}
     ),
-    mem AS (SELECT fp, rep, unnest(members) AS m FROM grp),
+    mem AS MATERIALIZED (SELECT fp, rep, unnest(members) AS m FROM grp),
     crossx AS (
       SELECT least(ma.m, mb.m) AS doc_a, greatest(ma.m, mb.m) AS doc_b, p.jaccard
       FROM repp p
@@ -264,21 +264,21 @@ def dedup_simhash(spark, sf_dir):
     # Oracle: transitive closure by recursive CTE over the same exact
     # n-gram-Jaccard edge list, component id = min reachable doc id.
     oracle="""
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
       SELECT doc_id AS doc,
              list_distinct(list_transform(range(1, len(string_split(text, ' '))),
                  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
                AS bg
       FROM documents
     ),
-    sizes AS (SELECT doc, len(bg) AS n FROM sh),
-    ex AS (SELECT doc, unnest(bg) AS s FROM sh),
+    sizes AS MATERIALIZED (SELECT doc, len(bg) AS n FROM sh),
+    ex AS MATERIALIZED (SELECT doc, unnest(bg) AS s FROM sh),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
       GROUP BY 1, 2
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT doc_a, doc_b
       FROM inter
       JOIN sizes sa ON sa.doc = doc_a
@@ -352,21 +352,21 @@ def embedding_clusters(spark, sf_dir):
     # Same recursive-closure components as dedup_clusters, left-joined back
     # to the corpus: keep = not a non-minimal member of any near-dup cluster.
     oracle="""
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
       SELECT doc_id AS doc,
              list_distinct(list_transform(range(1, len(string_split(text, ' '))),
                  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
                AS bg
       FROM documents
     ),
-    sizes AS (SELECT doc, len(bg) AS n FROM sh),
-    ex AS (SELECT doc, unnest(bg) AS s FROM sh),
+    sizes AS MATERIALIZED (SELECT doc, len(bg) AS n FROM sh),
+    ex AS MATERIALIZED (SELECT doc, unnest(bg) AS s FROM sh),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
       GROUP BY 1, 2
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT doc_a, doc_b
       FROM inter
       JOIN sizes sa ON sa.doc = doc_a

@@ -373,15 +373,19 @@ _TOPK_BPE = 20
              unnest(list_transform(range(1, len(w)),
                  i -> w[i] || ' ' || w[i + 1])) AS bg
       FROM w
-    ), inst AS (
+    ), inst AS MATERIALIZED (
+      -- MATERIALIZED: inst/pc are each referenced from several arms of
+      -- the scored join; DuckDB inlines plain CTEs per reference, and at
+      -- sf1 the re-inlined pipeline blew past 100 GB / 280 s. Pinning
+      -- them computes each once (2.9 s at sf1), values unchanged.
       SELECT doc_id, split_part(bg, ' ', 1) AS w1,
              split_part(bg, ' ', 2) AS w2
       FROM dbg
-    ), pc AS (
+    ), pc AS MATERIALIZED (
       SELECT w1, w2, count(*) AS cnt FROM inst GROUP BY 1, 2
-    ), wc AS (
+    ), wc AS MATERIALIZED (
       SELECT w1, sum(cnt) AS tot FROM pc GROUP BY 1
-    ), v AS (
+    ), v AS MATERIALIZED (
       SELECT count(DISTINCT w2) AS vocab FROM pc
     ), scored AS (
       SELECT i.doc_id,
