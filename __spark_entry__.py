@@ -132,7 +132,7 @@ _DRIVER_RECORDED = frozenset(
         "event_type_cooccurrence",
         "events_weekday_enrichment", "lang_id_confusion",
         "late_arrival_accounting", "latest_state_per_user",
-        "nearest_centroid_confusion", "ngram_coverage_curve",
+        "ngram_coverage_curve",
         "pairwise_centroid_distances", "pivot_lineitem_status",
         "q1_pricing_summary", "q3_top_revenue_orders",
         "reservoir_sample_per_source", "rolling_sum", "rollup_lineitem",
@@ -154,7 +154,9 @@ _DRIVER_RECORDED = frozenset(
         # (doc, fp) self-join (skew-splittable at map-output boundaries);
         # scalar_functions_part's `bumped` went floor-form after the sf1
         # gate caught a round-half-repr divergence (first ...5-boundary
-        # product appears at 200k parts).
+        # product appears at 200k parts); nearest_centroid_confusion moved
+        # from crossJoin+window to a broadcast centroid-matrix GEMM after
+        # the sf1 bench flagged it (18.3 s → 1.8 s at sf1).
     }
 )
 
