@@ -132,6 +132,24 @@ def _rp_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rs.standard_normal((n_planes, dim))
 
 
+def auto_n_planes(n_rows: int, target_occupancy: int = 64, floor: int = 8) -> int:
+    """Occupancy-targeted plane count: 2^planes buckets sized so the
+    EXPECTED bucket holds ~``target_occupancy`` vectors.
+
+    Why this exists: any fixed plane count makes in-bucket pair work
+    Σm² ≈ n²/2^planes — quadratic in the corpus (the sf1→sf10 probe
+    regime shows it: 20k vecs / 256 buckets is fine, 200k is not). With
+    planes = log2(n / occupancy) the per-bucket pair cost stays constant
+    and total pair work is O(n·occupancy) — linear. The registry's
+    ``knn_graph_lsh`` demo pins planes=8 because its DuckDB oracle
+    inlines the plane literals (a static string); scale deployments call
+    this helper with a cheap ``df.count()`` probe instead.
+    """
+    import math
+
+    return max(floor, math.ceil(math.log2(max(n_rows, 1) / max(target_occupancy, 1) or 1)))
+
+
 def rp_lsh_buckets(
     emb: DataFrame,
     n_planes: int = 8,
@@ -141,7 +159,10 @@ def rp_lsh_buckets(
 ) -> DataFrame:
     """Attach the deterministic LSH ``bucket`` column (2^n_planes buckets)
     with one numpy projection per Arrow batch. At scale:
-    ``.repartition("bucket")`` / partitioned write by bucket."""
+    ``.repartition("bucket")`` / partitioned write by bucket, and pick
+    ``n_planes`` with :func:`auto_n_planes` so bucket occupancy — and
+    with it the in-bucket pair cost of any self-join built on top — stays
+    bounded as the corpus grows."""
     import pandas as pd
 
     from pyspark.sql import types as T

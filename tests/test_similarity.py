@@ -78,3 +78,18 @@ def test_multimodal_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG")
+
+
+def test_auto_n_planes_bounds_bucket_occupancy():
+    """Occupancy-targeted plane count keeps expected in-bucket pair work
+    linear: n/2^planes stays <= target at every probed corpus size, and
+    the count GROWS as data grows (a fixed plane count would not)."""
+    from flink_emqx_connector_spark.operators.similarity import auto_n_planes
+
+    prev = 0
+    for n in (1_000, 20_000, 200_000, 2_000_000, 200_000_000):
+        p = auto_n_planes(n, target_occupancy=64)
+        assert n / (2**p) <= 64, (n, p)
+        assert p >= prev  # monotone in corpus size
+        prev = p
+    assert auto_n_planes(100) == 8  # floor: never fewer than the demo's 8
