@@ -253,7 +253,18 @@ def generate(
     if unknown:
         raise SystemExit(f"unknown tables: {sorted(unknown)}")
     for name in wanted:
-        pq.write_table(builders[name](), os.path.join(out_dir, f"{name}.parquet"))
+        # Explicit row groups: pyarrow's default (~1M rows) writes small-
+        # but-not-tiny tables as ONE row group, and Spark can only split
+        # a parquet scan at row-group boundaries — a 500k-row documents
+        # table then scans in a single task regardless of cluster size
+        # (measured: the sf10 SimHash scan ran 1-of-30 tasks, 110 s wall
+        # at single-thread speed). 64k-row groups restore scan
+        # parallelism at every sf this generator produces.
+        pq.write_table(
+            builders[name](),
+            os.path.join(out_dir, f"{name}.parquet"),
+            row_group_size=65536,
+        )
     print(f"wrote {len(wanted)} tables to {out_dir} (sf={sf}, lineitem={n_li})")
 
 
