@@ -527,11 +527,14 @@ def test_daily_anomaly_stats_over_daily_series_only(plans):
 
 
 def test_centroid_confusion_broadcast_and_kernel(plans):
-    """nearest_centroid_confusion: centroids broadcast (the cross join is
-    a BroadcastNestedLoopJoin over |labels| rows, never a shuffle), the
-    scoring runs in the Arrow-batched kernel, and the argmax window
-    partitions by vec_id (bounded |labels|-row groups)."""
+    """nearest_centroid_confusion: the centroid MATRIX is closed over the
+    Arrow kernel (collected once, |labels|×dim — bounded cells), so the
+    executed plan must be scan → MapInPandas → hash aggregate with NO
+    join and NO per-vector window: a regression back to the
+    crossJoin+window form (|vecs|×|labels| materialized rows, 18 s at
+    sf1) re-introduces exactly the nodes asserted absent here."""
     p = plans("nearest_centroid_confusion")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
-    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
-    assert "Window" in p, p
+    assert "MapInPandas" in p, p
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert "HashAggregate" in p, p
