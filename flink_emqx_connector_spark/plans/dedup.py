@@ -437,3 +437,167 @@ def dedup_keep_list(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     return D.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+               AS bg
+      FROM documents
+    ),
+    sizes AS MATERIALIZED (SELECT doc, len(bg) AS n FROM sh WHERE len(bg) > 0),
+    ex AS MATERIALIZED (SELECT doc, unnest(bg) AS s FROM sh),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           floor(CAST(i AS DOUBLE) / least(sa.n, sb.n) * 1e4 + 0.5) / 1e4
+               AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+    """,
+    doc="X85: exact shingle-CONTAINMENT pairs (|A∩B| / min(|A|,|B|) >= "
+    "0.8) — the asymmetric relation Jaccard misses: a short document "
+    "embedded in a longer one (quoting, boilerplate wrapping, "
+    "truncation) can have Jaccard ~0.2 while containment ~1.0; corpus "
+    "curation drops or strips the contained copy. Same inverted-index "
+    "self-join cost shape as dedup_ngram_jaccard (Σdf² bounded by the "
+    "df-cap variant / LSH routing at scale); only the threshold algebra "
+    "differs — engine-stable floor rounding on the reported ratio.",
+    tags=("dedup", "ngram", "containment"),
+)
+def dedup_containment_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        F.col("doc_id").alias("doc"), D.word_ngrams(F.col("text"), 2).alias("bg")
+    )
+    sizes = sh.filter(F.size("bg") > 0).select("doc", F.size("bg").alias("n"))
+    ex = sh.select("doc", F.explode("bg").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    cont = F.col("i").cast("double") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(cont >= 0.8)
+        .select(
+            "doc_a", "doc_b",
+            (F.floor(cont * 1e4 + 0.5) / 1e4).alias("containment"),
+        )
+    )
+
+
+@register(
+    "dedup_simhash_hamming",
+    # Full md5-bit-vote replica (the dedup_simhash oracle) extended to
+    # PAIRS: 4×16-bit band pigeonhole (hamming<=3 implies >=1 equal band)
+    # then exact popcount verify on the candidate set.
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS MATERIALIZED (
+      SELECT doc_id, ('0x' || substr(md5(tok),1,16))::UBIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+             count(*) AS n
+      FROM th, (SELECT unnest(range(64)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    fp AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(CASE WHEN fp_u >= (1::HUGEINT << 63) THEN fp_u - (1::HUGEINT << 64)
+                       ELSE fp_u END AS BIGINT) AS simhash
+      FROM (
+        SELECT doc_id,
+               sum(CASE WHEN 2*ones > n THEN (1::HUGEINT << CAST(bit AS INTEGER))
+                        ELSE 0::HUGEINT END) AS fp_u
+        FROM votes GROUP BY doc_id
+      )
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (16 * b.band)) & 65535 AS bval
+      FROM fp, (SELECT unnest(range(4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS fa,
+                      c.doc_id AS doc_b, c.simhash AS fb
+      FROM bands a
+      JOIN bands c ON a.band = c.band AND a.bval = c.bval
+                  AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fa, fb)) <= 3
+    """,
+    doc="X86: SimHash near-dup PAIRS at Hamming distance <= 3 — turns "
+    "the X4 fingerprints into an actual near-dup relation (the form the "
+    "original Google web-dedup system ran). Pigeonhole banding: 4 "
+    "disjoint 16-bit slices of the fingerprint; any pair within "
+    "Hamming 3 agrees exactly on >= 1 band, so candidates come from 4 "
+    "short (band, value) shuffles — never all-pairs — and the exact "
+    "popcount verify runs on candidates only. Arithmetic-shift + mask "
+    "band extraction and two's-complement popcount are engine-identical "
+    "(both engines arithmetic-shift int64; the 16-bit mask erases "
+    "sign-fill). At 100 TB the band tables are the partition keys; "
+    "re-rank/verify stays candidate-bounded exactly like MinHash-LSH.",
+    tags=("dedup", "simhash", "pairs"),
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    fps = D.simhash_fingerprints(_docs(spark, sf_dir))
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", 16 * b)
+                    .bitwiseAND(F.lit(65535))
+                    .alias("bval"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"), "band", "bval"
+    )
+    c = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb"),
+        F.col("band").alias("band_c"), F.col("bval").alias("bval_c"),
+    )
+    cand = (
+        a.join(
+            c,
+            (F.col("band") == F.col("band_c"))
+            & (F.col("bval") == F.col("bval_c"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "fa", "doc_b", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.filter(ham <= 3).select(
+        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    )

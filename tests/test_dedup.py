@@ -432,3 +432,59 @@ def test_minhash_within_group_expansion_is_skew_splittable(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_containment_dominates_jaccard_and_finds_subsets(spark):
+    """Containment >= Jaccard on every pair (min <= union), and a document
+    fully embedded in a larger one scores containment 1.0 while its
+    Jaccard stays below a near-dup threshold — the relation X85 exists
+    to catch."""
+    from flink_emqx_connector_spark.plans import QUERIES
+    import os, tempfile
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    small = " ".join(f"s{i}" for i in range(10))
+    big = small + " " + " ".join(f"b{i}" for i in range(80))
+    other = " ".join(f"o{i}" for i in range(40))
+    tmp = tempfile.mkdtemp(prefix="contain-")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [small, big, other],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": pa.array([len(small), len(big), len(other)], pa.int64()),
+        }),
+        os.path.join(tmp, "documents.parquet"),
+    )
+    rows = QUERIES["dedup_containment_pairs"].spark(spark, tmp).collect()
+    pairs = {(r.doc_a, r.doc_b): r.containment for r in rows}
+    assert pairs == {(0, 1): 1.0}, pairs  # subset found; disjoint pair not
+    jac = QUERIES["dedup_ngram_jaccard"].spark(spark, tmp).collect()
+    assert not jac, jac  # Jaccard at 0.5 misses the embedded copy
+
+
+def test_simhash_hamming_pairs_cover_exact_dups(spark, sf_dir):
+    """Exact duplicates share a fingerprint → they MUST appear as
+    hamming-0 pairs (banding recall is exact at distance 0), and every
+    reported pair is within the threshold."""
+    from flink_emqx_connector_spark.plans import QUERIES
+
+    docs = _docs(spark, sf_dir)
+    rows = QUERIES["dedup_simhash_hamming"].spark(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert all(h <= 3 for h in got.values())
+    exact = (
+        D.exact_dedup(docs).filter(F.col("n_copies") > 1).collect()
+    )
+    # for each exact-dup group, keeper pairs with every member at hamming 0
+    from collections import defaultdict
+    by_fp = defaultdict(list)
+    for r in docs.select("doc_id", F.md5("text").alias("fp")).collect():
+        by_fp[r.fp].append(r.doc_id)
+    for members in by_fp.values():
+        if len(members) > 1:
+            members = sorted(members)
+            for m in members[1:]:
+                assert got.get((members[0], m)) == 0, (members[0], m)
