@@ -64,7 +64,7 @@ _DRIVER_RECORDED = frozenset(
         "window_topk_orders_per_customer", "window_running_total",
         "set_intersect_users", "set_except_users", "rollup_lineitem",
         "cube_orders", "distinct_counts", "topk_global_lineitems",
-        "scalar_functions_part", "date_functions_orders",
+        "date_functions_orders",
         "pivot_lineitem_status", "asof_join_purchase_view",
         "text_token_stats", "text_quality_scores", "lang_id_confusion",
         "doc_fingerprint_dupes", "dedup_exact", "dedup_ngram_jaccard",
