@@ -120,43 +120,29 @@ _DRIVER_RECORDED = frozenset(
         "split_by_cluster", "temperature_resample_sources", "tfidf_top_terms",
         "time_decay_user_scores", "token_entropy_docs",
         "token_vocab_coverage", "user_ltv_deciles", "weighted_sample_docs",
-        # round 6 (recorded in CORRECTNESS_r06.json — 50/50 full-pass,
-        # including the md5-permutation dedup_minhash_lsh and the
-        # stable-rounded nearest_centroid_confusion re-records)
-        "anti_join_customers_without_orders", "asof_join_purchase_view",
-        "cube_orders", "date_functions_orders", "decode_json",
-        "dedup_clusters", "dedup_exact",
-        "dedup_ngram_jaccard", "dedup_simhash", "distinct_counts",
-        "doc_fingerprint_dupes", "doc_length_percentile_bands",
-        "dup_inflation_by_source", "embedding_clusters",
-        "event_type_cooccurrence",
-        "events_weekday_enrichment", "lang_id_confusion",
+        # round 6 (recorded in CORRECTNESS_r06.json — 50/50 full-pass;
+        # the r6 window mostly re-recorded earlier names, already listed
+        # above — only the names NEW to r6 appear here: the literal must
+        # stay duplicate-free so a single removal reliably rotates a name
+        # back into the window (the 40596e4 bug: a duplicated entry kept
+        # scalar_functions_part out of the window for a whole round;
+        # tests/test_survey_consistency.py now asserts uniqueness).
+        "doc_length_percentile_bands", "dup_inflation_by_source",
+        "event_type_cooccurrence", "events_weekday_enrichment",
         "late_arrival_accounting", "latest_state_per_user",
-        "ngram_coverage_curve",
-        "pairwise_centroid_distances", "pivot_lineitem_status",
-        "q1_pricing_summary", "q3_top_revenue_orders",
-        "reservoir_sample_per_source", "rolling_sum", "rollup_lineitem",
-        "semi_join_customers_with_orders",
-        "session_gap_stats", "sessionization", "set_except_users",
-        "set_intersect_users", "star_join_supplier_region",
-        "text_quality_scores", "text_token_stats", "token_cooccurrence_pmi",
-        "tokenizer_fertility_by_lang", "top_token_coverage_by_lang",
-        "topic_filter", "topk_global_lineitems", "tumbling_window",
-        "window_running_total",
-        "window_topk_orders_per_customer", "wordcount", "zipf_fit_docs",
-        # NOTE: many round-6 names duplicate earlier-round entries (the r6
-        # window re-recorded changed plans); a set absorbs the overlap.
-        # Round-7 removals (re-record-on-change): vector_norm_outliers and
-        # embedding_quantization_stats switched their cross-vector stats to
-        # exact scaled-integer accumulation (ADVICE r6: FP accumulation-
-        # order hazard) — values changed at the rounding grain;
-        # dedup_minhash_lsh's within-group expansion moved to the pre-group
-        # (doc, fp) self-join (skew-splittable at map-output boundaries);
-        # scalar_functions_part's `bumped` went floor-form after the sf1
-        # gate caught a round-half-repr divergence (first ...5-boundary
-        # product appears at 200k parts); nearest_centroid_confusion moved
-        # from crossJoin+window to a broadcast centroid-matrix GEMM after
-        # the sf1 bench flagged it (18.3 s → 1.8 s at sf1).
+        "ngram_coverage_curve", "pairwise_centroid_distances",
+        "reservoir_sample_per_source", "session_gap_stats",
+        "token_cooccurrence_pmi", "tokenizer_fertility_by_lang",
+        "top_token_coverage_by_lang", "zipf_fit_docs",
+        # round 7 (recorded in CORRECTNESS_r07.json — 50/50 full-pass).
+        # Round-8 holdouts (re-record-on-change): dedup_containment_pairs
+        # (X85 re-routed through the cost-based dense/inverted selector —
+        # the unbounded Σdf² self-join fix) and dedup_simhash_hamming
+        # (X86 exact-dup canonicalization before banding).
+        "scalar_functions_part", "dedup_minhash_lsh", "token_hapax_ratio",
+        "approx_aggregates_bounded", "merge_upsert_orders",
+        "dedup_pipeline_report", "nearest_centroid_confusion",
+        "embedding_quantization_stats", "vector_norm_outliers",
     }
 )
 

@@ -52,6 +52,31 @@ def test_rows_only_set_is_exact():
     )
 
 
+def test_driver_recorded_literal_is_duplicate_free():
+    """The _DRIVER_RECORDED frozenset literal silently absorbs duplicates,
+    but the window-rotation protocol depends on REMOVING a name putting it
+    back in the driver's 50-entry window — a duplicated literal entry makes
+    that removal a no-op (the 40596e4 bug: scalar_functions_part stayed out
+    of the window for a whole round). Parse the source literal and assert
+    every entry appears exactly once, and names the registry knows."""
+    import ast
+    import collections
+
+    entry_src = (SURVEY.parent / "__spark_entry__.py").read_text()
+    names = None
+    for node in ast.walk(ast.parse(entry_src)):
+        if (
+            isinstance(node, ast.Assign)
+            and getattr(node.targets[0], "id", "") == "_DRIVER_RECORDED"
+        ):
+            names = [e.value for e in node.value.args[0].elts]
+    assert names, "_DRIVER_RECORDED literal not found"
+    dups = sorted(n for n, c in collections.Counter(names).items() if c > 1)
+    assert not dups, f"duplicate _DRIVER_RECORDED entries: {dups}"
+    unknown = sorted(set(names) - set(QUERIES))
+    assert not unknown, f"_DRIVER_RECORDED names not in the registry: {unknown}"
+
+
 def test_catalog_is_current():
     """QUERIES.md is generated — a stale catalog means someone added a
     query without regenerating it."""
