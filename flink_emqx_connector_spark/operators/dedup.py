@@ -73,6 +73,41 @@ def _shingle_table(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataF
     return sh
 
 
+def _measure_exprs(measure: str):
+    """Column-expression hook parametrizing the pair-measure algebra.
+
+    Returns ``(sim_builder, out_builder, out_col)`` where ``sim_builder(
+    inter, na, nb)`` is the raw similarity expression (used in the
+    threshold filter) and ``out_builder(sim)`` the engine-stable rounded
+    output column. Two measures share every physical plan in this module:
+
+    - ``jaccard``: |A∩B| / |A∪B| — the symmetric near-dup relation;
+      half-up ``F.round`` (both engines round the shortest repr the same
+      way at the 4dp grain observed for set-ratio values; pinned by the
+      long-green dedup_ngram_jaccard record).
+    - ``containment``: |A∩B| / min(|A|,|B|) — the asymmetric relation
+      (short doc quoted/embedded in a long one) Jaccard misses; floor-form
+      rounding (floor(x*1e4+0.5)/1e4 — identical IEEE steps both engines).
+
+    The hook exists so X85 rides the SAME cost-based dense/inverted
+    routing as X2/X24 instead of its own unbounded Σdf² self-join (the
+    round-7 scale-killer); only this threshold algebra differs.
+    """
+    if measure == "jaccard":
+        return (
+            lambda i, na, nb: i / (na + nb - i),
+            lambda sim: F.round(sim, 4).alias("jaccard"),
+            "jaccard",
+        )
+    if measure == "containment":
+        return (
+            lambda i, na, nb: i / F.least(na, nb),
+            lambda sim: (F.floor(sim * 1e4 + 0.5) / 1e4).alias("containment"),
+            "containment",
+        )
+    raise ValueError(f"unknown pair measure: {measure!r}")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -80,19 +115,23 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    measure: str = "jaccard",
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard ≥ threshold via shingle inverted index.
+    """Exact all-pairs n-gram similarity ≥ threshold via shingle inverted index.
 
     Plan: explode distinct shingles → self-equi-join on the shingle (this is
     the inverted index; no quadratic cross join) → per-pair intersection
-    count → join per-doc sizes → Jaccard filter. At 100 TB the same plan
+    count → join per-doc sizes → similarity filter. At 100 TB the same plan
     works once hot shingles are dropped (document-frequency cap) — LSH
     (``minhash_lsh_pairs``) replaces it when even that is too dense.
 
-    Returns ``doc_a, doc_b, jaccard`` (doc_a < doc_b, jaccard rounded 4).
+    Returns ``doc_a, doc_b, <measure>`` (doc_a < doc_b, rounded 4dp).
     ``shingles``: optional precomputed ``_shingle_table`` output (the auto
     selector passes its stats-pass table so the corpus isn't re-shingled).
+    ``measure``: ``jaccard`` (default) or ``containment`` — see
+    ``_measure_exprs``; the physical plan is identical.
     """
+    sim_of, out_of, _ = _measure_exprs(measure)
     sh = shingles if shingles is not None else _shingle_table(docs, text_col, id_col, n)
     # Carry the set size through the explode so no size-lookup join is
     # needed later, and join on xxhash64 of the shingle, not the string:
@@ -112,10 +151,8 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return inter.filter(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
-    )
+    sim = sim_of(F.col("inter"), F.col("na"), F.col("nb"))
+    return inter.filter(sim >= threshold).select("doc_a", "doc_b", out_of(sim))
 
 
 def ngram_jaccard_pairs_dfcap(
@@ -125,6 +162,7 @@ def ngram_jaccard_pairs_dfcap(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    measure: str = "jaccard",
 ) -> DataFrame:
     """Exact Jaccard over the DF-CAPPED shingle space: shingles appearing
     in more than ``df_cap`` documents are dropped before the inverted-index
@@ -142,9 +180,17 @@ def ngram_jaccard_pairs_dfcap(
     once — the same eager-driver-step pattern as connected_components —
     and per-doc sizes ride along as a window column so the self-join's
     groupBy carries them for free (no size-lookup joins).
+
+    ``measure='containment'`` keeps the identical capped plan but divides
+    by min(|A|,|B|) over the CAPPED space — note the recall tradeoff is
+    sharper than for Jaccard: a short doc quoted inside boilerplate loses
+    its (hot, capped) shingles and with them containment evidence. The
+    cap is still the correct 100 TB lever; pick df_cap by the hottest
+    boilerplate the corpus is expected to carry.
     """
     from pyspark.sql import Window
 
+    sim_of, out_of, _ = _measure_exprs(measure)
     sh = _shingle_table(docs, text_col, id_col, n)
     ex = sh.select("doc", F.explode("sh").alias("s")).select(
         "doc", F.xxhash64("s").alias("s")
@@ -168,10 +214,8 @@ def ngram_jaccard_pairs_dfcap(
         )
         .agg(F.count("*").alias("inter"))
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return inter.filter(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
-    )
+    sim = sim_of(F.col("inter"), F.col("na"), F.col("nb"))
+    return inter.filter(sim >= threshold).select("doc_a", "doc_b", out_of(sim))
 
 
 # Dense-path budget: use the broadcast-bitmap plan only while the full
@@ -247,6 +291,7 @@ def ngram_jaccard_pairs_dense(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    measure: str = "jaccard",
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via broadcast bitmap + blocked matmul.
 
@@ -274,6 +319,8 @@ def ngram_jaccard_pairs_dense(
     from pyspark import StorageLevel
     from pyspark.sql import types as T
 
+    _, out_of, _ = _measure_exprs(measure)
+    containment = measure == "containment"
     spark = docs.sparkSession
     # One shingle computation feeds both driver-side jobs (vocab, pack).
     # A caller-provided table (the auto selector's, already persisted) is
@@ -342,10 +389,13 @@ def ngram_jaccard_pairs_dense(
                         _popcount_inplace(x, t)
                         inter += x
                     inter_i = inter.astype(np.int64)
-                    union = f_n[lo:hi, None] + f_n[None, :] - inter_i
+                    if containment:
+                        den = np.minimum(f_n[lo:hi, None], f_n[None, :])
+                    else:
+                        den = f_n[lo:hi, None] + f_n[None, :] - inter_i
                     blk_doc = f_docs[lo:hi, None]
                     with np.errstate(divide="ignore", invalid="ignore"):
-                        jac = np.where(union > 0, inter_i / union, 0.0)
+                        jac = np.where(den > 0, inter_i / den, 0.0)
                     mask = (jac >= threshold) & (blk_doc < f_docs[None, :])
                     ai, bi = np.nonzero(mask)
                     if len(ai):
@@ -365,9 +415,10 @@ def ngram_jaccard_pairs_dense(
         ]
     )
     blocks = spark.range(n_blocks, numPartitions=n_blocks)
-    # Round JVM-side so half-up semantics match the SQL oracle exactly.
+    # Round JVM-side so rounding semantics match the SQL oracle exactly
+    # (half-up F.round for jaccard, floor-form for containment).
     return blocks.mapInPandas(_block_pairs, pair_schema).select(
-        "doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard")
+        "doc_a", "doc_b", out_of(F.col("jac_raw"))
     )
 
 
@@ -386,8 +437,10 @@ def ngram_jaccard_pairs_auto(
     text_col: str = "text",
     id_col: str = "doc_id",
     stats: dict | None = None,
+    measure: str = "jaccard",
 ) -> DataFrame:
-    """Cost-based strategy pick for n-gram Jaccard pair generation.
+    """Cost-based strategy pick for n-gram pair generation (Jaccard or
+    containment — the ``_measure_exprs`` hook; identical physical plans).
 
     ONE statistics pass over a persisted shingle table (docs, approx vocab,
     exact Σ df² join-row estimate), then three regimes — mirroring Spark's
@@ -397,9 +450,15 @@ def ngram_jaccard_pairs_auto(
        broadcast budget (identical results, zero shuffle);
     2. **inverted index** exact self-join while the estimated join size
        Σ df(s)² fits ``_INVERTED_MAX_ROWS``;
-    3. **MinHash-LSH** above that — the 100 TB regime where any exact
-       all-pairs plan is join-bound; precision stays 1.0 (exact verify),
-       recall is probabilistic.
+    3. above that, the 100 TB regime where any exact all-pairs plan is
+       join-bound: **MinHash-LSH** for Jaccard (precision stays 1.0 —
+       exact verify — recall probabilistic); **df-capped inverted index**
+       for containment — MinHash signatures estimate Jaccard, not
+       containment (a short doc inside a long one agrees on few signature
+       slots), so banding would lose exactly the asymmetric pairs the
+       measure exists to find. The df-cap bounds every Σ df² term at
+       df_cap² instead; recall cost documented on
+       ``ngram_jaccard_pairs_dfcap``.
 
     The persisted stats-pass table is handed to the chosen strategy so the
     corpus is shingled once, not three times; it is unpersisted before
@@ -423,7 +482,7 @@ def ngram_jaccard_pairs_auto(
             if stats is not None:
                 stats.update(decision)
             return ngram_jaccard_pairs_dense(
-                docs, threshold, n, text_col, id_col, shingles=sh
+                docs, threshold, n, text_col, id_col, shingles=sh, measure=measure
             )
         join_rows = (
             ex.groupBy("s")
@@ -437,7 +496,15 @@ def ngram_jaccard_pairs_auto(
             if stats is not None:
                 stats.update(decision)
             return ngram_jaccard_pairs(
-                docs, threshold, n, text_col, id_col, shingles=sh
+                docs, threshold, n, text_col, id_col, shingles=sh, measure=measure
+            )
+        if measure == "containment":
+            decision["strategy"] = "dfcap"
+            if stats is not None:
+                stats.update(decision)
+            return ngram_jaccard_pairs_dfcap(
+                docs, threshold, n=n, text_col=text_col, id_col=id_col,
+                measure=measure,
             )
         decision["strategy"] = "minhash_lsh"
         if stats is not None:

@@ -468,36 +468,22 @@ def dedup_embedding_cosine(spark, sf_dir):
     "0.8) — the asymmetric relation Jaccard misses: a short document "
     "embedded in a longer one (quoting, boilerplate wrapping, "
     "truncation) can have Jaccard ~0.2 while containment ~1.0; corpus "
-    "curation drops or strips the contained copy. Same inverted-index "
-    "self-join cost shape as dedup_ngram_jaccard (Σdf² bounded by the "
-    "df-cap variant / LSH routing at scale); only the threshold algebra "
-    "differs — engine-stable floor rounding on the reported ratio.",
+    "curation drops or strips the contained copy. Routed through the "
+    "SAME cost-based selector as dedup_ngram_jaccard "
+    "(operators/dedup.py:ngram_jaccard_pairs_auto with "
+    "measure='containment'): dense broadcast-bitmap matmul while "
+    "docs×vocab is broadcast-sized, shingle inverted index while Σdf² "
+    "is bounded, df-capped inverted index above that (MinHash bands "
+    "estimate Jaccard, not containment, so the df-cap — not LSH — is "
+    "the 100 TB lever here; recall tradeoff on ngram_jaccard_pairs_"
+    "dfcap). Shingles come from the shared _shingle_table helper, so "
+    "the bigram definition cannot drift from the Jaccard family. "
+    "Engine-stable floor rounding on the reported ratio.",
     tags=("dedup", "ngram", "containment"),
 )
 def dedup_containment_pairs(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        F.col("doc_id").alias("doc"), D.word_ngrams(F.col("text"), 2).alias("bg")
-    )
-    sizes = sh.filter(F.size("bg") > 0).select("doc", F.size("bg").alias("n"))
-    ex = sh.select("doc", F.explode("bg").alias("s"))
-    inter = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
-    )
-    cont = F.col("i").cast("double") / F.least(F.col("na"), F.col("nb"))
-    return (
-        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .filter(cont >= 0.8)
-        .select(
-            "doc_a", "doc_b",
-            (F.floor(cont * 1e4 + 0.5) / 1e4).alias("containment"),
-        )
+    return D.ngram_jaccard_pairs_auto(
+        _docs(spark, sf_dir), threshold=0.8, n=2, measure="containment"
     )
 
 

@@ -465,6 +465,52 @@ def test_containment_dominates_jaccard_and_finds_subsets(spark):
     assert not jac, jac  # Jaccard at 0.5 misses the embedded copy
 
 
+def test_containment_auto_selector_routes_and_strategies_agree(
+    spark, sf_dir, monkeypatch
+):
+    """X85 scale-killer regression pin (VERDICT r7 item 1): containment
+    pair generation must ride the SAME cost-based selector as Jaccard —
+    dense and inverted produce bit-identical results, and above the
+    inverted budget the route is the df-CAPPED index (bounded Σdf²), never
+    the uncapped self-join and never MinHash (whose bands estimate
+    Jaccard, not containment)."""
+    docs = _docs(spark, sf_dir)
+
+    stats: dict = {}
+    dense = sorted(
+        (r.doc_a, r.doc_b, r.containment)
+        for r in D.ngram_jaccard_pairs_auto(
+            docs, threshold=0.8, measure="containment", stats=stats
+        ).collect()
+    )
+    assert stats["strategy"] == "dense"
+    assert dense, "fixture corpus produced no containment pairs"
+
+    monkeypatch.setattr(D, "_DENSE_MAX_CELLS", 0)
+    stats = {}
+    inverted = sorted(
+        (r.doc_a, r.doc_b, r.containment)
+        for r in D.ngram_jaccard_pairs_auto(
+            docs, threshold=0.8, measure="containment", stats=stats
+        ).collect()
+    )
+    assert stats["strategy"] == "inverted"
+    assert inverted == dense
+
+    monkeypatch.setattr(D, "_INVERTED_MAX_ROWS", 0)
+    stats = {}
+    capped = D.ngram_jaccard_pairs_auto(
+        docs, threshold=0.8, measure="containment", stats=stats
+    )
+    assert stats["strategy"] == "dfcap"
+    got = sorted(
+        (r.doc_a, r.doc_b, r.containment) for r in capped.collect()
+    )
+    # df-cap drops hot shingles (recall tradeoff) but keeps the measure
+    # exact over the capped space: every value in [threshold, 1].
+    assert all(0.8 <= c <= 1.0 for _, _, c in got)
+
+
 def test_simhash_hamming_pairs_cover_exact_dups(spark, sf_dir):
     """Exact duplicates share a fingerprint → they MUST appear as
     hamming-0 pairs (banding recall is exact at distance 0), and every
