@@ -916,6 +916,110 @@ def simhash_fingerprints(
     return docs.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup PAIRS at Hamming distance ≤ ``max_hamming`` (≤ 3
+    with the default 4-band geometry) — X86, the relation form of the
+    original Google web-dedup system.
+
+    Pigeonhole banding: 4 disjoint 16-bit slices of the 64-bit
+    fingerprint; any pair within Hamming 3 agrees exactly on ≥ 1 band, so
+    candidates come from 4 short (band, value) shuffles — never all-pairs
+    — and the exact popcount verify runs on candidates only.
+
+    **Fingerprint canonicalization first** (the minhash_lsh_pairs
+    pattern, ADVICE r7): m exact copies of one template share the SAME
+    fingerprint, hence all 4 (band, bval) keys — banding raw docs pushes
+    4·C(m,2) join rows through one reduce key before the distinct. So the
+    band self-join runs over one representative per DISTINCT fingerprint;
+    identical-fingerprint (Hamming-0) pairs are reconstructed by a
+    self-join of the pre-group (doc, fp) rows on the fingerprint digest —
+    spread across all scan map tasks, so AQE's skew split can cut the hot
+    fingerprint's C(m,2) expansion at map-output boundaries (the
+    members-array explode could never split; see the minhash within-group
+    comment). Cross-group pairs expand representative pairs over group
+    members through two fingerprint-keyed joins.
+
+    The fingerprint table is localCheckpoint'ed once: the Arrow-batched
+    SimHash UDF scan is the dominant cost and feeds three consumers
+    (rep table, both within-join sides); without the checkpoint a
+    self-join recomputes the scan per side (self-joins get no
+    ReuseExchange under AQE — NOTES.md round-2 lesson 4).
+
+    Arithmetic-shift + mask band extraction and two's-complement popcount
+    are engine-identical, so the DuckDB oracle replays the relation
+    exactly (plans/dedup.py:dedup_simhash_hamming).
+    """
+    fps = simhash_fingerprints(docs, text_col, id_col).localCheckpoint()
+    reps = fps.groupBy("simhash").agg(F.min(id_col).alias("rep"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", 16 * b)
+                .bitwiseAND(F.lit(65535))
+                .alias("bval"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = reps.select(
+        "rep", "simhash", F.explode(band_structs).alias("bv")
+    ).select(
+        "rep", "simhash",
+        F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"),
+    )
+    a = bands.select(
+        F.col("rep").alias("rep_a"), F.col("simhash").alias("fa"), "band", "bval"
+    )
+    c = bands.select(
+        F.col("rep").alias("rep_b"), F.col("simhash").alias("fb"),
+        F.col("band").alias("band_c"), F.col("bval").alias("bval_c"),
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    rep_pairs = (
+        a.join(
+            c,
+            (F.col("band") == F.col("band_c"))
+            & (F.col("bval") == F.col("bval_c"))
+            & (F.col("rep_a") < F.col("rep_b")),
+        )
+        .select("rep_a", "rep_b", "fa", "fb")
+        .distinct()
+        .filter(ham <= max_hamming)
+        .select("rep_a", "rep_b", ham.cast("bigint").alias("hamming"))
+    )
+    mem = fps.join(reps, "simhash").select(
+        "rep", F.col(id_col).alias("m")
+    )
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("rep_a"), F.col("m").alias("ma")),
+            "rep_a",
+        )
+        .join(
+            mem.select(F.col("rep").alias("rep_b"), F.col("m").alias("mb")),
+            "rep_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    within = (
+        fps.select("simhash", F.col(id_col).alias("doc_a"))
+        .join(fps.select("simhash", F.col(id_col).alias("doc_b")), "simhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("bigint").alias("hamming"))
+    )
+    return cross.union(within)
+
+
 #: Edge-count budget below which components are solved by a driver-side
 #: union-find instead of the distributed loop. 1 M edges ≈ 16 MB of ids —
 #: the same bounded-driver-work posture as ``_DENSE_MAX_CELLS``: a near-dup

@@ -540,50 +540,18 @@ def dedup_containment_pairs(spark, sf_dir):
     "disjoint 16-bit slices of the fingerprint; any pair within "
     "Hamming 3 agrees exactly on >= 1 band, so candidates come from 4 "
     "short (band, value) shuffles — never all-pairs — and the exact "
-    "popcount verify runs on candidates only. Arithmetic-shift + mask "
-    "band extraction and two's-complement popcount are engine-identical "
-    "(both engines arithmetic-shift int64; the 16-bit mask erases "
-    "sign-fill). At 100 TB the band tables are the partition keys; "
-    "re-rank/verify stays candidate-bounded exactly like MinHash-LSH.",
+    "popcount verify runs on candidates only. Fingerprint "
+    "canonicalization before banding (ADVICE r7): the band self-join "
+    "sees one representative per DISTINCT fingerprint, so m template "
+    "copies cannot push 4·C(m,2) rows through one reduce key; "
+    "Hamming-0 pairs come from a skew-splittable pre-group self-join "
+    "(operators/dedup.py:simhash_hamming_pairs). Arithmetic-shift + "
+    "mask band extraction and two's-complement popcount are "
+    "engine-identical (both engines arithmetic-shift int64; the 16-bit "
+    "mask erases sign-fill). At 100 TB the band tables are the "
+    "partition keys; re-rank/verify stays candidate-bounded exactly "
+    "like MinHash-LSH.",
     tags=("dedup", "simhash", "pairs"),
 )
 def dedup_simhash_hamming(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    fps = D.simhash_fingerprints(_docs(spark, sf_dir))
-    bands = fps.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright("simhash", 16 * b)
-                    .bitwiseAND(F.lit(65535))
-                    .alias("bval"),
-                )
-                for b in range(4)
-            ])
-        ).alias("bv"),
-    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"), "band", "bval"
-    )
-    c = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb"),
-        F.col("band").alias("band_c"), F.col("bval").alias("bval_c"),
-    )
-    cand = (
-        a.join(
-            c,
-            (F.col("band") == F.col("band_c"))
-            & (F.col("bval") == F.col("bval_c"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "fa", "doc_b", "fb")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
-    return cand.filter(ham <= 3).select(
-        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
-    )
+    return D.simhash_hamming_pairs(_docs(spark, sf_dir), max_hamming=3)

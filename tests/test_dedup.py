@@ -534,3 +534,63 @@ def test_simhash_hamming_pairs_cover_exact_dups(spark, sf_dir):
             members = sorted(members)
             for m in members[1:]:
                 assert got.get((members[0], m)) == 0, (members[0], m)
+
+
+def test_simhash_hamming_hot_template_canonicalization(spark):
+    """ADVICE r7: m copies of one template share all 4 (band, bval) keys —
+    banding raw docs pushes 4·C(m,2) rows through one reduce key. The
+    canonicalized pipeline must (a) produce exactly the C(m,2) hamming-0
+    pairs plus near-template cross pairs, (b) generate the hot group's
+    pairs from MULTIPLE tasks (pre-group self-join, skew-splittable at
+    map-output boundaries — the minhash within-group property)."""
+    skew_conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in skew_conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        m, d = 1200, 40
+        template = " ".join(f"tpl{j}" for j in range(40))
+        rows = [(i, template) for i in range(m)]
+        # near-copy of the template (one token flipped → small hamming;
+        # may or may not land within 3 — covered by the >= comparison)
+        rows.append((m, template.replace("tpl0", "tplX")))
+        rows += [
+            (m + 1 + i, " ".join(f"d{i}w{j}" for j in range(40)))
+            for i in range(d)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = D.simhash_hamming_pairs(docs, max_hamming=3)
+        q = (
+            pairs.filter(F.col("hamming") == 0)
+            .select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+        )
+        per_task = [r["count"] for r in q.collect()]
+        assert sum(per_task) == m * (m - 1) // 2, per_task
+        assert len(per_task) >= 2, "hamming-0 expansion ran in ONE task"
+        assert max(per_task) < sum(per_task), per_task
+        # every reported pair respects the bound, and cross pairs (if the
+        # near-copy landed within 3) expand over ALL template members
+        all_rows = pairs.collect()
+        assert all(r.hamming <= 3 for r in all_rows)
+        cross = [r for r in all_rows if r.hamming > 0]
+        if cross:
+            assert len(cross) == m  # near-copy pairs with every template copy
+            assert {r.doc_b for r in cross} == {m}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
