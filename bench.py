@@ -116,12 +116,17 @@ def main() -> int:
 
     # stable33 is THE cross-round comparator, but a single pass carries
     # ±15-30% host noise (BASELINE.md rounds 4-6). Run the stable prefix
-    # two more times and report the MEDIAN pass total plus the spread —
-    # three interleaved totals bound the noise without tripling the whole
-    # bench.
+    # THREE times back-to-back after the registry completes and take the
+    # median — all three passes now share one cache/codegen regime
+    # (ADVICE r7: the old form mixed the interleaved in-registry pass,
+    # measured under codegen-cache pressure, with two post-registry
+    # passes — the median usually picked a clean pass, making the series
+    # incomparable across rounds). The interleaved total is still
+    # reported separately as stable33_interleaved for continuity.
     stable = HEADLINE[:N_STABLE]
-    stable_passes = [round(sum(timings[k] for k in stable), 3)]
-    for _ in range(2):
+    stable_interleaved = round(sum(timings[k] for k in stable), 3)
+    stable_passes = []
+    for _ in range(3):
         t_pass = 0.0
         for name in stable:
             t0 = time.perf_counter()
@@ -142,6 +147,7 @@ def main() -> int:
         "cold_total": round(sum(cold.values()), 3),
         "cold_queries": cold,
         "stable33_runs": stable_passes,
+        "stable33_interleaved": stable_interleaved,
         "sf": sf,
         "cpus": cpus,
     }
@@ -153,8 +159,9 @@ def main() -> int:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "stable33_total": stable_median,  # median of 3 interleaved passes
+        "stable33_total": stable_median,  # median of 3 same-regime passes
         "stable33_runs": stable_passes,
+        "stable33_interleaved": stable_interleaved,
         "queries": {k: timings[k] for k in curated if k in timings},
         "n_queries": len(timings),
         "sf": sf,

@@ -122,10 +122,12 @@ def _compare_bounded(q, sf_dir: str, s_cols: list[str], s_rows: list[tuple]) -> 
             else:  # relative error vs the exact value (+ absolute slack)
                 sv, dv = float(sv), float(dv)
                 # A ("rel", tol) bound with no absolute term degenerates to
-                # exact equality when the exact value is ~0 — any sketch
-                # noise would false-fail. Default a tiny absolute slack so
-                # zero-valued exact columns keep a meaningful tolerance.
-                if not rest:
+                # exact equality when the exact value IS 0 — any sketch
+                # noise would false-fail. Default a tiny absolute slack for
+                # that degenerate case ONLY (ADVICE r7: a blanket fallback
+                # silently loosened every two-element rel contract by 1e-9;
+                # nonzero contracts keep their declared tolerance).
+                if not rest and dv == 0.0:
                     atol = 1e-9
                 if abs(sv - dv) > tol * abs(dv) + atol:
                     violations.append((k, col, sv, dv))

@@ -365,10 +365,16 @@ def user_ltv_deciles(spark, sf_dir):
     "form shuffled 4M materialized array-pairs at sf1 and cost 18 s; "
     "this one is 1.4 s — the flops floor is inherent, the constant "
     "wasn't). Cosines are floor-rounded to 6 dp before the argmax and "
-    "centroids ordered by label, so the first-max tie-break reproduces "
-    "the oracle's ORDER BY cs DESC, c_label exactly. At extreme label "
-    "counts the matrix shards into label blocks (block GEMM + running "
-    "max), still no shuffle.",
+    "centroids ordered by label, so the first-max tie-break mirrors the "
+    "oracle's ORDER BY cs DESC, c_label. Caveat (ADVICE r7): the GEMM's "
+    "blocked/FMA accumulation and DuckDB's sequential element sum can "
+    "differ in the last ulp, so the 6-dp floor REDUCES but does not "
+    "eliminate argmax flips at an exact .5e-6 boundary — green at every "
+    "tested sf, kept on the scale-gate watch list. Assumes nonzero "
+    "vector/centroid norms (zero-norm cosine is undefined in both "
+    "engines); empty embeddings short-circuit to an empty result. At "
+    "extreme label counts the matrix shards into label blocks (block "
+    "GEMM + running max), still no shuffle.",
     tags=("embeddings", "classification", "quality", "pipeline"),
 )
 def nearest_centroid_confusion(spark, sf_dir):
@@ -390,6 +396,12 @@ def nearest_centroid_confusion(spark, sf_dir):
     cent_rows = sorted(
         label_centroid_arrays(emb).collect(), key=lambda r: r["label"]
     )
+    if not cent_rows:
+        # Empty embeddings table: V @ C.T on a 0-row matrix would raise in
+        # the kernel; the correct confusion matrix is simply empty.
+        return spark.createDataFrame(
+            [], "label int, assigned_label int, n_vecs bigint"
+        )
     C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     cl = np.array([r["label"] for r in cent_rows], dtype=np.int64)
     nc = np.sqrt((C * C).sum(axis=1))
