@@ -150,6 +150,122 @@ def _full_path_leg(seconds: float = 60.0, n_pub: int = 4):
     return (seq1 - seq0) / (t1 - t0), seq1 - seq0, t1 - t0
 
 
+def _latency_leg(
+    seconds: float = 20.0, rate_hz: float = 50.0, trigger: str = "100 milliseconds"
+) -> dict:
+    """Publish→sink latency distribution on the full bridge path.
+
+    The reference's only latency statement is its integration-test bound —
+    10 messages visible at the sink within ≤2.5 s of polling
+    (``EMQXSourceIntegrationTest.java:166``) under a 500 ms checkpoint
+    interval. This leg measures the same end-to-end path for THIS engine:
+    publisher → embedded broker → bridge → spool → 100 ms-trigger
+    micro-batch → foreachBatch sink, with the publish wall-clock embedded
+    in each payload, and reports p50/p99/max over a sustained
+    ``rate_hz`` stream (not a 10-message burst). foreachBatch runs on the
+    driver in local mode, so the sink timestamp is taken in-process right
+    after the batch's rows are collected.
+    """
+    from pyspark.sql import SparkSession
+
+    from flink_emqx_connector_spark.sources import register_emqx_source
+    from flink_emqx_connector_spark.sources.bridge import MqttSpoolBridge
+    from flink_emqx_connector_spark.sources.mqtt_wire import (
+        CallbackAPIVersion,
+        Client,
+        EmbeddedBroker,
+        MQTTv5,
+    )
+
+    broker = EmbeddedBroker().start()
+    spool = tempfile.mkdtemp(prefix="bench-lat-")
+    MqttSpoolBridge(
+        "127.0.0.1", broker.port, "t/#", "glat", "lat", spool, qos=1, members=1
+    )
+    time.sleep(0.5)
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("bench-streaming")
+        .getOrCreate()
+    )
+    register_emqx_source(spark)
+    samples: list[tuple[float, float]] = []  # (publish_ts, latency)
+
+    def sink(df, _bid):
+        rows = df.select("payload").collect()
+        now = time.time()
+        samples.extend(
+            (ts, now - ts) for ts in (float(bytes(r.payload)) for r in rows)
+        )
+
+    q = (
+        spark.readStream.format("emqx")
+        .option("transport", "spool")
+        .option("spool_dir", spool)
+        .option("partitions", "1")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .trigger(processingTime=trigger)
+        .start()
+    )
+
+    stop = threading.Event()
+    n_sent = [0]
+
+    def pub_thread():
+        cli = Client(CallbackAPIVersion.VERSION2, client_id="latpub", protocol=MQTTv5)
+        cli.connect("127.0.0.1", broker.port)
+        cli.loop_start()
+        period = 1.0 / rate_hz
+        nxt = time.time()
+        while not stop.is_set():
+            cli.publish("t/0", b"%.6f" % time.time(), qos=1)
+            n_sent[0] += 1
+            nxt += period
+            delay = nxt - time.time()
+            if delay > 0:
+                time.sleep(delay)
+        cli.disconnect()
+
+    th = threading.Thread(target=pub_thread)
+    # let the empty-batch cycle settle (session/python-worker spin-up)
+    time.sleep(3.0)
+    th.start()
+    pub_start = time.time()
+    time.sleep(seconds)
+    stop.set()
+    th.join(timeout=30)
+    # drain what's already spooled, then stop
+    deadline = time.time() + 15
+    while len(samples) < n_sent[0] and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    broker.stop()
+    # The first data-carrying micro-batches pay one-time streaming-plan
+    # codegen + Arrow worker startup; the reference's 2.5 s bound is about
+    # steady-state delivery, so the first 5 s of published messages are a
+    # documented warmup window, excluded from the distribution.
+    warm = pub_start + 5.0
+    lat = sorted(l for ts, l in samples if ts >= warm)
+
+    def pct(p: float) -> float:
+        return lat[min(int(p * len(lat)), len(lat) - 1)] if lat else float("nan")
+
+    return {
+        "n": len(lat),
+        "n_delivered": len(samples),
+        "n_sent": n_sent[0],
+        "p50_ms": round(pct(0.50) * 1000, 1),
+        "p99_ms": round(pct(0.99) * 1000, 1),
+        "max_ms": round(lat[-1] * 1000, 1) if lat else float("nan"),
+        "trigger": trigger,
+        "rate_hz": rate_hz,
+    }
+
+
 def _cell(seconds: float) -> None:
     """One self-contained broker+bridge+publishers stack (= one host of
     the multi-bridge scale-out posture), run to completion in THIS
@@ -210,8 +326,13 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--cell":
         _cell(float(sys.argv[2]) if len(sys.argv) > 2 else 20.0)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--latency":
+        secs = float(sys.argv[2]) if len(sys.argv) > 2 else 20.0
+        print(json.dumps({"metric": "streaming_latency", **_latency_leg(secs)}))
+        return
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
     spark_leg = _spark_ingest_leg()
+    latency = _latency_leg(seconds=min(seconds, 20.0))
     full_path, n_msgs, el = _full_path_leg(seconds=seconds)
     # scale-out probe at a shorter window: the numbers that matter are the
     # RATIOS aggregate/single, which stabilize quickly
@@ -228,6 +349,7 @@ def main() -> None:
                 # legacy keys for cross-round comparison
                 "two_bridge_aggregate_msgs_per_sec": round(curve.get(2, 0)),
                 "one_bridge_msgs_per_sec": round(curve.get(1, 0)),
+                "latency": latency,
                 "seconds": round(el, 1),
                 "n_messages": n_msgs,
             }
