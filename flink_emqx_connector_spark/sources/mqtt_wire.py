@@ -159,10 +159,27 @@ def connect_packet(
     return _packet(CONNECT, 0, body)
 
 
-def connack_packet(session_present: bool, reason: int = 0) -> bytes:
+def connack_packet(
+    session_present: bool, reason: int = 0, receive_maximum: int | None = None
+) -> bytes:
+    props = b""
+    if receive_maximum is not None:
+        props += b"\x21" + struct.pack(">H", receive_maximum)
     return _packet(
-        CONNACK, 0, bytes([1 if session_present else 0, reason]) + _varint(0)
+        CONNACK,
+        0,
+        bytes([1 if session_present else 0, reason]) + _varint(len(props)) + props,
     )
+
+
+#: MQTT 5 DISCONNECT reason codes the engine acts on (the ones real EMQX
+#: sends): session taken over / server busy / use another server.
+RC_SESSION_TAKEN_OVER, RC_SERVER_BUSY, RC_USE_ANOTHER_SERVER = 0x8E, 0x89, 0x9C
+
+
+def disconnect_packet(reason: int = 0) -> bytes:
+    """Server/client DISCONNECT with a reason code (MQTT 5 §3.14)."""
+    return _packet(DISCONNECT, 0, bytes([reason]) + _varint(0))
 
 
 def publish_packet(
@@ -473,7 +490,17 @@ class EmbeddedBroker:
                 self.sessions[clientid] = _Session(clientid)
             session = self.sessions[clientid]
             if session.conn is not None and session.conn is not conn:
-                # session takeover (EMQX closes the old connection)
+                # session takeover: real EMQX sends DISCONNECT (0x8E
+                # Session taken over) to the OLD connection before
+                # closing it — validated scenario in
+                # tests/test_real_broker_traces.py; a client that
+                # blindly reconnects after 0x8E causes the takeover
+                # ping-pong storm (measured 34x duplicate delivery in
+                # round 2).
+                try:
+                    session.conn.send(disconnect_packet(RC_SESSION_TAKEN_OVER))
+                except OSError:
+                    pass
                 _hard_close(session.conn.sock)
             session.conn = conn
             conn.session = session
@@ -674,6 +701,15 @@ class Client:
         self._manual_ack = manual_ack
         self.on_connect = None
         self.on_message = None
+        self.on_disconnect = None  # (client, userdata, flags, reason, props)
+        # MQTT-3.3.4-9 send quota: the server's CONNACK Receive-Maximum
+        # bounds our un-acked QoS>=1 PUBLISHes. None until a CONNACK
+        # carries the property (the spec default 65535 is effectively
+        # unlimited here). Real EMQX advertises its quota; exceeding it
+        # draws DISCONNECT 0x93 — validated by the trace suite.
+        self._send_quota: int | None = None
+        self._inflight_out = 0
+        self._quota_cv = threading.Condition()
         self._sock: socket.socket | None = None
         self._host = ""
         self._port = 0
@@ -755,13 +791,34 @@ class Client:
         uprops = getattr(properties, "UserProperty", None) or []
         ev = threading.Event()
         if qos:
+            # MQTT-3.3.4-9: block while un-acked QoS>=1 publishes sit at
+            # the server's advertised Receive-Maximum (quota released on
+            # PUBACK/PUBCOMP, reset on reconnect). Unlimited until a
+            # CONNACK carries the property. NOTE: do not publish QoS>=1
+            # from on_message/on_connect under a tiny quota — the ack
+            # that frees it is read by the same loop thread.
+            with self._quota_cv:
+                while (
+                    self._send_quota is not None
+                    and self._inflight_out >= self._send_quota
+                ):
+                    if not self._quota_cv.wait(timeout=30.0):
+                        raise TimeoutError(
+                            "send quota (server Receive-Maximum "
+                            f"{self._send_quota}) exhausted for 30 s"
+                        )
+                self._inflight_out += 1
             pid = self._next_pid()
             self._pub_events[pid] = ev
-            self._send(
-                publish_packet(
-                    topic, bytes(payload), qos, pid, retain, user_props=uprops
+            try:
+                self._send(
+                    publish_packet(
+                        topic, bytes(payload), qos, pid, retain, user_props=uprops
+                    )
                 )
-            )
+            except BaseException:
+                self._release_quota()
+                raise
         else:
             self._send(
                 publish_packet(
@@ -884,6 +941,13 @@ class Client:
     def _dispatch_packet(self, ptype: int, flags: int, body: bytes) -> None:
         if ptype == CONNACK:
             session_present = bool(body[0] & 0x01)
+            props, _ = _parse_props(body, 2)
+            with self._quota_cv:
+                # fresh connection → fresh quota (the old connection's
+                # un-acked publishes can never be acked now)
+                self._send_quota = props.get(0x21)  # Receive-Maximum
+                self._inflight_out = 0
+                self._quota_cv.notify_all()
             if self.on_connect is not None:
                 self._safe_callback(
                     self.on_connect, self, None, _Flags(session_present), 0, None
@@ -917,8 +981,10 @@ class Client:
             ev = self._pub_events.pop(pid, None)
             if ev is not None:
                 ev.set()
+            self._release_quota()
         elif ptype == PUBREC:
-            # broker took our QoS 2 publish: release it
+            # broker took our QoS 2 publish: release it (the send quota
+            # stays held until PUBCOMP per MQTT-4.9)
             (pid,) = struct.unpack_from(">H", body, 0)
             self._send(pubrel_packet(pid))
         elif ptype == PUBCOMP:
@@ -926,6 +992,7 @@ class Client:
             ev = self._pub_events.pop(pid, None)
             if ev is not None:
                 ev.set()
+            self._release_quota()
         elif ptype == PUBREL:
             # broker finishing an inbound QoS 2 handshake we PUBREC'd;
             # the mid leaves the dedup window — the broker may now
@@ -933,4 +1000,30 @@ class Client:
             (pid,) = struct.unpack_from(">H", body, 0)
             self._rx_qos2.discard(pid)
             self._send(pubcomp_packet(pid))
+        elif ptype == DISCONNECT:
+            # Server-initiated DISCONNECT (real EMQX sends these with a
+            # reason code before closing). Surface the reason, then:
+            #  - 0x8E Session taken over: ANOTHER connection owns this
+            #    clientid now — reconnecting would take it back and
+            #    ping-pong (round-2's measured 34× duplicate storm), so
+            #    the reconnect loop STOPS. This deliberately diverges
+            #    from stock paho (which blindly reconnects); the paho
+            #    transport applies the same policy via on_disconnect.
+            #  - anything else (server busy 0x89, use another server
+            #    0x9C, ...): transient per EMQX semantics — tear down and
+            #    let the loop reconnect with backoff.
+            reason = body[0] if body else 0
+            if self.on_disconnect is not None:
+                self._safe_callback(
+                    self.on_disconnect, self, None, None, reason, None
+                )
+            if reason == RC_SESSION_TAKEN_OVER:
+                self._running = False
+            raise ConnectionError(f"server DISCONNECT reason=0x{reason:02x}")
         # PINGRESP / SUBACK need no action
+
+    def _release_quota(self) -> None:
+        with self._quota_cv:
+            if self._inflight_out > 0:
+                self._inflight_out -= 1
+            self._quota_cv.notify_all()

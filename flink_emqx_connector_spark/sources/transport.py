@@ -491,6 +491,7 @@ class PahoTransport:
         )
         self.queue: queue.Queue = queue.Queue(maxsize=self.max_inflight)
         self.dropped = 0  # overflow drops awaiting broker redelivery
+        self.superseded = False  # session taken over (DISCONNECT 0x8E)
         self.seq = 0
         # batch_id → [mqtt messages awaiting ack] (ST2: snapshot-stamped acks)
         self.pending: dict[int, list] = {}
@@ -533,8 +534,22 @@ class PahoTransport:
             except _q.Full:
                 self.dropped += 1
 
+        def on_disconnect(client, userdata, flags, reason, properties=None):
+            # Real EMQX announces session takeover with DISCONNECT 0x8E
+            # before closing. Stock paho blindly reconnects, which takes
+            # the session BACK and ping-pongs — round 2 measured a 34×
+            # duplicate storm from exactly this loop. Policy (both legs:
+            # real paho and the embedded double apply it): cede the
+            # clientid — another reader instance owns it now; this
+            # reader's un-acked messages redeliver to the new owner.
+            code = getattr(reason, "value", reason)
+            if code == 0x8E:
+                self.superseded = True
+                client.disconnect()
+
         cli.on_connect = on_connect
         cli.on_message = on_message
+        cli.on_disconnect = on_disconnect
         cli.reconnect_delay_set(min_delay=1, max_delay=10)
         try:
             cli.connect(host, port, clean_start=False, properties=props, keepalive=30)
