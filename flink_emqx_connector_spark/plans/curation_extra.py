@@ -543,3 +543,66 @@ def dedup_pipeline_report(spark, sf_dir):
         " AS (metric, dim, value)"
     )
     return m_pairs.unionAll(m_comps).unionAll(m_keep).unionAll(m_split).unionAll(m_tri)
+
+
+@register(
+    "dedup_graph_walk_centrality",
+    # 3 unrolled integer power-iteration rounds over the doubled edge
+    # list: h0 = 1, h_{k+1}(v) = Σ_{u∈nbr(v)} h_k(u). All-integer, so
+    # cross-engine parity is exact by construction (no FP summation-order
+    # hazard — the reason this is walk counting, not damped PageRank).
+    oracle=_CLOSURE.replace("comps AS (", "_unused AS (")
+    + """
+    , deg AS (SELECT a AS doc, CAST(count(*) AS BIGINT) AS degree
+              FROM edges GROUP BY 1),
+    h1 AS (SELECT a AS doc, CAST(count(*) AS BIGINT) AS w FROM edges GROUP BY 1),
+    h2 AS (SELECT e.a AS doc, CAST(sum(h1.w) AS BIGINT) AS w
+           FROM edges e JOIN h1 ON h1.doc = e.b GROUP BY 1),
+    h3 AS (SELECT e.a AS doc, CAST(sum(h2.w) AS BIGINT) AS w
+           FROM edges e JOIN h2 ON h2.doc = e.b GROUP BY 1)
+    SELECT h3.doc, h3.w AS walks3, deg.degree
+    FROM h3 JOIN deg ON deg.doc = h3.doc
+    ORDER BY walks3 DESC, doc LIMIT 20
+    """,
+    doc="X87: duplicate-graph HUB census — top-20 documents by 3-step "
+    "walk count (unnormalized eigenvector-centrality power iteration) "
+    "over the near-dup graph. Template/boilerplate families show up as "
+    "walk-count hubs orders of magnitude above chain-shaped borderline "
+    "overlap, which tells a curation run WHICH documents to strip "
+    "rather than drop. Deliberately integer walk counting instead of "
+    "damped PageRank: every round is a sum of exact int64s, so Spark "
+    "and the SQL oracle agree bit-for-bit with no FP summation-order "
+    "hazard (the X66 GEMM-ulp caveat cannot arise). Scale shape: the "
+    "checkpointed edge list is the only join input (the corpus is "
+    "never touched after pair-gen); each round is one edges⋈labels "
+    "shuffle reusing the same partitioning — the connected-components "
+    "loop's cost model with a fixed 3-round bound; top-k is "
+    "TakeOrdered, never a global sort.",
+    tags=("pipeline", "dedup", "graph", "iterative"),
+)
+def dedup_graph_walk_centrality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        D.ngram_jaccard_pairs_auto(docs, threshold=0.5, n=2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # pair-gen runs once; 3 rounds + degree reuse it
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    # h1 = degree (h0 = 1); two more integer label-propagation rounds
+    h = edges.groupBy("a").agg(F.count("*").alias("w"))
+    deg = h.select(F.col("a").alias("doc"), F.col("w").cast("bigint").alias("degree"))
+    for _ in range(2):
+        h = (
+            edges.join(h.select(F.col("a").alias("b"), "w"), "b")
+            .groupBy("a")
+            .agg(F.sum("w").alias("w"))
+        )
+    ranked = (
+        h.select(F.col("a").alias("doc"), F.col("w").cast("bigint").alias("walks3"))
+        .join(deg, "doc")
+        .orderBy(F.col("walks3").desc(), F.col("doc"))
+        .limit(20)
+    )
+    return ranked
