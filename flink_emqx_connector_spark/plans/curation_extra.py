@@ -560,9 +560,9 @@ def dedup_pipeline_report(spark, sf_dir):
            FROM edges e JOIN h1 ON h1.doc = e.b GROUP BY 1),
     h3 AS (SELECT e.a AS doc, CAST(sum(h2.w) AS BIGINT) AS w
            FROM edges e JOIN h2 ON h2.doc = e.b GROUP BY 1)
-    SELECT h3.doc, h3.w AS walks3, deg.degree
+    SELECT h3.doc AS doc, h3.w AS walks3, deg.degree
     FROM h3 JOIN deg ON deg.doc = h3.doc
-    ORDER BY walks3 DESC, doc LIMIT 20
+    ORDER BY walks3 DESC, h3.doc LIMIT 20
     """,
     doc="X87: duplicate-graph HUB census — top-20 documents by 3-step "
     "walk count (unnormalized eigenvector-centrality power iteration) "
