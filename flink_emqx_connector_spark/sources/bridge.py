@@ -43,6 +43,11 @@ class MqttSpoolBridge:
     """N manual-ack shared-subscription clients draining a broker into a
     spool directory; acks follow the durable append."""
 
+    #: Watchdog poll period (seconds). A respawn is driven by broker
+    #: session resume, so a couple of seconds of detection latency only
+    #: delays redelivery, never loses it.
+    WATCHDOG_INTERVAL = 2.0
+
     def __init__(
         self,
         host: str,
@@ -57,50 +62,104 @@ class MqttSpoolBridge:
         self.spool_dir = spool_dir
         self._lock = threading.Lock()
         self._pub = SpoolPublisher(spool_dir)
-        self._clients = []
+        self._host, self._port, self._qos = host, port, qos
+        self._clientid = clientid
+        self._sub_topic = (
+            f"$share/{group}/{topic_filter}" if group else topic_filter
+        )
+        self._stopped = threading.Event()
+        self.respawns = 0
+        self._clients = [self._spawn_member(i) for i in range(members)]
+        # Member supervision — the dynamic-rebalancing leg BOTH the
+        # reference and the pre-round-8 engine lacked (the reference's
+        # EMQXSplitEnumerator.addSplitsBack is a no-op stub,
+        # EMQXSplitEnumerator.java:37-47): if a member's network loop
+        # thread dies for any reason OTHER than session takeover, its
+        # clientid's share of the shared subscription would go unserved
+        # until session expiry. The watchdog respawns the member with
+        # the SAME clientid and clean_start=False, so broker session
+        # resume redelivers everything un-acked — no coordination needed
+        # beyond the clientid itself. Takeover-superseded members are
+        # deliberately NOT respawned: a new owner holds the clientid and
+        # a respawn would ping-pong the takeover (the round-2 storm).
+        self._watchdog = threading.Thread(target=self._watch, daemon=True)
+        self._watchdog.start()
+
+    def _spawn_member(self, i: int):
         mqtt, PacketTypes, Properties = _load_mqtt()
-        sub_topic = f"$share/{group}/{topic_filter}" if group else topic_filter
-        for i in range(members):
-            cli = mqtt.Client(
-                mqtt.CallbackAPIVersion.VERSION2,
-                client_id=f"{clientid}-bridge-{i}",
-                protocol=mqtt.MQTTv5,
-                manual_ack=True,
-            )
-            props = Properties(PacketTypes.CONNECT)
-            props.SessionExpiryInterval = 300
+        cli = mqtt.Client(
+            mqtt.CallbackAPIVersion.VERSION2,
+            client_id=f"{self._clientid}-bridge-{i}",
+            protocol=mqtt.MQTTv5,
+            manual_ack=True,
+        )
+        props = Properties(PacketTypes.CONNECT)
+        props.SessionExpiryInterval = 300
 
-            def on_connect(client, userdata, flags, reason, properties=None):
-                if not flags.session_present:
-                    client.subscribe(sub_topic, qos=qos)
+        def on_connect(client, userdata, flags, reason, properties=None):
+            if not flags.session_present:
+                client.subscribe(self._sub_topic, qos=self._qos)
 
-            def on_message(client, userdata, msg):
-                # ordered (key, value) pairs — duplicate keys preserved
-                # end-to-end (EMQXMessage.java:9 Mqtt5UserProperties parity)
-                props_p = []
-                if getattr(msg, "properties", None) is not None:
-                    props_p = list(getattr(msg.properties, "UserProperty", []) or [])
-                # durable append THEN ack: a crash between the two yields
-                # broker redelivery (duplicate spool row), never loss
-                with self._lock:
-                    self._pub.publish(
-                        msg.topic, bytes(msg.payload), qos=msg.qos, properties=props_p
-                    )
-                client.ack(msg)
-
-            cli.on_connect = on_connect
-            cli.on_message = on_message
-            cli.reconnect_delay_set(min_delay=1, max_delay=10)
-            try:
-                cli.connect(host, port, clean_start=False, properties=props, keepalive=30)
-            except OSError:
-                cli.connect_async(
-                    host, port, clean_start=False, properties=props, keepalive=30
+        def on_message(client, userdata, msg):
+            # ordered (key, value) pairs — duplicate keys preserved
+            # end-to-end (EMQXMessage.java:9 Mqtt5UserProperties parity)
+            props_p = []
+            if getattr(msg, "properties", None) is not None:
+                props_p = list(getattr(msg.properties, "UserProperty", []) or [])
+            # durable append THEN ack: a crash between the two yields
+            # broker redelivery (duplicate spool row), never loss
+            with self._lock:
+                if self._stopped.is_set():
+                    return  # spool closed; leave un-acked → redelivery
+                self._pub.publish(
+                    msg.topic, bytes(msg.payload), qos=msg.qos, properties=props_p
                 )
-            cli.loop_start()
-            self._clients.append(cli)
+            client.ack(msg)
+
+        def on_disconnect(client, userdata, flags, reason, properties=None):
+            # real-paho leg: mark takeover so the watchdog cedes (the
+            # embedded double sets .superseded itself on 0x8E)
+            if getattr(reason, "value", reason) == 0x8E:
+                client.superseded = True
+
+        cli.on_connect = on_connect
+        cli.on_message = on_message
+        cli.on_disconnect = on_disconnect
+        cli.reconnect_delay_set(min_delay=1, max_delay=10)
+        try:
+            cli.connect(
+                self._host, self._port, clean_start=False,
+                properties=props, keepalive=30,
+            )
+        except OSError:
+            cli.connect_async(
+                self._host, self._port, clean_start=False,
+                properties=props, keepalive=30,
+            )
+        cli.loop_start()
+        return cli
+
+    @staticmethod
+    def _member_dead(cli) -> bool:
+        """True when the member's network loop is permanently gone (the
+        auto-reconnect loop covers transient failures internally)."""
+        th = getattr(cli, "_thread", None)
+        return th is not None and not th.is_alive()
+
+    def _watch(self) -> None:
+        while not self._stopped.wait(self.WATCHDOG_INTERVAL):
+            for i, cli in enumerate(self._clients):
+                if self._stopped.is_set():
+                    return
+                if getattr(cli, "superseded", False):
+                    continue  # new owner holds the clientid — cede
+                if self._member_dead(cli):
+                    self.respawns += 1
+                    self._clients[i] = self._spawn_member(i)
 
     def stop(self) -> None:
+        self._stopped.set()
+        self._watchdog.join(timeout=2 * self.WATCHDOG_INTERVAL + 1)
         for cli in self._clients:
             try:
                 cli.disconnect()

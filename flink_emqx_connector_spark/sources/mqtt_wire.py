@@ -702,6 +702,10 @@ class Client:
         self.on_connect = None
         self.on_message = None
         self.on_disconnect = None  # (client, userdata, flags, reason, props)
+        #: True once the server announced session takeover (DISCONNECT
+        #: 0x8E) — the clientid has a NEW owner; supervisors must not
+        #: respawn this client (that would ping-pong the takeover).
+        self.superseded = False
         # MQTT-3.3.4-9 send quota: the server's CONNACK Receive-Maximum
         # bounds our un-acked QoS>=1 PUBLISHes. None until a CONNACK
         # carries the property (the spec default 65535 is effectively
@@ -1018,6 +1022,7 @@ class Client:
                     self.on_disconnect, self, None, None, reason, None
                 )
             if reason == RC_SESSION_TAKEN_OVER:
+                self.superseded = True
                 self._running = False
             raise ConnectionError(f"server DISCONNECT reason=0x{reason:02x}")
         # PINGRESP / SUBACK need no action

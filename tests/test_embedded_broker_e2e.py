@@ -1036,3 +1036,97 @@ def test_bridge_reconnect_replays_backlog_as_one_prefix_aligned_block(tmp_path):
     finally:
         bridge.stop()
         broker.stop()
+
+
+def test_bridge_watchdog_respawns_dead_member():
+    """Dynamic member supervision (the rebalancing leg both the reference
+    and the pre-round-8 engine lacked — EMQXSplitEnumerator.java:37-47
+    stubs): when a member's loop thread dies WITHOUT takeover, the
+    watchdog respawns it under the SAME clientid with clean_start=False,
+    so broker session resume redelivers everything published while the
+    member was down — nothing lost."""
+    from flink_emqx_connector_spark.sources.bridge import MqttSpoolBridge
+    from flink_emqx_connector_spark.sources.transport import SpoolTransport
+
+    broker = EmbeddedBroker().start()
+    import tempfile
+
+    spool = tempfile.mkdtemp(prefix="wdspool-")
+    bridge = MqttSpoolBridge(
+        "127.0.0.1", broker.port, "t/#", group="", clientid="wd",
+        spool_dir=spool, qos=1, members=1,
+    )
+    bridge.WATCHDOG_INTERVAL = 0.3
+    try:
+        cid = "wd-bridge-0"
+        assert _wait(lambda: broker.sessions.get(cid) and broker.sessions[cid].subs)
+        pub = _publisher(broker.port)
+        pub.publish("t/1", b"before", qos=1).wait_for_publish()
+        st = SpoolTransport(spool)
+        assert _wait(lambda: st.latest_seq() == 1)
+
+        # simulated member-loop death (NOT a takeover): loop exits,
+        # socket closes, session + subscription survive at the broker
+        victim = bridge._clients[0]
+        victim._running = False
+        victim._close_sock()
+        assert _wait(lambda: not victim._thread.is_alive())
+
+        # published while the member is dead → queued in the session
+        for i in range(5):
+            pub.publish("t/1", b"down%d" % i, qos=1)
+
+        assert _wait(lambda: bridge.respawns >= 1, timeout=10), "no respawn"
+        # session resume redelivers the queued 5; nothing lost
+        assert _wait(lambda: st.latest_seq() == 6, timeout=15), st.latest_seq()
+        assert bridge._clients[0] is not victim
+        pub.publish("t/1", b"after", qos=1).wait_for_publish()
+        assert _wait(lambda: st.latest_seq() == 7, timeout=10)
+        pub.disconnect()
+    finally:
+        bridge.stop()
+        broker.stop()
+
+
+def test_bridge_watchdog_cedes_after_session_takeover():
+    """The counter-case: a member stopped by DISCONNECT 0x8E (session
+    taken over — a NEW owner holds the clientid) must NOT be respawned;
+    a respawn would take the session back and ping-pong (the round-2
+    34x duplicate storm). The new owner keeps receiving."""
+    from flink_emqx_connector_spark.sources.bridge import MqttSpoolBridge
+
+    broker = EmbeddedBroker().start()
+    import tempfile
+
+    spool = tempfile.mkdtemp(prefix="wdspool2-")
+    bridge = MqttSpoolBridge(
+        "127.0.0.1", broker.port, "t/#", group="", clientid="tk",
+        spool_dir=spool, qos=1, members=1,
+    )
+    bridge.WATCHDOG_INTERVAL = 0.3
+    try:
+        cid = "tk-bridge-0"
+        assert _wait(lambda: broker.sessions.get(cid) and broker.sessions[cid].subs)
+        old = bridge._clients[0]
+
+        # a new owner claims the clientid → broker sends 0x8E to `old`
+        got = []
+        owner = Client(CallbackAPIVersion.VERSION2, client_id=cid, protocol=MQTTv5)
+        owner.on_connect = lambda c, u, f, r, p=None: c.subscribe("t/#", qos=1)
+        owner.on_message = lambda c, u, m: got.append(bytes(m.payload))
+        owner.connect("127.0.0.1", broker.port, clean_start=False)
+        owner.loop_start()
+
+        assert _wait(lambda: getattr(old, "superseded", False), timeout=10)
+        time.sleep(1.2)  # several watchdog periods
+        assert bridge.respawns == 0, "watchdog respawned a superseded member"
+        assert bridge._clients[0] is old
+
+        pub = _publisher(broker.port)
+        pub.publish("t/1", b"to-owner", qos=1).wait_for_publish()
+        assert _wait(lambda: got == [b"to-owner"], timeout=10), got
+        pub.disconnect()
+        owner.loop_stop()
+    finally:
+        bridge.stop()
+        broker.stop()
