@@ -555,3 +555,44 @@ def dedup_containment_pairs(spark, sf_dir):
 )
 def dedup_simhash_hamming(spark, sf_dir):
     return D.simhash_hamming_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+      FROM documents
+    )
+    SELECT md5(ntext) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_raw_variants
+    FROM norm GROUP BY 1
+    """,
+    doc="X91: NORMALIZED exact dedup — case-fold, collapse whitespace "
+    "runs, trim, THEN digest. Real crawled corpora carry trivially "
+    "re-encoded copies (case changes, tab/space/newline drift) that "
+    "byte-exact dedup (X1) misses and near-dup pipelines waste "
+    "candidate budget rediscovering; normalization-first is the "
+    "standard first pass (C4/CCNet shape). n_raw_variants > 1 marks "
+    "groups that ONLY normalization merged. Same 100 TB shape as X1: "
+    "the shuffle carries 16-byte digests, never text — normalization "
+    "is a codegen'd scan projection.",
+    tags=("dedup", "normalize"),
+)
+def dedup_exact_normalized(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.count_distinct("text").cast("bigint").alias("n_raw_variants"),
+        )
+    )

@@ -463,3 +463,46 @@ def merge_upsert_orders(spark, sf_dir):
         .cast("bigint")
         .alias("n_updated"),
     )
+
+
+@register(
+    "scan_jsonl_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(max(o_custkey) AS BIGINT) AS max_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="X90: JSON-lines scan surface — orders written through Spark's "
+    "native JSON sink (one object per line, the interchange format most "
+    "raw training-data drops arrive in) and read back WITH AN EXPLICIT "
+    "SCHEMA, then aggregated; the oracle aggregates the original "
+    "parquet, so the round-trip must be lossless for the projected "
+    "columns (doubles survive via shortest-repr serialization — "
+    "bit-exact on re-parse). Schema-on-read is the load-bearing "
+    "practice: schema inference at 100 TB is a full extra pass and "
+    "type-unstable across shards. Completes the format family "
+    "(parquet/ORC/CSV/Avro/XML + JSONL).",
+    tags=("scan", "json", "formats"),
+)
+def scan_jsonl_roundtrip(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"jsonl_roundtrip_{abs(hash(sf_dir)) % (1 << 30)}"
+    )
+    o.write.mode("overwrite").json(out)
+    return (
+        spark.read.schema(
+            "o_orderkey bigint, o_custkey bigint, "
+            "o_orderstatus string, o_totalprice double"
+        )
+        .json(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.max("o_custkey").cast("bigint").alias("max_cust"),
+        )
+    )

@@ -594,3 +594,45 @@ def test_simhash_hamming_hot_template_canonicalization(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_normalized_dedup_merges_case_and_whitespace_variants(spark, tmp_path):
+    """X91: byte-distinct but normalization-equal texts (case drift,
+    tab/newline/space runs, leading/trailing space) must share one
+    normalized group with n_raw_variants counting the byte-distinct
+    forms; byte-exact dedup must NOT merge them."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from flink_emqx_connector_spark.plans import QUERIES
+
+    rows = [
+        (0, "Hello World foo"),
+        (1, "hello   world foo"),
+        (2, "hello world\tfoo"),
+        (3, " hello world foo "),
+        (4, "hello world foo"),
+        (5, "different text entirely"),
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["s"] * len(rows),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    sf = str(tmp_path)
+    got = {
+        r.keep_id: (r.n_copies, r.n_raw_variants)
+        for r in QUERIES["dedup_exact_normalized"].spark(spark, sf).collect()
+    }
+    # docs 0-4 collapse into ONE normalized group of 5 copies across
+    # 5 byte-distinct raw forms; doc 5 is a singleton
+    assert got == {0: (5, 5), 5: (1, 1)}, got
+    exact = {r.keep_id: r.n_copies for r in D.exact_dedup(
+        spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    ).collect()}
+    assert exact[0] == 1, exact  # byte-exact keeps them apart
