@@ -847,6 +847,11 @@ class Client:
         except (OSError, ConnectionError):
             pass
         self._running = False
+        # wake any publisher blocked on the send quota — no PUBACK will
+        # ever release it now (the alternative is a 30 s timeout stall)
+        with self._quota_cv:
+            self._send_quota = None
+            self._quota_cv.notify_all()
         self._close_sock()
         self._sock = None
 
