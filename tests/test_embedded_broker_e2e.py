@@ -1076,12 +1076,16 @@ def test_bridge_watchdog_respawns_dead_member():
         for i in range(5):
             pub.publish("t/1", b"down%d" % i, qos=1)
 
-        assert _wait(lambda: bridge.respawns >= 1, timeout=10), "no respawn"
+        # generous timeouts: under a full-suite run 32 Spark executor
+        # threads can starve the 0.3 s watchdog/broker threads for
+        # seconds at a time (observed as a rare suite-only flake)
+        assert _wait(lambda: bridge.respawns >= 1, timeout=30), "no respawn"
         # session resume redelivers the queued 5; nothing lost
-        assert _wait(lambda: st.latest_seq() == 6, timeout=15), st.latest_seq()
+        assert _wait(lambda: st.latest_seq() >= 6, timeout=30), st.latest_seq()
+        assert st.latest_seq() == 6, st.latest_seq()  # and no duplicates
         assert bridge._clients[0] is not victim
         pub.publish("t/1", b"after", qos=1).wait_for_publish()
-        assert _wait(lambda: st.latest_seq() == 7, timeout=10)
+        assert _wait(lambda: st.latest_seq() == 7, timeout=30)
         pub.disconnect()
     finally:
         bridge.stop()
