@@ -1,0 +1,430 @@
+"""Round-8 wave of ML linear-algebra / evaluation operators
+(SURVEY.md §2.5 X100-X103): distributed Gram matrix, truncated-dimension
+ANN recall, Markov stationary distribution by exact power iteration, and
+a Pareto-frontier (skyline) query. Absent from the reference by design
+scope (it is a connector — SURVEY §0); these are the model-side
+analytics a training-data platform runs over its embedding store and
+event logs.
+
+Determinism strategy (the r7 lesson, generalized): every floating-point
+reduction whose ACCUMULATION ORDER differs between engines is replaced
+by integer arithmetic — embeddings quantize to exact milli-unit int64
+before any product, Markov probabilities are exact micro-unit integer
+divisions — so sums are associative and order-free, and the DuckDB
+oracle hash-matches bit-for-bit at every scale factor instead of
+agreeing "up to an ulp".
+
+Scale posture, per operator:
+- Gram matrix: the map side computes a per-partition 64x64 integer
+  Q^T Q with one BLAS-shaped numpy product per Arrow batch and emits
+  2 080 upper-triangle partials; the shuffle carries
+  |partitions| x 2 080 rows regardless of corpus size — the classic
+  distributed-covariance pattern (the 100 TB reduction is in the map).
+- truncated-dim recall: the query set is a fixed bounded eval sample
+  (<= 64 vectors, broadcast into the kernel); each Arrow batch emits
+  only its LOCAL top-k per query per metric (global top-k is a subset
+  of the union of batch top-ks), so the shuffle carries
+  |batches| x |queries| x 2k rows, never |corpus| x |queries|.
+- Markov stationary: the corpus-sized work is ONE (user) shuffle to
+  order each user's events; everything after is |states|^2 rows. The
+  three power-iteration steps are chained joins on that tiny relation —
+  the iterative-dataflow shape, with exact integer state.
+- Pareto frontier: dominance is resolved on the DISTINCT (price, size)
+  point set — the corpus reduces via one groupBy before any ordering;
+  the cumulative-max pass then runs over |distinct prices| rows. The
+  window is a deliberate single-partition pass over that reduced set
+  (bounded by the price domain); an unbounded domain would take the
+  range-partitioned two-phase skyline merge instead (local frontier
+  per range, then frontier-of-frontiers — same operators).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Window, functions as F
+
+from .registry import register
+from .rounding import stable_round_sql
+
+_DIM = 64
+_Q_SCALE = 1000  # milli-unit embedding quantization
+_TRUNC = 16  # truncated prefix dimensions for the recall probe
+_K = 10  # recall@k
+_QUERY_MOD = 100  # vec_id % mod == 0 -> eval query
+_QUERY_CAP = 6400  # vec_id bound: <= 64 eval queries at any scale
+_P_SCALE = 1_000_000  # micro-unit transition probabilities
+_N_ITER = 3  # power-iteration steps
+
+
+def _emb(spark, sf_dir):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _events(spark, sf_dir):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+_QUANT_SQL = (
+    "list_transform(CAST(embedding AS DOUBLE[]), "
+    f"e -> CAST(floor(e * {_Q_SCALE} + 0.5) AS BIGINT))"
+)
+
+
+def _quantize(V: np.ndarray) -> np.ndarray:
+    """floor(x*1000 + 0.5) as int64 — the same IEEE steps as the SQL."""
+    return np.floor(V.astype(np.float64) * _Q_SCALE + 0.5).astype(np.int64)
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle=f"""
+    WITH q AS (
+      SELECT {_QUANT_SQL} AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), p AS (
+      SELECT i.range AS i, j.range AS j
+      FROM range(1, {_DIM + 1}) i, range(1, {_DIM + 1}) j
+      WHERE i.range <= j.range
+    )
+    SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+           CAST(sum(q.q[p.i] * q.q[p.j]) AS BIGINT) AS g_milli
+    FROM q, p GROUP BY 1, 2
+    """,
+    doc="X100: distributed Gram matrix X^T X over the embedding store — "
+    "the input to PCA / whitening / covariance drift monitoring. "
+    "Elements quantize to exact milli-unit int64 (the X67 "
+    "scaled-integer lesson), so partial products are associative and "
+    "the cross-engine match is exact, not ulp-lucky. Map side: one "
+    "numpy Q^T Q per Arrow batch, accumulated per partition; the "
+    "shuffle moves |partitions| x 2080 upper-triangle rows no matter "
+    "how many vectors were scanned — the classic distributed-"
+    "covariance reduction. Output is dim-bounded (2 080 rows).",
+    tags=("embeddings", "linalg", "pca", "pipeline"),
+)
+def embedding_gram_matrix(spark, sf_dir):
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    iu = np.triu_indices(_DIM)
+
+    def kernel(iterator):
+        G = np.zeros((_DIM, _DIM), dtype=np.int64)
+        seen = False
+        for pdf in iterator:
+            pdf = pdf[pdf["embedding"].notna()]
+            if not len(pdf):
+                continue
+            Q = _quantize(np.array(pdf["embedding"].to_list()))
+            G += Q.T @ Q
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype(np.int32),
+                    "j": (iu[1] + 1).astype(np.int32),
+                    "g": G[iu],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("g", T.LongType()),
+        ]
+    )
+    partials = _emb(spark, sf_dir).select("embedding").mapInPandas(kernel, schema)
+    return partials.groupBy("i", "j").agg(
+        F.sum("g").cast("bigint").alias("g_milli")
+    )
+
+
+@register(
+    "ann_truncated_dim_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_QUANT_SQL} AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), que AS (
+      SELECT vec_id AS query_id, qv AS quv FROM q
+      WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
+    ), sc AS (
+      SELECT que.query_id, q.vec_id,
+             CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                  k -> q.qv[k] * que.quv[k])) AS BIGINT) AS dot_full,
+             CAST(list_sum(list_transform(range(1, {_TRUNC + 1}),
+                  k -> q.qv[k] * que.quv[k])) AS BIGINT) AS dot_trunc
+      FROM q, que WHERE q.vec_id <> que.query_id
+    ), rk AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_full DESC, vec_id) AS rf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_trunc DESC, vec_id) AS rt
+      FROM sc
+    )
+    SELECT query_id,
+           CAST(count(*) FILTER (WHERE rf <= {_K} AND rt <= {_K}) AS BIGINT)
+             AS n_overlap,
+           count(*) FILTER (WHERE rf <= {_K} AND rt <= {_K}) / {_K}.0
+             AS recall_at_k
+    FROM rk GROUP BY 1
+    """,
+    doc="X101: truncated-dimension retrieval recall (the Matryoshka-"
+    "embedding question): for each eval query, recall@{k} of the "
+    "{t}-dim-prefix dot-product ranking against the full {d}-dim "
+    "ranking. Decides whether a cheaper truncated index is safe before "
+    "rebuilding a 100 TB ANN index. Query set is a fixed bounded "
+    "sample (<= 64 vectors, broadcast into the kernel); scoring is one "
+    "integer GEMM per Arrow batch that emits only the batch-local "
+    "top-{k} per query per metric — global top-{k} is a subset of the "
+    "union of batch top-{k}s, so the shuffle carries "
+    "|batches| x |queries| x 2k rows, never |corpus| x |queries|. "
+    "Quantized int64 dots make both rankings exactly reproducible in "
+    "the oracle.".format(k=_K, t=_TRUNC, d=_DIM),
+    tags=("embeddings", "similarity", "evaluation", "recall"),
+)
+def ann_truncated_dim_recall(spark, sf_dir):
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    qrows = (
+        _emb(spark, sf_dir)
+        .filter(
+            (F.col("vec_id") % _QUERY_MOD == 0)
+            & (F.col("vec_id") < _QUERY_CAP)
+            & F.col("embedding").isNotNull()
+        )
+        .select("vec_id", "embedding")
+        .collect()  # bounded: <= 64 eval queries by construction
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    if not len(qids):  # no eval queries in this corpus: empty result plan
+        return (
+            _emb(spark, sf_dir)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.lit(0).cast("bigint").alias("n_overlap"),
+                F.lit(0.0).alias("recall_at_k"),
+            )
+            .filter(F.lit(False))
+        )
+    QM = _quantize(np.array([list(r["embedding"]) for r in qrows]))
+
+    def kernel(iterator):
+        for pdf in iterator:
+            pdf = pdf[pdf["embedding"].notna()]
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            Q = _quantize(np.array(pdf["embedding"].to_list()))
+            S_full = Q @ QM.T  # (batch, n_queries) int64
+            S_trunc = Q[:, :_TRUNC] @ QM[:, :_TRUNC].T
+            out_q, out_v, out_f, out_t = [], [], [], []
+            for c in range(len(qids)):
+                mask = ids != qids[c]
+                cand_ids = ids[mask]
+                if not len(cand_ids):
+                    continue
+                fc, tc = S_full[mask, c], S_trunc[mask, c]
+                # batch-local top-k per metric under the SAME total order
+                # as the global ranking (dot desc, vec_id asc) — a tied
+                # global winner must not lose a local tie by batch index
+                keep = set()
+                for col in (fc, tc):
+                    top = np.lexsort((cand_ids, -col))[:_K]
+                    keep.update(top.tolist())
+                idx = sorted(keep)
+                out_q.extend([qids[c]] * len(idx))
+                out_v.extend(cand_ids[idx].tolist())
+                out_f.extend(fc[idx].tolist())
+                out_t.extend(tc[idx].tolist())
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.array(out_q, dtype=np.int64),
+                        "vec_id": np.array(out_v, dtype=np.int64),
+                        "dot_full": np.array(out_f, dtype=np.int64),
+                        "dot_trunc": np.array(out_t, dtype=np.int64),
+                    }
+                )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("dot_full", T.LongType()),
+            T.StructField("dot_trunc", T.LongType()),
+        ]
+    )
+    cand = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .mapInPandas(kernel, schema)
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("dot_full").desc(), "vec_id"
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("dot_trunc").desc(), "vec_id"
+    )
+    rk = cand.select(
+        "query_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    return rk.groupBy("query_id").agg(
+        F.sum(((F.col("rf") <= _K) & (F.col("rt") <= _K)).cast("bigint"))
+        .cast("bigint")
+        .alias("n_overlap"),
+    ).select(
+        "query_id",
+        "n_overlap",
+        (F.col("n_overlap") / float(_K)).alias("recall_at_k"),
+    )
+
+
+@register(
+    "markov_stationary_events",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), trans AS (
+      SELECT prev AS s, event_type AS d, count(*) AS cnt
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT s, sum(cnt) AS tot FROM trans GROUP BY 1
+    ), p AS (
+      SELECT t.s, t.d, (t.cnt * {_P_SCALE}) // tot.tot AS pm
+      FROM trans t JOIN tot USING (s)
+    ), states AS (
+      SELECT DISTINCT event_type AS st FROM events
+    ), v0 AS (
+      SELECT st, CAST({_P_SCALE} AS BIGINT) AS v FROM states
+    ), v1 AS (
+      SELECT p.d AS st, sum(v0.v * p.pm) // {_P_SCALE} AS v
+      FROM v0 JOIN p ON p.s = v0.st GROUP BY 1
+    ), v2 AS (
+      SELECT p.d AS st, sum(v1.v * p.pm) // {_P_SCALE} AS v
+      FROM v1 JOIN p ON p.s = v1.st GROUP BY 1
+    ), v3 AS (
+      SELECT p.d AS st, sum(v2.v * p.pm) // {_P_SCALE} AS v
+      FROM v2 JOIN p ON p.s = v2.st GROUP BY 1
+    )
+    SELECT s.st AS event_type,
+           CAST(coalesce(v3.v, 0) AS BIGINT) AS stationary_micro,
+           CAST(coalesce(v3.v, 0) AS DOUBLE) / {_P_SCALE} AS stationary_prob
+    FROM states s LEFT JOIN v3 ON v3.st = s.st
+    """,
+    doc="X102: Markov stationary distribution of the user event-type "
+    "chain by {n} exact power-iteration steps — where user behavior "
+    "concentrates in the long run (the analytics twin of the X61 "
+    "transition matrix). The corpus-sized work is ONE user-partitioned "
+    "window to form transitions; the chain itself is |states|^2 rows "
+    "and each iteration is a broadcast join + groupBy on it — the "
+    "iterative-dataflow pattern with a deterministic trip count. All "
+    "state is exact micro-unit integers (probabilities and vector "
+    "entries are integer divisions), so three chained matrix-vector "
+    "products reproduce bit-identically in SQL. Sub-stochastic rows "
+    "(probability mass lost to integer floor) are intentional and "
+    "identical on both engines.".format(n=_N_ITER),
+    tags=("events", "markov", "iterative", "analytics"),
+)
+def markov_stationary_events(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy(F.col("prev").alias("s"), F.col("event_type").alias("d")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = trans.groupBy("s").agg(F.sum("cnt").alias("tot"))
+    p = (
+        trans.join(tot, "s")
+        .select("s", "d", F.expr(f"cnt * {_P_SCALE} div tot").alias("pm"))
+        .localCheckpoint(eager=False)  # reused by all 3 iterations
+    )
+    states = ev.select(F.col("event_type").alias("st")).distinct()
+    v = states.select("st", F.lit(_P_SCALE).cast("bigint").alias("v"))
+    for _ in range(_N_ITER):
+        v = (
+            F.broadcast(v)
+            .join(p, F.col("st") == F.col("s"))
+            .groupBy(F.col("d").alias("st2"))
+            .agg(F.expr(f"sum(v * pm) div {_P_SCALE}").alias("v"))
+            .withColumnRenamed("st2", "st")
+        )
+    return states.join(v, "st", "left").select(
+        F.col("st").alias("event_type"),
+        F.coalesce(F.col("v"), F.lit(0)).cast("bigint").alias("stationary_micro"),
+        (
+            F.coalesce(F.col("v"), F.lit(0)).cast("double") / _P_SCALE
+        ).alias("stationary_prob"),
+    )
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH pts AS (
+      SELECT p_retailprice AS price, p_size AS size,
+             count(*) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.price, a.size, CAST(a.n_parts AS BIGINT) AS n_parts
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.price <= a.price AND b.size >= a.size
+        AND (b.price < a.price OR b.size > a.size)
+    )
+    """,
+    doc="X103: Pareto frontier (skyline) over parts — the points where "
+    "no other part is both cheaper and larger (price minimized, size "
+    "maximized; classic Borzsony/Kossmann skyline operator). The "
+    "corpus collapses to DISTINCT (price, size) points via one "
+    "groupBy, then to one max-size row per price, and the frontier "
+    "falls out of a single cumulative-max scan in price order: a "
+    "price survives iff its best size strictly exceeds the best size "
+    "of every strictly-cheaper price. The ordered pass runs over "
+    "|distinct prices| rows (domain-bounded after the reduction); an "
+    "unbounded price domain would use the two-phase range-partitioned "
+    "skyline merge (local frontier per range, then frontier of "
+    "frontiers) — same operator shapes. The oracle states dominance "
+    "directly as NOT EXISTS; hash-equality proves the window algebra "
+    "implements it.",
+    tags=("analytics", "skyline", "optimization"),
+)
+def pareto_frontier_parts(spark, sf_dir):
+    from ..session import load_table
+
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(
+            F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+    )
+    bp = pts.groupBy("price").agg(F.max("size").alias("msize"))
+    # strictly-cheaper cumulative best size; the single-partition window
+    # runs on |distinct prices| rows (reduced before ordering).
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        bp.withColumn("cm", F.max("msize").over(w))
+        .filter(F.col("cm").isNull() | (F.col("msize") > F.col("cm")))
+        .select("price", F.col("msize").alias("size"))
+    )
+    return frontier.join(pts, ["price", "size"]).select(
+        "price", "size", "n_parts"
+    )
