@@ -430,3 +430,68 @@ def nearest_centroid_confusion(spark, sf_dir):
         .groupBy("label", "assigned_label")
         .agg(F.count("*").cast("bigint").alias("n_vecs"))
     )
+
+
+@register(
+    "event_trigrams_top",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tg AS (
+      SELECT p2 || '>' || p1 || '>' || event_type AS trigram,
+             count(*) AS cnt
+      FROM seq WHERE p2 IS NOT NULL GROUP BY 1
+    ), rk AS (
+      SELECT trigram, cnt,
+             row_number() OVER (ORDER BY cnt DESC, trigram) AS rk,
+             sum(cnt) OVER () AS total
+      FROM tg
+    )
+    SELECT trigram, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS BIGINT) AS rk,
+           floor(CAST(cnt AS DOUBLE) / total * 1000000 + 0.5) / 1000000
+             AS share
+    FROM rk WHERE rk <= 20
+    """,
+    doc="X104: top-20 behavioral trigrams — the most frequent "
+    "length-3 consecutive event-type sequences across all user "
+    "sessions (sequential-pattern mining at fixed depth; extends the "
+    "X61 transition matrix from first-order to second-order "
+    "structure). ONE user-keyed window (total order on (ts, event_id)) "
+    "produces both lags; the aggregate is |types|^3-bounded, and the "
+    "share denominator is a window over that tiny aggregate, never "
+    "the fact table. Deterministic top-k: rank breaks count ties on "
+    "the trigram string.",
+    tags=("events", "sequence", "analytics"),
+)
+def event_trigrams_top(spark, sf_dir):
+    from .rounding import stable_round
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _events(spark, sf_dir).select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    tg = (
+        seq.filter(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "trigram"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return (
+        tg.select(
+            "trigram",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            rk.cast("bigint").alias("rk"),
+            stable_round(F.col("cnt").cast("double") / total, 6).alias("share"),
+        )
+        .filter(F.col("rk") <= 20)
+    )

@@ -289,3 +289,45 @@ def decode_csv_payload(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.round(F.sum("d.value"), 2).alias("total"),
     )
+
+
+@register(
+    "runtime_filter_join",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 1
+    GROUP BY 1
+    """,
+    doc="Selective fact-to-dim join shaped for Spark's RUNTIME row-level "
+    "filtering: the dim side (part) carries a ~2%-selectivity predicate "
+    "(p_size = 1) that Catalyst cannot push into the fact scan "
+    "statically, so at scale the win comes from an injected runtime "
+    "filter — a bloom filter (spark.sql.optimizer.runtime.bloomFilter.*) "
+    "or an InSubquery DPP-style semi-filter built from the filtered dim "
+    "keys — that prunes lineitem rows BEFORE the join shuffle. On a "
+    "100 TB fact table that is the difference between shuffling 100 TB "
+    "and shuffling 2% of it. The query itself is engine-portable "
+    "(revenue as exact cents, the r7 scaled-integer lesson); the "
+    "runtime-filter plan shape is pinned by "
+    "tests/test_plan_shapes.py::test_runtime_bloom_filter_injection "
+    "under the thresholds a real cluster would clear.",
+    tags=("join", "runtime-filter", "bloom", "scale"),
+)
+def runtime_filter_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(cents).cast("bigint").alias("revenue_cents"),
+        )
+    )

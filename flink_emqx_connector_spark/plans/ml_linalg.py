@@ -310,7 +310,8 @@ def ann_truncated_dim_recall(spark, sf_dir):
     ), states AS (
       SELECT DISTINCT event_type AS st FROM events
     ), v0 AS (
-      SELECT st, CAST({_P_SCALE} AS BIGINT) AS v FROM states
+      SELECT st, CAST({_P_SCALE} // count(*) OVER () AS BIGINT) AS v
+      FROM states
     ), v1 AS (
       SELECT p.d AS st, sum(v0.v * p.pm) // {_P_SCALE} AS v
       FROM v0 JOIN p ON p.s = v0.st GROUP BY 1
@@ -356,7 +357,12 @@ def markov_stationary_events(spark, sf_dir):
         .localCheckpoint(eager=False)  # reused by all 3 iterations
     )
     states = ev.select(F.col("event_type").alias("st")).distinct()
-    v = states.select("st", F.lit(_P_SCALE).cast("bigint").alias("v"))
+    # uniform start: micro-mass 1e6 split evenly over the states (exact
+    # integer division, mirrored in the oracle's window form)
+    nw = Window.partitionBy()
+    v = states.withColumn("n", F.count("*").over(nw)).select(
+        "st", F.expr(f"{_P_SCALE} div n").cast("bigint").alias("v")
+    )
     for _ in range(_N_ITER):
         v = (
             F.broadcast(v)

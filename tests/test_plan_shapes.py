@@ -538,3 +538,29 @@ def test_centroid_confusion_broadcast_and_kernel(plans):
     assert "Join" not in p, p
     assert "Window" not in p, p
     assert "HashAggregate" in p, p
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """runtime_filter_join's 100 TB claim: under the thresholds a real
+    cluster clears (fact scan large enough, filtered dim small enough),
+    Catalyst injects a bloom_filter_agg built from the filtered dim keys
+    and applies might_contain on the fact side BEFORE the join shuffle."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # shuffle join at test SF
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        p = plan_of(QUERIES["runtime_filter_join"].spark(spark, sf_dir))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in p, p
+    assert "might_contain" in p.lower() or "bloomFilter" in p, p
