@@ -28,6 +28,7 @@ from . import retrieval_eval  # noqa: E402,F401
 from . import warehouse_extra  # noqa: E402,F401
 from . import layout_extra  # noqa: E402,F401
 from . import ml_linalg  # noqa: E402,F401
+from . import dedup_eval  # noqa: E402,F401
 
 __all__ = [
     "QUERIES",

@@ -274,3 +274,24 @@ def test_event_trigrams_ranked_and_bounded(spark, sf_dir):
     assert cnts == sorted(cnts, reverse=True)
     assert all(len(r.trigram.split(">")) == 3 for r in out)
     assert sum(r.share for r in out) <= 1.0 + 1e-9
+
+
+# ---------- X106 dedup method agreement ----------
+
+
+def test_method_agreement_counts_are_consistent(spark, sf_dir):
+    rows = _run("dedup_method_agreement", spark, sf_dir).collect()
+    assert len(rows) == 6  # C(4,2) method pairs
+    # per-method totals must be consistent across every row they appear in
+    totals = {}
+    for r in rows:
+        for m, n in ((r.method_a, r.n_a), (r.method_b, r.n_b)):
+            assert totals.setdefault(m, n) == n
+        assert 0 <= r.n_common <= min(r.n_a, r.n_b)
+        if r.n_a + r.n_b - r.n_common > 0:
+            assert 0.0 <= r.pairset_jaccard <= 1.0
+    # members individually agree with their registered outputs
+    from pyspark.sql import functions as F
+
+    jac = QUERIES["dedup_ngram_jaccard"].spark(spark, sf_dir).count()
+    assert totals["jaccard"] == jac
