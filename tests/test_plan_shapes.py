@@ -564,3 +564,40 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.set(k, v)
     assert "bloom_filter_agg" in p, p
     assert "might_contain" in p.lower() or "bloomFilter" in p, p
+
+
+def test_gram_matrix_partial_agg_before_shuffle(plans):
+    """X100's 100 TB claim: the numpy Q^T Q runs map-side (MapInPandas)
+    and a PARTIAL HashAggregate reduces to <=2080 rows per partition
+    before the only exchange — the shuffle never carries vectors."""
+    p = plans("embedding_gram_matrix")
+    assert "MapInPandas" in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_zorder_stats_has_no_global_window(plans):
+    """X99's design point: file ids are pure arithmetic on the key range
+    (equal-width buckets) — NO single-partition row_number window, which
+    is how naive layout measurements serialize at scale."""
+    p = plans("zorder_layout_stats")
+    assert "Window" not in p, p
+
+
+def test_compaction_window_is_partitioned_by_source(plans):
+    """X98 packs within sources: the cumulative-sum window must be
+    keyed (PartitionBy source), never a global single-partition pass."""
+    p = plans("compaction_bins_by_source")
+    assert "Window" in p, p
+    import re
+
+    # every Window node's partition spec must mention source
+    specs = re.findall(r"Arguments: \[[^\]]*windowspecdefinition\(([^,]*),", p)
+    assert specs and all("source" in s for s in specs), p
+
+
+def test_truncated_recall_kernel_is_batch_local(plans):
+    """X101: scoring runs as MapInPandas emitting batch-local top-k; the
+    downstream windows rank the CANDIDATES, not the corpus."""
+    p = plans("ann_truncated_dim_recall")
+    assert "MapInPandas" in p, p
+    assert "Window" in p, p
