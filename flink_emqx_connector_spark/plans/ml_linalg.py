@@ -412,6 +412,20 @@ def markov_stationary_events(spark, sf_dir):
     "implements it.",
     tags=("analytics", "skyline", "optimization"),
 )
+def pareto_frontier(pts, price_col: str = "price", size_col: str = "size"):
+    """Skyline of distinct (price, size) points: minimize price, maximize
+    size; ties on both coordinates survive together. One max-per-price
+    reduction, then a cumulative-max scan over |distinct prices| rows
+    (single-partition by design — the input must already be reduced)."""
+    bp = pts.groupBy(price_col).agg(F.max(size_col).alias("msize"))
+    w = Window.orderBy(price_col).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        bp.withColumn("cm", F.max("msize").over(w))
+        .filter(F.col("cm").isNull() | (F.col("msize") > F.col("cm")))
+        .select(price_col, F.col("msize").alias(size_col))
+    )
+
+
 def pareto_frontier_parts(spark, sf_dir):
     from ..session import load_table
 
@@ -422,15 +436,6 @@ def pareto_frontier_parts(spark, sf_dir):
         )
         .agg(F.count("*").cast("bigint").alias("n_parts"))
     )
-    bp = pts.groupBy("price").agg(F.max("size").alias("msize"))
-    # strictly-cheaper cumulative best size; the single-partition window
-    # runs on |distinct prices| rows (reduced before ordering).
-    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
-    frontier = (
-        bp.withColumn("cm", F.max("msize").over(w))
-        .filter(F.col("cm").isNull() | (F.col("msize") > F.col("cm")))
-        .select("price", F.col("msize").alias("size"))
-    )
-    return frontier.join(pts, ["price", "size"]).select(
+    return pareto_frontier(pts).join(pts, ["price", "size"]).select(
         "price", "size", "n_parts"
     )

@@ -232,3 +232,31 @@ def test_avro_codec_roundtrip_properties():
             assert decode_record(schema, buf[:-1]) is None
 
     check()
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pareto_frontier_matches_bruteforce(spark, pts):
+    """The cumulative-max window algebra IS the dominance relation:
+    random integer point sets, ties and duplicates included."""
+    from flink_emqx_connector_spark.plans.ml_linalg import pareto_frontier
+
+    distinct = sorted(set(pts))
+    df = spark.createDataFrame(distinct, ["price", "size"])
+    got = {(r.price, r.size) for r in pareto_frontier(df).collect()}
+
+    def dominated(a):
+        return any(
+            b[0] <= a[0] and b[1] >= a[1] and b != a for b in distinct
+        )
+
+    brute = {p for p in distinct if not dominated(p)}
+    assert got == brute, (distinct, got, brute)
