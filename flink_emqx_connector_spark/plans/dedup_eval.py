@@ -154,3 +154,92 @@ def dedup_method_agreement(spark, sf_dir):
             / 1000000
         ).alias("pairset_jaccard"),
     )
+
+
+def _lsh_recall_oracle() -> str:
+    exact = QUERIES["dedup_ngram_jaccard"].oracle
+    lsh = QUERIES["dedup_minhash_lsh"].oracle
+    return f"""
+    WITH exact AS MATERIALIZED (
+      SELECT least(doc_a, doc_b) AS lo, greatest(doc_a, doc_b) AS hi
+      FROM ({exact})
+    ),
+    lsh AS MATERIALIZED (
+      SELECT least(doc_a, doc_b) AS lo, greatest(doc_a, doc_b) AS hi
+      FROM ({lsh})
+    ),
+    agg AS (
+      SELECT
+        (SELECT count(*) FROM exact) AS n_exact,
+        (SELECT count(*) FROM lsh) AS n_lsh,
+        (SELECT count(*) FROM exact JOIN lsh USING (lo, hi)) AS n_common
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_lsh AS BIGINT) AS n_lsh,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(CASE WHEN n_exact > 0
+                THEN n_common * 1000000 // n_exact ELSE NULL END AS BIGINT)
+             AS recall_micro,
+           CAST(CASE WHEN n_lsh > 0
+                THEN n_common * 1000000 // n_lsh ELSE NULL END AS BIGINT)
+             AS precision_micro
+    FROM agg
+    """
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle=_lsh_recall_oracle(),
+    doc="X108: end-to-end MinHash-LSH recall/precision against the exact "
+    "n-gram-Jaccard ground truth at the same threshold — THE question a "
+    "100 TB user must answer before replacing the exact pass with the "
+    "LSH pass (banding is probabilistic: pairs can be missed when no "
+    "band agrees). Composed from the two certified plans (X2 exact "
+    "selector, X3 deterministic md5-permutation MinHash), so the "
+    "measurement can't drift from the operators it evaluates; the "
+    "composition adds one answer-sized pair join and emits exact "
+    "micro-unit integer recall/precision. Verify-stage exactness makes "
+    "precision 1.0 by construction; recall is the honest banding "
+    "number.",
+    tags=("dedup", "evaluation", "lsh", "quality"),
+)
+def dedup_lsh_recall_eval(spark, sf_dir):
+    def pairs(name):
+        return (
+            QUERIES[name]
+            .spark(spark, sf_dir)
+            .select(
+                F.least("doc_a", "doc_b").alias("lo"),
+                F.greatest("doc_a", "doc_b").alias("hi"),
+            )
+        )
+
+    exact = pairs("dedup_ngram_jaccard").localCheckpoint(eager=False)
+    lsh = pairs("dedup_minhash_lsh").localCheckpoint(eager=False)
+    ne = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
+    nl = lsh.agg(F.count("*").cast("bigint").alias("n_lsh"))
+    nc = (
+        exact.join(lsh, ["lo", "hi"])
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        ne.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            F.when(
+                F.col("n_exact") > 0,
+                F.expr("n_common * 1000000 div n_exact"),
+            )
+            .cast("bigint")
+            .alias("recall_micro"),
+            F.when(
+                F.col("n_lsh") > 0,
+                F.expr("n_common * 1000000 div n_lsh"),
+            )
+            .cast("bigint")
+            .alias("precision_micro"),
+        )
+    )

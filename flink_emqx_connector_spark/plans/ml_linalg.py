@@ -380,6 +380,20 @@ def markov_stationary_events(spark, sf_dir):
     )
 
 
+def pareto_frontier(pts, price_col: str = "price", size_col: str = "size"):
+    """Skyline of distinct (price, size) points: minimize price, maximize
+    size; ties on both coordinates survive together. One max-per-price
+    reduction, then a cumulative-max scan over |distinct prices| rows
+    (single-partition by design — the input must already be reduced)."""
+    bp = pts.groupBy(price_col).agg(F.max(size_col).alias("msize"))
+    w = Window.orderBy(price_col).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        bp.withColumn("cm", F.max("msize").over(w))
+        .filter(F.col("cm").isNull() | (F.col("msize") > F.col("cm")))
+        .select(price_col, F.col("msize").alias(size_col))
+    )
+
+
 @register(
     "pareto_frontier_parts",
     oracle="""
@@ -412,20 +426,6 @@ def markov_stationary_events(spark, sf_dir):
     "implements it.",
     tags=("analytics", "skyline", "optimization"),
 )
-def pareto_frontier(pts, price_col: str = "price", size_col: str = "size"):
-    """Skyline of distinct (price, size) points: minimize price, maximize
-    size; ties on both coordinates survive together. One max-per-price
-    reduction, then a cumulative-max scan over |distinct prices| rows
-    (single-partition by design — the input must already be reduced)."""
-    bp = pts.groupBy(price_col).agg(F.max(size_col).alias("msize"))
-    w = Window.orderBy(price_col).rowsBetween(Window.unboundedPreceding, -1)
-    return (
-        bp.withColumn("cm", F.max("msize").over(w))
-        .filter(F.col("cm").isNull() | (F.col("msize") > F.col("cm")))
-        .select(price_col, F.col("msize").alias(size_col))
-    )
-
-
 def pareto_frontier_parts(spark, sf_dir):
     from ..session import load_table
 
@@ -438,4 +438,134 @@ def pareto_frontier_parts(spark, sf_dir):
     )
     return pareto_frontier(pts).join(pts, ["price", "size"]).select(
         "price", "size", "n_parts"
+    )
+
+
+_DRIFT_BUCKETS = 8  # equi-width histogram buckets over [-1, 1]
+
+
+@register(
+    "embedding_drift_scores",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id % 2 AS grp,
+             unnest(range(len(embedding))) + 1 AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), b AS (
+      SELECT grp, dim,
+             least(CAST(floor((least(greatest(e, -1.0), 1.0) + 1.0) * 4)
+                        AS BIGINT), {_DRIFT_BUCKETS - 1}) AS bucket
+      FROM ex
+    ), cnt AS (
+      SELECT dim, bucket,
+             count(*) FILTER (WHERE grp = 0) AS c0,
+             count(*) FILTER (WHERE grp = 1) AS c1
+      FROM b GROUP BY 1, 2
+    ), tot AS (
+      SELECT dim, sum(c0) AS n0, sum(c1) AS n1 FROM cnt GROUP BY 1
+    ), pq AS (
+      SELECT c.dim, c.bucket,
+             (c.c0 * 1000000) // t.n0 AS p,
+             (c.c1 * 1000000) // t.n1 AS q
+      FROM cnt c JOIN tot t USING (dim)
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(sum((p - q) * (p - q) // (p + q + 1)) AS BIGINT)
+             AS drift_micro,
+           CAST(min(bucket) FILTER (
+             WHERE abs(p - q) = (SELECT max(abs(p2.p - p2.q)) FROM pq p2
+                                 WHERE p2.dim = pq.dim)) AS BIGINT)
+             AS top_shift_bucket
+    FROM pq GROUP BY dim
+    """,
+    doc="X107: per-dimension embedding distribution drift between two "
+    "ingest cohorts (vec_id parity stands in for batch id) — the "
+    "monitor a training platform runs before trusting a new embedding "
+    "batch against a serving index. Each dimension gets an 8-bucket "
+    "histogram per cohort; the drift score is a chi-square-shaped "
+    "statistic on exact micro-unit integer probabilities "
+    "(sum (p-q)^2 div (p+q+1)) — all integer arithmetic after the "
+    "bucket floor, so cross-engine parity is exact, and the +1 "
+    "regularizer bounds empty-bucket terms. Spark side accumulates the "
+    "2 x 64 x 8 count tensor per partition in one numpy kernel (the "
+    "X100 pattern): the shuffle carries |partitions| x 1024 count "
+    "rows, never exploded elements. Output is dim-bounded (64 rows) "
+    "with the most-shifted bucket per dimension.",
+    tags=("embeddings", "drift", "quality", "monitoring"),
+)
+def embedding_drift_scores(spark, sf_dir):
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    nb = _DRIFT_BUCKETS
+
+    def kernel(iterator):
+        C = np.zeros((2, _DIM, nb), dtype=np.int64)
+        seen = False
+        for pdf in iterator:
+            pdf = pdf[pdf["embedding"].notna()]
+            if not len(pdf):
+                continue
+            V = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+            g = (pdf["vec_id"].to_numpy(dtype=np.int64) % 2).astype(np.int64)
+            B = np.minimum(
+                np.floor((np.clip(V, -1.0, 1.0) + 1.0) * 4).astype(np.int64),
+                nb - 1,
+            )
+            for grp in (0, 1):
+                sub = B[g == grp]
+                if len(sub):
+                    for d in range(_DIM):
+                        C[grp, d] += np.bincount(sub[:, d], minlength=nb)
+            seen = True
+        if seen:
+            dims, buckets = np.meshgrid(
+                np.arange(_DIM), np.arange(nb), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "dim": (dims.ravel() + 1).astype(np.int32),
+                    "bucket": buckets.ravel().astype(np.int64),
+                    "c0": C[0].ravel(),
+                    "c1": C[1].ravel(),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("c0", T.LongType()),
+            T.StructField("c1", T.LongType()),
+        ]
+    )
+    cnt = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .mapInPandas(kernel, schema)
+        .groupBy("dim", "bucket")
+        .agg(F.sum("c0").alias("c0"), F.sum("c1").alias("c1"))
+    )
+    tw = Window.partitionBy("dim")
+    pq = cnt.select(
+        "dim",
+        "bucket",
+        F.expr("c0 * 1000000 div sum(c0) over (partition by dim)").alias("p"),
+        F.expr("c1 * 1000000 div sum(c1) over (partition by dim)").alias("q"),
+    )
+    shift = F.abs(F.col("p") - F.col("q"))
+    mx = F.max(shift).over(tw)
+    return (
+        pq.withColumn("is_top", shift == mx)
+        .groupBy("dim")
+        .agg(
+            F.sum(F.expr("(p - q) * (p - q) div (p + q + 1)"))
+            .cast("bigint")
+            .alias("drift_micro"),
+            F.min(F.when(F.col("is_top"), F.col("bucket")))
+            .cast("bigint")
+            .alias("top_shift_bucket"),
+        )
     )

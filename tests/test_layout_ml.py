@@ -295,3 +295,41 @@ def test_method_agreement_counts_are_consistent(spark, sf_dir):
 
     jac = QUERIES["dedup_ngram_jaccard"].spark(spark, sf_dir).count()
     assert totals["jaccard"] == jac
+
+
+# ---------- X107 embedding drift ----------
+
+
+def test_embedding_drift_matches_local_replay(spark, sf_dir):
+    """Exact integer replay of the per-dim histogram drift score."""
+    out = {r.dim: r for r in _run("embedding_drift_scores", spark, sf_dir).collect()}
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
+    V = np.array(emb.embedding.to_list(), dtype=np.float64)
+    g = (emb.vec_id.to_numpy() % 2).astype(int)
+    B = np.minimum(np.floor((np.clip(V, -1, 1) + 1) * 4).astype(int), 7)
+    assert set(out) == set(range(1, 65))
+    for d in range(64):
+        c0 = np.bincount(B[g == 0, d], minlength=8)
+        c1 = np.bincount(B[g == 1, d], minlength=8)
+        p = c0 * 1_000_000 // c0.sum()
+        q = c1 * 1_000_000 // c1.sum()
+        drift = int((((p - q) ** 2) // (p + q + 1)).sum())
+        assert out[d + 1].drift_micro == drift
+        shift = np.abs(p - q)
+        assert out[d + 1].top_shift_bucket == int(np.flatnonzero(shift == shift.max())[0])
+
+
+# ---------- X108 LSH recall eval ----------
+
+
+def test_lsh_recall_eval_consistent_with_members(spark, sf_dir):
+    r = _run("dedup_lsh_recall_eval", spark, sf_dir).collect()[0]
+    n_exact = QUERIES["dedup_ngram_jaccard"].spark(spark, sf_dir).count()
+    n_lsh = QUERIES["dedup_minhash_lsh"].spark(spark, sf_dir).count()
+    assert r.n_exact == n_exact and r.n_lsh == n_lsh
+    assert 0 <= r.n_common <= min(r.n_exact, r.n_lsh)
+    # the verify stage is exact at the same threshold on the same
+    # shingles: every LSH pair is a true pair
+    assert r.precision_micro == 1_000_000
+    if r.n_exact:
+        assert r.recall_micro == r.n_common * 1_000_000 // r.n_exact
