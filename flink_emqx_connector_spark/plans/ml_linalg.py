@@ -45,7 +45,6 @@ import numpy as np
 from pyspark.sql import Window, functions as F
 
 from .registry import register
-from .rounding import stable_round_sql
 
 _DIM = 64
 _Q_SCALE = 1000  # milli-unit embedding quantization
