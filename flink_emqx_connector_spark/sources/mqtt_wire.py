@@ -623,6 +623,69 @@ class EmbeddedBroker:
                 session.inflight.clear()
                 for topic, payload, qos, retain, uprops, _d in reversed(inflight):
                     session.queue.appendleft((topic, payload, qos, retain, uprops, True))
+                self._redispatch_shared(session)
+
+    def _redispatch_shared(self, session: _Session) -> None:
+        """Shared-subscription re-dispatch on abnormal disconnect (EMQX
+        behavior: a group member's undelivered/un-acked messages move to
+        LIVE members of the same group rather than stranding until the
+        dead clientid resumes — the 'dead partition's work is reassigned'
+        leg of the scale-out story; the supervisor's respawn covers the
+        session-resume leg). Messages whose topic only matches the
+        session's NON-shared subs keep normal resume semantics; with no
+        live member in the group the message also stays queued (the
+        documented whole-group-offline behavior). Caller holds _lock."""
+        if not session.queue:
+            return
+        shared_filters = [
+            (strip_share(filt)[1], group)
+            for filt, (_q, group) in session.subs.items()
+            if group is not None
+        ]
+        if not shared_filters:
+            return
+        nonshared = [
+            strip_share(filt)[1]
+            for filt, (_q, group) in session.subs.items()
+            if group is None
+        ]
+        keep: deque = deque()
+        for msg in session.queue:
+            topic = msg[0]
+            target: _Session | None = None
+            if any(topic_matches_py(b, topic) for b in nonshared):
+                # could be the non-shared sub's copy — resume semantics win
+                keep.append(msg)
+                continue
+            for bare, group in shared_filters:
+                if not topic_matches_py(bare, topic):
+                    continue
+                live = sorted(
+                    (
+                        s
+                        for s in self.sessions.values()
+                        if s is not session and s.conn is not None
+                        and any(
+                            g2 == group and strip_share(f2)[1] == bare
+                            for f2, (_q2, g2) in s.subs.items()
+                        )
+                    ),
+                    key=lambda s: s.clientid,
+                )
+                if live:
+                    key = (group, bare)
+                    idx = self._rr.get(key, 0) % len(live)
+                    self._rr[key] = idx + 1
+                    target = live[idx]
+                break  # first matching shared sub decides
+            if target is not None:
+                topic, payload, qos, retain, uprops, _d = msg
+                self._deliver(
+                    target, (topic, payload, qos, retain, uprops, True)
+                )
+            else:
+                keep.append(msg)
+        session.queue = keep
 
     # -- test helpers ------------------------------------------------------
 

@@ -1134,3 +1134,46 @@ def test_bridge_watchdog_cedes_after_session_takeover():
     finally:
         bridge.stop()
         broker.stop()
+
+
+def test_shared_group_redispatch_on_member_death(broker):
+    """Scale-out work reassignment (the 'dead partition' question): when a
+    $share group member crashes holding un-acked deliveries, the broker
+    re-dispatches its backlog to LIVE members of the group (EMQX shared-
+    subscription behavior) instead of stranding it until the same
+    clientid resumes. Survivors end up holding ALL published payloads;
+    the dead session keeps nothing."""
+    ts = [_transport(broker.port, f"c-rd-{i}", group="grd") for i in range(3)]
+    assert _wait(
+        lambda: all(
+            broker.sessions.get(f"c-rd-{i}") and broker.sessions[f"c-rd-{i}"].subs
+            for i in range(3)
+        )
+    )
+    pub = _publisher(broker.port)
+    payloads = [str(i).encode() for i in range(9)]
+    for p in payloads:
+        pub.publish("t/1", p, qos=1).wait_for_publish()
+    assert _wait(lambda: sum(t.queue.qsize() for t in ts) == 9)
+    # nobody acks; member 0 crashes abruptly (no DISCONNECT packet)
+    dead_share = ts[0].queue.qsize()
+    assert dead_share > 0  # round-robin guarantees it got some
+    ts[0].client.loop_stop()
+    assert _wait(lambda: broker.sessions["c-rd-0"].conn is None)
+    # the dead member's backlog moved to the live members...
+    assert _wait(lambda: broker.session_backlog("c-rd-0") == 0)
+    # ...and every published payload is now held by a SURVIVOR (their own
+    # un-acked deliveries plus the re-dispatched share, DUP-flagged)
+    def survivor_payloads():
+        got = []
+        for t in ts[1:]:
+            # queue items are (seq, arrival_ts, paho message)
+            got += [item[2].payload for item in list(t.queue.queue)]
+            for batch in t.pending.values():
+                got += [m.payload for m in batch]
+        return got
+
+    assert _wait(lambda: sorted(survivor_payloads()) == sorted(payloads))
+    for t in ts[1:]:
+        t.client.disconnect()
+    pub.disconnect()
