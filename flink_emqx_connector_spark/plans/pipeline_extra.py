@@ -506,3 +506,102 @@ def scan_jsonl_roundtrip(spark, sf_dir):
             F.max("o_custkey").cast("bigint").alias("max_cust"),
         )
     )
+
+
+@register(
+    "dynamic_partition_overwrite",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE value >= 0.5) AS BIGINT) AS n_kept
+      FROM events GROUP BY 1
+    ), bounds AS (SELECT min(day) AS d0 FROM days)
+    SELECT d.day,
+           CASE WHEN d.day = b.d0 THEN d.n_kept ELSE d.n END AS n_rows
+    FROM days d, bounds b
+    """,
+    doc="X109: dynamic partition overwrite — the idempotent-backfill "
+    "primitive of a partitioned lakehouse: events land partitioned by "
+    "day, then ONE day is re-written (filtered to value >= 0.5) with "
+    "partitionOverwriteMode=dynamic, which must replace exactly the "
+    "partitions present in the incoming frame and leave every other "
+    "day's files untouched. The read-back census proves it: the "
+    "backfilled day shows the filtered count, all other days show the "
+    "original counts (the oracle computes both from the raw table). "
+    "Static overwrite mode here would silently DELETE the other days — "
+    "the failure mode this query exists to pin. At 100 TB this is the "
+    "difference between rewriting one day and rewriting the table.",
+    tags=("warehouse", "layout", "overwrite", "formats"),
+)
+def dynamic_partition_overwrite(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "value"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"dyn_overwrite_{abs(hash(sf_dir)) % (1 << 30)}"
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    d0 = ev.agg(F.min("day")).head()[0]  # the day being backfilled
+    backfill = ev.filter((F.col("day") == d0) & (F.col("value") >= 0.5))
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        backfill.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    return (
+        spark.read.parquet(out)
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+
+
+@register(
+    "schema_evolution_scan",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(*) FILTER (
+             WHERE CAST(('0x' || substr(md5('schemaevo:'
+                     || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 1
+           ) AS BIGINT) AS n_with_lang
+    FROM documents GROUP BY source
+    """,
+    doc="X110: schema-evolution scan (mergeSchema) — a table whose early "
+    "files predate a column: half the corpus is written WITHOUT the "
+    "lang column, half with it, and one mergeSchema read reconstructs "
+    "the union schema with NULL lang for the legacy files. The census "
+    "proves no rows or values are lost across the schema boundary and "
+    "that exactly the new-file rows carry lang (count(lang) counts "
+    "non-NULLs on both engines). The 100 TB note cuts the other way "
+    "here: schema inference + footer merging is an extra pass over "
+    "every file footer — production tables should pin the schema in "
+    "the catalog and treat mergeSchema as a migration tool, which is "
+    "what this query demonstrates surviving.",
+    tags=("scan", "schema", "evolution", "formats"),
+)
+def schema_evolution_scan(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"schema_evo_{abs(hash(sf_dir)) % (1 << 30)}"
+    )
+    # md5-bucket generation split (doc_id % 2 degenerates: the generator
+    # assigns doc_ids with a per-source stride, making parity constant
+    # within a source — the salted-hash split mixes everywhere)
+    from .layout_extra import _md5_bucket
+
+    gen = _md5_bucket(F.col("doc_id"), "schemaevo:", 2)
+    legacy = d.filter(gen == 0).drop("lang")
+    modern = d.filter(gen == 1)
+    legacy.write.mode("overwrite").parquet(os.path.join(out, "batch=0"))
+    modern.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "batch=0"), os.path.join(out, "batch=1")
+    )
+    return merged.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.count("lang").cast("bigint").alias("n_with_lang"),
+    )

@@ -333,3 +333,33 @@ def test_lsh_recall_eval_consistent_with_members(spark, sf_dir):
     assert r.precision_micro == 1_000_000
     if r.n_exact:
         assert r.recall_micro == r.n_common * 1_000_000 // r.n_exact
+
+
+# ---------- X109 dynamic partition overwrite ----------
+
+
+def test_dynamic_overwrite_touches_only_the_backfilled_day(spark, sf_dir):
+    out = {r.day: r.n_rows for r in _run("dynamic_partition_overwrite", spark, sf_dir).collect()}
+    raw = (
+        _load(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").cast("date").alias("day"), "value")
+    )
+    days = {r.day: r.n for r in raw.groupBy("day").agg(F.count("*").alias("n")).collect()}
+    d0 = min(days)
+    kept = raw.filter((F.col("day") == d0) & (F.col("value") >= 0.5)).count()
+    assert out[d0] == kept  # the backfilled day holds exactly the filter
+    assert out[d0] <= days[d0]
+    for d, n in days.items():
+        if d != d0:
+            assert out[d] == n  # every other partition untouched
+
+
+# ---------- X110 schema evolution ----------
+
+
+def test_schema_evolution_preserves_rows_and_nullability(spark, sf_dir):
+    rows = _run("schema_evolution_scan", spark, sf_dir).collect()
+    total = _load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total  # nothing lost at the boundary
+    for r in rows:
+        assert 0 < r.n_with_lang < r.n_docs  # both file generations present
