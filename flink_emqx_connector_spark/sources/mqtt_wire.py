@@ -653,6 +653,7 @@ class EmbeddedBroker:
         for msg in session.queue:
             topic = msg[0]
             target: _Session | None = None
+            target_qos = 0
             if any(topic_matches_py(b, topic) for b in nonshared):
                 # could be the non-shared sub's copy — resume semantics win
                 keep.append(msg)
@@ -662,26 +663,25 @@ class EmbeddedBroker:
                     continue
                 live = sorted(
                     (
-                        s
+                        (s, q2)
                         for s in self.sessions.values()
                         if s is not session and s.conn is not None
-                        and any(
-                            g2 == group and strip_share(f2)[1] == bare
-                            for f2, (_q2, g2) in s.subs.items()
-                        )
+                        for f2, (q2, g2) in s.subs.items()
+                        if g2 == group and strip_share(f2)[1] == bare
                     ),
-                    key=lambda s: s.clientid,
+                    key=lambda m: m[0].clientid,
                 )
                 if live:
                     key = (group, bare)
                     idx = self._rr.get(key, 0) % len(live)
                     self._rr[key] = idx + 1
-                    target = live[idx]
+                    target, target_qos = live[idx]
                 break  # first matching shared sub decides
             if target is not None:
                 topic, payload, qos, retain, uprops, _d = msg
                 self._deliver(
-                    target, (topic, payload, qos, retain, uprops, True)
+                    target,
+                    (topic, payload, min(qos, target_qos), retain, uprops, True),
                 )
             else:
                 keep.append(msg)
