@@ -363,3 +363,57 @@ def test_schema_evolution_preserves_rows_and_nullability(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == total  # nothing lost at the boundary
     for r in rows:
         assert 0 < r.n_with_lang < r.n_docs  # both file generations present
+
+
+# ---------- X111-X113 deterministic sketches ----------
+
+
+def test_cms_never_undercounts_and_matches_replay(spark, sf_dir):
+    import hashlib
+
+    rows = _run("heavy_hitters_cms", spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    docs = _load(spark, sf_dir, "documents").select("text").toPandas()
+    from collections import Counter
+
+    cnt = Counter()
+    for t in docs.text.dropna():
+        cnt.update(t.split(" "))
+    cells = [Counter() for _ in range(4)]
+    for tok, c in cnt.items():
+        for i in range(4):
+            h = int(hashlib.md5(f"cms{i}:{tok}".encode()).hexdigest()[:8], 16)
+            cells[i][h % 1024] += c
+    for r in rows:
+        assert r.overestimate >= 0  # the CMS guarantee
+        assert r.exact_cnt == cnt[r.tok]
+        est = min(
+            cells[i][
+                int(hashlib.md5(f"cms{i}:{r.tok}".encode()).hexdigest()[:8], 16)
+                % 1024
+            ]
+            for i in range(4)
+        )
+        assert r.cms_cnt == est  # sketch replayed exactly
+
+
+def test_bloom_has_zero_false_negatives_and_sane_fpr(spark, sf_dir):
+    import math
+
+    r = _run("bloom_membership_eval", spark, sf_dir).collect()[0]
+    assert r.n_false_neg == 0  # the Bloom guarantee
+    assert r.n_positives == r.n_true_members + r.n_false_pos
+    n, m, k = r.n_true_members, 1 << 16, 4
+    theory = (1 - math.exp(-k * n / m)) ** k
+    # generous band: md5 is uniform enough that measured ~ theory
+    assert r.fpr_micro / 1e6 <= max(3 * theory, 0.01)
+
+
+def test_hll_estimate_within_standard_error(spark, sf_dir):
+    r = _run("hll_manual_registers", spark, sf_dir).collect()[0]
+    assert r.m_used + r.n_zero_registers == 256
+    # raw HLL std error ~1.04/sqrt(m) = 6.5%; allow 4 sigma, plus slack
+    # in the low-range zone (zero registers present, correction not applied)
+    if r.n_zero_registers == 0:
+        assert abs(r.raw_estimate - r.exact_distinct) <= 0.3 * r.exact_distinct
+    assert r.harm_scaled > 0
