@@ -601,3 +601,17 @@ def test_truncated_recall_kernel_is_batch_local(plans):
     p = plans("ann_truncated_dim_recall")
     assert "MapInPandas" in p, p
     assert "Window" in p, p
+
+
+def test_cms_sketch_is_broadcast_to_probes(plans):
+    """X111: the 4096-cell sketch joins the probe side as a broadcast —
+    the probe stream never shuffles against a sketch-sized relation."""
+    p = plans("heavy_hitters_cms")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_bloom_bit_table_is_broadcast(plans):
+    """X112: the <= 2^16-row bit table is the broadcast side of the
+    probe join (metadata-sized at any corpus scale)."""
+    p = plans("bloom_membership_eval")
+    assert "BroadcastHashJoin" in p, p
