@@ -53,28 +53,34 @@ def test_rows_only_set_is_exact():
 
 
 def test_driver_recorded_literal_is_duplicate_free():
-    """The _DRIVER_RECORDED frozenset literal silently absorbs duplicates,
-    but the window-rotation protocol depends on REMOVING a name putting it
-    back in the driver's 50-entry window — a duplicated literal entry makes
-    that removal a no-op (the 40596e4 bug: scalar_functions_part stayed out
-    of the window for a whole round). Parse the source literal and assert
-    every entry appears exactly once, and names the registry knows."""
+    """The _DRIVER_RECORDED dict literal silently absorbs duplicate keys
+    (last wins), but the window-rotation protocol depends on the literal
+    being exact — a duplicated key can mask a stale round and keep a name
+    out of the driver's 50-entry window (the 40596e4 bug:
+    scalar_functions_part stayed out for a whole round when the set form
+    absorbed a duplicate). Parse the source literal and assert every key
+    appears exactly once, names the registry knows, and maps to a
+    plausible round number."""
     import ast
     import collections
 
     entry_src = (SURVEY.parent / "__spark_entry__.py").read_text()
-    names = None
+    names = rounds = None
     for node in ast.walk(ast.parse(entry_src)):
         if (
             isinstance(node, ast.Assign)
             and getattr(node.targets[0], "id", "") == "_DRIVER_RECORDED"
         ):
-            names = [e.value for e in node.value.args[0].elts]
+            names = [k.value for k in node.value.keys]
+            rounds = [v.value for v in node.value.values]
     assert names, "_DRIVER_RECORDED literal not found"
     dups = sorted(n for n, c in collections.Counter(names).items() if c > 1)
     assert not dups, f"duplicate _DRIVER_RECORDED entries: {dups}"
     unknown = sorted(set(names) - set(QUERIES))
     assert not unknown, f"_DRIVER_RECORDED names not in the registry: {unknown}"
+    assert all(isinstance(r, int) and r >= 1 for r in rounds), (
+        "_DRIVER_RECORDED rounds must be positive ints"
+    )
 
 
 def test_catalog_is_current():
