@@ -143,7 +143,9 @@ _DRIVER_RECORDED = {
         "dedup_exact_normalized": 8, "dedup_graph_walk_centrality": 8,
         "dedup_lsh_recall_eval": 8, "dedup_method_agreement": 8,
         "dedup_simhash_hamming": 8, "distinct_counts": 8,
-        "dynamic_partition_overwrite": 8, "embedding_drift_scores": 8,
+        "dynamic_partition_overwrite": 8,
+        # embedding_drift_scores: removed round 9 (tie-break domain fix —
+        # re-record-on-change)
         "embedding_gram_matrix": 8, "event_trigrams_top": 8,
         "events_rollup_reaggregate": 8, "fk_integrity_audit": 8,
         "hash_split_train_val_test": 8, "heavy_hitters_cms": 8,

@@ -179,7 +179,7 @@ def _latency_leg(
 
     broker = EmbeddedBroker().start()
     spool = tempfile.mkdtemp(prefix="bench-lat-")
-    MqttSpoolBridge(
+    bridge = MqttSpoolBridge(
         "127.0.0.1", broker.port, "t/#", "glat", "lat", spool, qos=1, members=1
     )
     time.sleep(0.5)
@@ -243,6 +243,10 @@ def _latency_leg(
     while len(samples) < n_sent[0] and time.time() < deadline:
         time.sleep(0.2)
     q.stop()
+    # bridge BEFORE broker (mirrors _cell/_full_path_leg): otherwise the
+    # member client + watchdog keep reconnect-looping with backoff for
+    # the rest of the bench process and the SpoolPublisher never closes
+    bridge.stop()
     broker.stop()
     # The first data-carrying micro-batches pay one-time streaming-plan
     # codegen + Arrow worker startup; the reference's 2.5 s bound is about

@@ -163,6 +163,7 @@ def ngram_jaccard_pairs_dfcap(
     text_col: str = "text",
     id_col: str = "doc_id",
     measure: str = "jaccard",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over the DF-CAPPED shingle space: shingles appearing
     in more than ``df_cap`` documents are dropped before the inverted-index
@@ -191,7 +192,10 @@ def ngram_jaccard_pairs_dfcap(
     from pyspark.sql import Window
 
     sim_of, out_of, _ = _measure_exprs(measure)
-    sh = _shingle_table(docs, text_col, id_col, n)
+    # `shingles`: the auto selector's persisted stats-pass table — accept
+    # it like the dense/inverted branches so this regime doesn't pay a
+    # second corpus shingling (ADVICE r8)
+    sh = _shingle_table(docs, text_col, id_col, n) if shingles is None else shingles
     ex = sh.select("doc", F.explode("sh").alias("s")).select(
         "doc", F.xxhash64("s").alias("s")
     ).localCheckpoint()
@@ -504,7 +508,7 @@ def ngram_jaccard_pairs_auto(
                 stats.update(decision)
             return ngram_jaccard_pairs_dfcap(
                 docs, threshold, n=n, text_col=text_col, id_col=id_col,
-                measure=measure,
+                measure=measure, shingles=sh,
             )
         decision["strategy"] = "minhash_lsh"
         if stats is not None:

@@ -476,9 +476,17 @@ def dedup_embedding_cosine(spark, sf_dir):
     "is bounded, df-capped inverted index above that (MinHash bands "
     "estimate Jaccard, not containment, so the df-cap — not LSH — is "
     "the 100 TB lever here; recall tradeoff on ngram_jaccard_pairs_"
-    "dfcap). Shingles come from the shared _shingle_table helper, so "
-    "the bigram definition cannot drift from the Jaccard family. "
-    "Engine-stable floor rounding on the reported ratio.",
+    "dfcap). Shingles come from the shared _shingle_table helper — all "
+    "three regimes now consume the selector's ONE persisted stats-pass "
+    "shingle table — so the bigram definition cannot drift from the "
+    "Jaccard family. GATE EXPECTATION: this oracle is EXACT containment, "
+    "which the dense and inverted regimes reproduce bit-identically; the "
+    "df-cap regime (Σdf² > 2e9, far beyond every gated SF — sf10 measures "
+    "Σdf² ~1e8) deliberately trades recall for a bounded join and would "
+    "NOT hash-match this oracle. If a future gate scale crosses the "
+    "inverted budget, the oracle must switch to the capped semantics "
+    "(same df_cap filter in SQL) — do not 'fix' the mismatch by uncapping "
+    "the join. Engine-stable floor rounding on the reported ratio.",
     tags=("dedup", "ngram", "containment"),
 )
 def dedup_containment_pairs(spark, sf_dir):

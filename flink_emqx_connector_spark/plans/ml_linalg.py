@@ -546,6 +546,12 @@ def embedding_drift_scores(spark, sf_dir):
         .mapInPandas(kernel, schema)
         .groupBy("dim", "bucket")
         .agg(F.sum("c0").alias("c0"), F.sum("c1").alias("c1"))
+        # the kernel emits the full dense 64x8 tensor; drop never-observed
+        # cells so the tie-break domain matches the oracle's cnt CTE
+        # (observed buckets only) — with a constant dimension the max
+        # shift is 0 and min(bucket) would otherwise resolve to an empty
+        # bucket 0 on this side but the populated bucket on the oracle's
+        .filter((F.col("c0") > 0) | (F.col("c1") > 0))
     )
     tw = Window.partitionBy("dim")
     pq = cnt.select(

@@ -118,9 +118,19 @@ class MqttSpoolBridge:
 
         def on_disconnect(client, userdata, flags, reason, properties=None):
             # real-paho leg: mark takeover so the watchdog cedes (the
-            # embedded double sets .superseded itself on 0x8E)
+            # embedded double sets .superseded itself on 0x8E). Must ALSO
+            # stop the client: with reconnect_delay_set + loop_start,
+            # stock paho would otherwise auto-reconnect with the same
+            # clientid and clean_start=False, retaking the session and
+            # ping-ponging with the new owner — exactly the duplicate
+            # storm the cede policy exists to prevent (transport.py
+            # applies the same disconnect-on-0x8E).
             if getattr(reason, "value", reason) == 0x8E:
                 client.superseded = True
+                try:
+                    client.disconnect()
+                except Exception:
+                    pass  # socket already gone — superseded flag still cedes
 
         cli.on_connect = on_connect
         cli.on_message = on_message

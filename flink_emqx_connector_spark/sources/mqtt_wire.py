@@ -812,6 +812,12 @@ class Client:
     def connect_async(self, host, port, clean_start=True, properties=None, keepalive=30):
         self._store_params(host, port, clean_start, properties, keepalive)
 
+    def is_connected(self) -> bool:
+        # paho surface parity: live socket AND a loop that will keep it
+        # alive (a stopped loop — e.g. after a 0x8E cede — is not
+        # "connected" even if the fd hasn't been torn down yet)
+        return self._sock is not None and self._running
+
     def loop_start(self) -> None:
         if self._running:
             return

@@ -1122,13 +1122,23 @@ def test_bridge_watchdog_cedes_after_session_takeover():
         owner.loop_start()
 
         assert _wait(lambda: getattr(old, "superseded", False), timeout=10)
-        time.sleep(1.2)  # several watchdog periods
+        # outlast BOTH the watchdog (0.3 s) and paho's reconnect
+        # min_delay (1 s): without the on_disconnect client.disconnect()
+        # the auto-reconnect loop would retake the session here with the
+        # same clientid + clean_start=False and ping-pong with the owner
+        time.sleep(2.5)
         assert bridge.respawns == 0, "watchdog respawned a superseded member"
         assert bridge._clients[0] is old
+        assert not old.is_connected(), "superseded member reconnected"
 
         pub = _publisher(broker.port)
         pub.publish("t/1", b"to-owner", qos=1).wait_for_publish()
         assert _wait(lambda: got == [b"to-owner"], timeout=10), got
+        # no late retake: the owner keeps the session past another
+        # reconnect-delay window, with no duplicate delivery
+        time.sleep(1.5)
+        assert got == [b"to-owner"], got
+        assert not old.is_connected(), "superseded member reconnected late"
         pub.disconnect()
         owner.loop_stop()
     finally:

@@ -316,7 +316,56 @@ def test_embedding_drift_matches_local_replay(spark, sf_dir):
         drift = int((((p - q) ** 2) // (p + q + 1)).sum())
         assert out[d + 1].drift_micro == drift
         shift = np.abs(p - q)
-        assert out[d + 1].top_shift_bucket == int(np.flatnonzero(shift == shift.max())[0])
+        # tie-break domain = OBSERVED buckets only (matches the oracle's
+        # cnt CTE); for shift.max() > 0 this equals the dense argmax,
+        # but an all-zero-shift dimension must resolve to the first
+        # populated bucket, never an empty bucket 0
+        cand = np.flatnonzero((shift == shift.max()) & ((c0 > 0) | (c1 > 0)))
+        assert out[d + 1].top_shift_bucket == int(cand[0])
+
+
+def test_embedding_drift_constant_dimension_tie_break(spark, tmp_path):
+    """Degenerate fixture (ADVICE r8): a CONSTANT dimension puts both
+    cohorts in one bucket, so every |p-q| is 0 and the per-dim max shift
+    ties across the whole domain. The tie must resolve to the populated
+    bucket on BOTH engines — before the observed-cells filter, Spark's
+    dense 64x8 tensor resolved to empty bucket 0 while the oracle (which
+    only materializes observed buckets) picked the populated one."""
+    import pandas as pd
+
+    # dim 1 constant at 0.9 → bucket 7 for everyone; remaining dims 0.0
+    # → bucket 4 for everyone (also constant — all dims tie at shift 0)
+    vecs = []
+    for i in range(8):
+        v = [0.0] * 64
+        v[0] = 0.9
+        vecs.append((i, v, 0))
+    pdf = pd.DataFrame(vecs, columns=["vec_id", "embedding", "label"])
+    spark.createDataFrame(
+        pdf, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        r.dim: r.top_shift_bucket
+        for r in _run("embedding_drift_scores", spark, str(tmp_path)).collect()
+    }
+    assert got[1] == 7  # the populated bucket, not empty bucket 0
+    assert all(got[d] == 4 for d in range(2, 65))
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    duck = {
+        int(d): int(b)
+        for d, _, b in con.execute(
+            QUERIES["embedding_drift_scores"].oracle
+        ).fetchall()
+    }
+    assert duck == got
 
 
 # ---------- X108 LSH recall eval ----------
