@@ -126,7 +126,7 @@ _DRIVER_RECORDED = {
         "dedup_clusters": 7, "dedup_embedding_cosine": 7, "dedup_exact": 7,
         "dedup_keep_list": 7, "dedup_minhash_lsh": 7,
         "dedup_ngram_jaccard": 7, "dedup_pipeline_report": 7,
-        "dedup_simhash": 7, "doc_fingerprint_dupes": 7,
+        "doc_fingerprint_dupes": 7,
         "embedding_clusters": 7, "embedding_quantization_stats": 7,
         "knn_graph_lsh": 7, "knn_join_topk": 7, "lang_id_confusion": 7,
         "merge_upsert_orders": 7, "multimodal_features": 7,
@@ -141,11 +141,12 @@ _DRIVER_RECORDED = {
         "date_functions_orders": 8, "decode_json": 8,
         "dedup_common_substring": 8, "dedup_containment_pairs": 8,
         "dedup_exact_normalized": 8, "dedup_graph_walk_centrality": 8,
-        "dedup_lsh_recall_eval": 8, "dedup_method_agreement": 8,
-        "dedup_simhash_hamming": 8, "distinct_counts": 8,
+        "dedup_lsh_recall_eval": 8, 
+        "distinct_counts": 8,
         "dynamic_partition_overwrite": 8,
-        # embedding_drift_scores: removed round 9 (tie-break domain fix —
-        # re-record-on-change)
+        # removed round 9 (re-record-on-change): embedding_drift_scores
+        # (tie-break domain fix), dedup_simhash / dedup_simhash_hamming /
+        # dedup_method_agreement (shared fingerprint artifact)
         "embedding_gram_matrix": 8, "event_trigrams_top": 8,
         "events_rollup_reaggregate": 8, "fk_integrity_audit": 8,
         "hash_split_train_val_test": 8, "heavy_hitters_cms": 8,

@@ -25,6 +25,43 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+# Session-scoped SimHash fingerprint artifact (VERDICT r8 item 3): the
+# Arrow-batched SimHash UDF corpus scan is the single dominant cost of the
+# X4 family and is consumed by THREE registered queries (dedup_simhash,
+# dedup_simhash_hamming, and dedup_method_agreement via composition) —
+# without materialization a full-registry run pays the identical scan up
+# to three times (21.3 s of sf1 dedup_simhash_hamming was mostly this).
+# A real pipeline materializes fingerprints once as a table; this is the
+# in-session equivalent (the dedup_pipeline_report reuse pattern lifted
+# across queries). localCheckpoint, not persist: blocks are freed when
+# the DataFrame is GC'd / the app exits (round-2 cache-leak lesson), and
+# the dict holds at most ONE corpus (~16 B/doc) — switching sf_dir or
+# session evicts the previous artifact so fixture-corpus tests and
+# multi-SF gates can't cross-contaminate. Keyed on the corpus file's
+# mtime so a rewritten documents.parquet (tmp-dir fixtures) invalidates.
+_FP_ARTIFACT: dict = {}
+
+
+def _simhash_fps(spark, sf_dir):
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), mtime)
+    fps = _FP_ARTIFACT.get(key)
+    if fps is None:
+        for old in _FP_ARTIFACT.values():
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _FP_ARTIFACT.clear()
+        fps = D.simhash_fingerprints(_docs(spark, sf_dir)).localCheckpoint()
+        _FP_ARTIFACT[key] = fps
+    return fps
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -251,7 +288,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    fps = D.simhash_fingerprints(_docs(spark, sf_dir))
+    fps = _simhash_fps(spark, sf_dir)
     return (
         fps.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").cast("bigint").alias("keeper"))
@@ -562,7 +599,9 @@ def dedup_containment_pairs(spark, sf_dir):
     tags=("dedup", "simhash", "pairs"),
 )
 def dedup_simhash_hamming(spark, sf_dir):
-    return D.simhash_hamming_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return D.simhash_hamming_pairs(
+        _docs(spark, sf_dir), max_hamming=3, fps=_simhash_fps(spark, sf_dir)
+    )
 
 
 @register(
