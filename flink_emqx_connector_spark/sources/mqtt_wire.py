@@ -146,14 +146,26 @@ def _packet(ptype: int, flags: int, body: bytes) -> bytes:
 _MAX_PACKET_SIZE = 1 << 24
 
 def connect_packet(
-    clientid: str, clean_start: bool, keepalive: int, session_expiry: int | None
+    clientid: str,
+    clean_start: bool,
+    keepalive: int,
+    session_expiry: int | None,
+    topic_alias_maximum: int | None = None,
 ) -> bytes:
+    props = _props_bytes(session_expiry=session_expiry)
+    if topic_alias_maximum:
+        # re-encode with the Topic-Alias-Maximum property appended
+        # (0x22, U16): the server may then compress PUBLISH topics to
+        # 2-byte aliases on this connection (MQTT-3.1.2-26/27)
+        _, i = _varint_from(props, 0)
+        inner = props[i:] + b"\x22" + struct.pack(">H", topic_alias_maximum)
+        props = _varint(len(inner)) + inner
     body = (
         _mqtt_str("MQTT")
         + b"\x05"
         + bytes([0x02 if clean_start else 0x00])
         + struct.pack(">H", keepalive)
-        + _props_bytes(session_expiry=session_expiry)
+        + props
         + _mqtt_str(clientid)
     )
     return _packet(CONNECT, 0, body)
@@ -176,6 +188,12 @@ def connack_packet(
 #: sends): session taken over / server busy / use another server.
 RC_SESSION_TAKEN_OVER, RC_SERVER_BUSY, RC_USE_ANOTHER_SERVER = 0x8E, 0x89, 0x9C
 
+#: Legal SUBACK reason codes (MQTT 5 §3.9.3): granted QoS 0-2 plus the
+#: failure codes. Anything else in a SUBACK is a malformed packet.
+_SUBACK_CODES = frozenset(
+    {0x00, 0x01, 0x02, 0x80, 0x83, 0x87, 0x8F, 0x91, 0x97, 0x9E, 0xA1, 0xA2}
+)
+
 
 def disconnect_packet(reason: int = 0) -> bytes:
     """Server/client DISCONNECT with a reason code (MQTT 5 §3.14)."""
@@ -190,12 +208,20 @@ def publish_packet(
     retain: bool = False,
     dup: bool = False,
     user_props=None,
+    topic_alias: int | None = None,
 ) -> bytes:
     flags = (8 if dup else 0) | (qos << 1) | (1 if retain else 0)
     body = _mqtt_str(topic)
     if qos:
         body += struct.pack(">H", pid)
-    body += _props_bytes(user_props=user_props) + payload
+    props = _props_bytes(user_props=user_props)
+    if topic_alias is not None:
+        # append the Topic Alias property (0x22 is the CONNECT-side max;
+        # the PUBLISH-side property id is 0x23)
+        _, i = _varint_from(props, 0)
+        inner = props[i:] + b"\x23" + struct.pack(">H", topic_alias)
+        props = _varint(len(inner)) + inner
+    body += props + payload
     return _packet(PUBLISH, flags, body)
 
 
@@ -794,6 +820,18 @@ class Client:
         # suppress the second on_message (true exactly-once on the
         # broker→subscriber leg, bounded by the 65535 mid space).
         self._rx_qos2: set[int] = set()
+        #: Topic-Alias-Maximum advertised in CONNECT (0 disables): real
+        #: EMQX then sends PUBLISH frames with a 2-byte alias instead of
+        #: repeating the topic string — the per-connection alias table
+        #: lives in _rx_alias and resets on every CONNACK (MQTT-3.3.2-7:
+        #: aliases never outlive the network connection).
+        self.topic_alias_maximum = 16
+        self._rx_alias: dict[int, str] = {}
+        #: pid → tuple of SUBACK reason codes, for callers that need to
+        #: confirm a grant (EMQX answers unauthorized filters with 0x87
+        #: per-topic in the SUBACK, NOT with a connection teardown).
+        self.suback_reasons: dict[int, tuple] = {}
+        self.on_subscribe = None  # (client, userdata, mid, reason_codes, props)
         self._running = False
         self._thread: threading.Thread | None = None
         self._wlock = threading.Lock()
@@ -938,7 +976,9 @@ class Client:
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         sock.sendall(
             connect_packet(
-                self._cid, self._clean_start, self._keepalive, self._session_expiry
+                self._cid, self._clean_start, self._keepalive,
+                self._session_expiry,
+                topic_alias_maximum=self.topic_alias_maximum,
             )
         )
         self._preader = _PacketReader(sock)
@@ -1026,6 +1066,7 @@ class Client:
                 self._send_quota = props.get(0x21)  # Receive-Maximum
                 self._inflight_out = 0
                 self._quota_cv.notify_all()
+            self._rx_alias.clear()  # MQTT-3.3.2-7: aliases are per-connection
             if self.on_connect is not None:
                 self._safe_callback(
                     self.on_connect, self, None, _Flags(session_present), 0, None
@@ -1040,6 +1081,21 @@ class Client:
                 (mid,) = struct.unpack_from(">H", body, i)
                 i += 2
             props, i = _parse_props(body, i)
+            alias = props.get(0x23)  # Topic Alias
+            if alias is not None:
+                # MQTT-3.3.2-9..12: alias 0 or above what we advertised is
+                # a protocol error; an empty topic resolves through the
+                # connection's alias table; a named topic (re)binds it.
+                # ValueError rides the loop's malformed-frame path (spec
+                # answer is DISCONNECT 0x94 then close — same net effect).
+                if not 0 < alias <= self.topic_alias_maximum:
+                    raise ValueError(f"topic alias {alias} out of range")
+                if topic:
+                    self._rx_alias[alias] = topic
+                elif alias in self._rx_alias:
+                    topic = self._rx_alias[alias]
+                else:
+                    raise ValueError(f"unknown topic alias {alias}")
             msg = MQTTMessage(topic, qos, retain, body[i:], mid, dup, props["user"])
             if qos == 2 and mid in self._rx_qos2:
                 # DUP retransmission of a message we already PUBREC'd
@@ -1078,6 +1134,26 @@ class Client:
             (pid,) = struct.unpack_from(">H", body, 0)
             self._rx_qos2.discard(pid)
             self._send(pubcomp_packet(pid))
+        elif ptype == SUBACK:
+            # MQTT-3.9: pid + properties + one reason code per filter.
+            # EMQX reports an unauthorized/invalid filter as a PER-TOPIC
+            # failure code (0x87, 0x8F, ...) in an otherwise healthy
+            # SUBACK — the subscription simply does not exist, so a
+            # client that ignores the codes waits forever for messages.
+            # A reason byte outside the spec's SUBACK table is a
+            # malformed packet (MQTT-4.13): ValueError → teardown +
+            # reconnect via the loop's parse-error path.
+            (pid,) = struct.unpack_from(">H", body, 0)
+            _props, i = _parse_props(body, 2)
+            codes = tuple(body[i:])
+            bad = [c for c in codes if c not in _SUBACK_CODES]
+            if bad or not codes:
+                raise ValueError(f"malformed SUBACK reason codes {codes!r}")
+            self.suback_reasons[pid] = codes
+            if self.on_subscribe is not None:
+                self._safe_callback(
+                    self.on_subscribe, self, None, pid, codes, None
+                )
         elif ptype == DISCONNECT:
             # Server-initiated DISCONNECT (real EMQX sends these with a
             # reason code before closing). Surface the reason, then:
@@ -1099,7 +1175,7 @@ class Client:
                 self.superseded = True
                 self._running = False
             raise ConnectionError(f"server DISCONNECT reason=0x{reason:02x}")
-        # PINGRESP / SUBACK need no action
+        # PINGRESP / UNSUBACK need no action
 
     def _release_quota(self) -> None:
         with self._quota_cv:

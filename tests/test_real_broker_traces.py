@@ -272,3 +272,269 @@ def test_trace_session_resume_redelivers_backlog_in_order():
     assert not ts.errors, ts.errors
     cli.loop_stop()
     ts.close()
+
+
+def _parse_connect_props(body: bytes) -> dict:
+    """Extract the properties dict from a client CONNECT body."""
+    from flink_emqx_connector_spark.sources.mqtt_wire import _parse_props
+
+    # fixed part: "MQTT" str(6) + level(1) + flags(1) + keepalive(2)
+    props, _end = _parse_props(body, 10)
+    return props
+
+
+def test_trace_topic_alias_resolution():
+    """Real EMQX compresses repeated topics to 2-byte aliases when the
+    client advertises Topic-Alias-Maximum (MQTT-3.1.2-26): a named
+    PUBLISH carrying alias N binds N; a later empty-topic PUBLISH with
+    alias N must deliver on the bound topic; rebinding N to a new topic
+    must take effect immediately. The client must also ADVERTISE the
+    maximum — without it a spec-correct broker never aliases."""
+    connect_props = []
+    acked = []
+    done = threading.Event()
+
+    def handler(conn):
+        ptype, _f, body = read_packet(conn)
+        assert ptype == CONNECT, ptype
+        connect_props.append(_parse_connect_props(body))
+        conn.sendall(connack_packet(False))
+        ptype, _f, _b = read_packet(conn)  # SUBSCRIBE from on_connect
+        conn.sendall(suback_packet(1, [1]))
+        # bind alias 1 → t/a, use it, rebind to t/b, use it again
+        conn.sendall(publish_packet("t/a", b"m1", 1, 11, topic_alias=1))
+        conn.sendall(publish_packet("", b"m2", 1, 12, topic_alias=1))
+        conn.sendall(publish_packet("t/b", b"m3", 1, 13, topic_alias=1))
+        conn.sendall(publish_packet("", b"m4", 1, 14, topic_alias=1))
+        for _ in range(4):
+            ptype, _f, body = read_packet(conn)
+            assert ptype == PUBACK, ptype
+            acked.append(struct.unpack_from(">H", body, 0)[0])
+        done.set()
+        time.sleep(0.2)
+
+    ts = _TraceServer(handler)
+    delivered = []
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="alias-c", protocol=MQTTv5)
+    cli.on_connect = lambda c, u, f, r, p=None: c.subscribe("t/#", qos=1)
+    cli.on_message = lambda c, u, m: delivered.append((m.topic, bytes(m.payload)))
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    assert _wait(done.is_set, timeout=10), (delivered, acked, ts.errors)
+    # CONNECT advertised Topic-Alias-Maximum (property 0x22)
+    assert connect_props[0].get(0x22) == cli.topic_alias_maximum > 0
+    assert delivered == [
+        ("t/a", b"m1"), ("t/a", b"m2"), ("t/b", b"m3"), ("t/b", b"m4"),
+    ], delivered
+    assert acked == [11, 12, 13, 14], acked
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+def test_trace_unknown_topic_alias_is_protocol_error():
+    """An empty-topic PUBLISH with an alias that was never bound (or an
+    alias above the advertised maximum) is a protocol error
+    (MQTT-3.3.2-10..12): the client must tear the connection down rather
+    than deliver on a guessed topic. Trace: unbound alias → the scripted
+    second connection must see a fresh CONNECT (teardown + reconnect,
+    the same path as any malformed frame)."""
+    second = threading.Event()
+
+    def bad(conn):
+        read_packet(conn)
+        conn.sendall(connack_packet(False))
+        conn.sendall(publish_packet("", b"ghost", 1, 21, topic_alias=7))
+        time.sleep(0.5)
+
+    def fresh(conn):
+        ptype, _f, _b = read_packet(conn)
+        assert ptype == CONNECT, ptype
+        conn.sendall(connack_packet(False))
+        second.set()
+        time.sleep(0.3)
+
+    ts = _TraceServer(bad, fresh)
+    delivered = []
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="alias-bad", protocol=MQTTv5)
+    cli.on_message = lambda c, u, m: delivered.append(m.topic)
+    cli.reconnect_delay_set(min_delay=0.05, max_delay=0.2)
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    assert _wait(second.is_set, timeout=10), ts.errors
+    assert delivered == [], "delivered a message on an unbound alias"
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+def test_trace_suback_failure_code_surfaces_without_teardown():
+    """EMQX answers an unauthorized topic filter with a PER-TOPIC failure
+    code (0x87 Not authorized) inside an otherwise healthy SUBACK — the
+    connection stays up, the subscription just doesn't exist. The client
+    must surface the code (a client that ignores SUBACK waits forever
+    for messages that can never arrive) and must NOT treat it as a
+    connection error."""
+    granted = []
+    done = threading.Event()
+
+    def handler(conn):
+        read_packet(conn)  # CONNECT
+        conn.sendall(connack_packet(False))
+        ptype, _f, body = read_packet(conn)  # SUBSCRIBE
+        (pid,) = struct.unpack_from(">H", body, 0)
+        conn.sendall(suback_packet(pid, [0x87]))
+        # connection must remain usable: a publish on another topic the
+        # client IS allowed to see still flows
+        conn.sendall(publish_packet("t/ok", b"alive", 0))
+        done.set()
+        time.sleep(0.5)
+
+    ts = _TraceServer(handler, lambda conn: None)
+    delivered = []
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="subfail", protocol=MQTTv5)
+    cli.on_connect = lambda c, u, f, r, p=None: c.subscribe("$secret/#", qos=1)
+    cli.on_subscribe = lambda c, u, mid, codes, p=None: granted.append((mid, codes))
+    cli.on_message = lambda c, u, m: delivered.append(bytes(m.payload))
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    assert _wait(done.is_set, timeout=10), ts.errors
+    assert _wait(lambda: granted and delivered, timeout=5), (granted, delivered)
+    (mid, codes) = granted[0]
+    assert codes == (0x87,), granted
+    assert cli.suback_reasons[mid] == (0x87,)
+    assert delivered == [b"alive"]
+    time.sleep(0.4)
+    assert ts.accepted == 1, "client reconnected on a per-topic failure"
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+def test_trace_malformed_suback_closes_connection():
+    """A SUBACK whose reason byte is outside the spec's §3.9.3 table is a
+    malformed packet (MQTT-4.13): the client must close and reconnect,
+    never record a nonsense grant. Trace: rc 0x55 → scripted second
+    connection sees a fresh CONNECT."""
+    second = threading.Event()
+
+    def malformed(conn):
+        read_packet(conn)
+        conn.sendall(connack_packet(False))
+        ptype, _f, body = read_packet(conn)  # SUBSCRIBE
+        (pid,) = struct.unpack_from(">H", body, 0)
+        conn.sendall(suback_packet(pid, [0x55]))
+        time.sleep(0.5)
+
+    def fresh(conn):
+        ptype, _f, _b = read_packet(conn)
+        assert ptype == CONNECT, ptype
+        conn.sendall(connack_packet(False))
+        second.set()
+        time.sleep(0.3)
+
+    ts = _TraceServer(malformed, fresh)
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="submal", protocol=MQTTv5)
+    sub_once = []
+    cli.on_connect = lambda c, u, f, r, p=None: (
+        sub_once.append(1), c.subscribe("t/#", qos=1)
+    ) if not sub_once else None
+    cli.reconnect_delay_set(min_delay=0.05, max_delay=0.2)
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    assert _wait(second.is_set, timeout=10), ts.errors
+    assert cli.suback_reasons == {}, "recorded a malformed grant"
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+def test_trace_retained_message_delivered_on_subscribe():
+    """Retained delivery (MQTT-3.3.1-6): subscribing to a filter with a
+    retained message delivers it immediately after the SUBACK with the
+    RETAIN flag SET (retain-as-published only applies to live routing).
+    The engine's decode layer exposes the flag, so the source can
+    distinguish a warm-up retained snapshot from live data."""
+    done = threading.Event()
+
+    def handler(conn):
+        read_packet(conn)  # CONNECT
+        conn.sendall(connack_packet(False))
+        ptype, _f, body = read_packet(conn)  # SUBSCRIBE
+        (pid,) = struct.unpack_from(">H", body, 0)
+        conn.sendall(suback_packet(pid, [1]))
+        conn.sendall(publish_packet("t/state", b"snapshot", 1, 31, retain=True))
+        ptype, _f, body = read_packet(conn)
+        assert ptype == PUBACK, ptype
+        assert struct.unpack_from(">H", body, 0)[0] == 31
+        # then a LIVE publish: retain flag must be clear on delivery
+        conn.sendall(publish_packet("t/state", b"live", 1, 32))
+        ptype, _f, body = read_packet(conn)
+        assert ptype == PUBACK, ptype
+        done.set()
+        time.sleep(0.2)
+
+    ts = _TraceServer(handler)
+    delivered = []
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="retain-c", protocol=MQTTv5)
+    cli.on_connect = lambda c, u, f, r, p=None: c.subscribe("t/state", qos=1)
+    cli.on_message = lambda c, u, m: delivered.append(
+        (bytes(m.payload), m.retain)
+    )
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    assert _wait(done.is_set, timeout=10), (delivered, ts.errors)
+    assert delivered == [(b"snapshot", True), (b"live", False)], delivered
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+def test_trace_failure_puback_still_releases_send_quota():
+    """Flow control under failure (MQTT-4.9.0-2): the send quota is
+    incremented on ANY PUBACK, including one carrying a failure reason
+    code (EMQX sends 0x97 Quota exceeded / 0x87 Not authorized per
+    message). A client that only releases on success deadlocks at the
+    Receive-Maximum after enough rejected publishes. Trace: quota 1,
+    every PUBACK carries 0x87 — all five publishes must still flow."""
+    seen = []
+    done = threading.Event()
+
+    def handler(conn):
+        read_packet(conn)  # CONNECT
+        conn.sendall(connack_packet(False, receive_maximum=1))
+        for _ in range(5):
+            ptype, _f, body = read_packet(conn)
+            assert ptype == PUBLISH, ptype
+            (tlen,) = struct.unpack_from(">H", body, 0)
+            (mid,) = struct.unpack_from(">H", body, 2 + tlen)
+            seen.append(mid)
+            # PUBACK with reason code 0x87 + empty properties
+            conn.sendall(
+                struct.pack(">BBHB", (PUBACK << 4), 4, mid, 0x87) + b"\x00"
+            )
+        done.set()
+        time.sleep(0.2)
+
+    ts = _TraceServer(handler)
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="fquota", protocol=MQTTv5)
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    def publisher():
+        for i in range(5):
+            cli.publish("t/q", b"m%d" % i, qos=1)
+
+    th = threading.Thread(target=publisher, daemon=True)
+    th.start()
+    assert _wait(done.is_set, timeout=15), (seen, ts.errors)
+    th.join(timeout=5)
+    assert len(seen) == 5 and len(set(seen)) == 5, seen
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
