@@ -8,11 +8,14 @@ Decode / feature-extraction / resize / frame-sampling run as Arrow-batched
 ``mapInPandas`` operators so each Python worker sees columnar batches, never
 single rows.
 
-The actual media codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-the decode kernels are stubbed: ``decode_image_stub`` raises
-``NotImplementedError`` by design, and ``extract_features`` computes a
-deterministic fake feature set (byte length, md5, first byte) — the Spark
-plumbing (schema, batching, partition behavior) is real and oracle-checked.
+Media codecs are OPTIONAL-IMPORT (VERDICT r8 item 7): when PIL is
+importable, ``decode_image`` really decodes (dimensions, mode, integer
+mean luminance) and ``decode_images`` emits ``real_decode = true``;
+without it the same operator falls back to a deterministic byte-derived
+pseudo-decode (``real_decode = false``) so the Spark plumbing — schema,
+batching, partition behavior — runs and is oracle-checked everywhere.
+``decode_image_stub`` remains the documented ffmpeg/librosa plug-point
+and still raises ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -52,11 +55,89 @@ def attach_media_columns(
 
 
 def decode_image_stub(payload: bytes) -> object:
-    """Media decode kernel — requires PIL/ffmpeg, not in this container."""
+    """Video/audio decode plug-point — requires ffmpeg/librosa, never
+    shipped here. Image decode has a real optional-import path now
+    (``decode_image``)."""
     raise NotImplementedError(
-        "media codecs (PIL/ffmpeg/librosa) are not installed; plug a real "
+        "media codecs (ffmpeg/librosa) are not installed; plug a real "
         "decoder here — the mapInPandas plumbing around it is complete"
     )
+
+
+def media_decode_available() -> bool:
+    """True when PIL is importable — checked per PROCESS (each Arrow
+    worker decides for itself, so a heterogeneous cluster degrades
+    per-executor rather than failing the job)."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode one image payload.
+
+    Real path (PIL importable): open, convert to RGB, report dimensions
+    and the integer milli-mean luminance (scaled-int so outputs are
+    exact and engine-comparable — the round-8 quantize-then-compute
+    rule). Fallback (no PIL): a deterministic byte-derived pseudo-decode
+    with ``real=False`` and sentinel dimensions, so the surrounding
+    pipeline exercises identically in codec-less environments.
+    """
+    import hashlib
+
+    if media_decode_available():
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            arr = np.asarray(im.convert("RGB"), dtype=np.int64)
+        return {
+            "width": int(arr.shape[1]),
+            "height": int(arr.shape[0]),
+            "mode": "RGB",
+            "mean_lum_milli": int(arr.sum() * 1000 // arr.size),
+            "real": True,
+        }
+    digest = hashlib.md5(payload).digest()
+    return {
+        "width": -1,
+        "height": -1,
+        "mode": "stub",
+        "mean_lum_milli": int.from_bytes(digest[:4], "big") % 256_000,
+        "real": False,
+    }
+
+
+DECODE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, mode string, "
+    "mean_lum_milli bigint, real_decode boolean"
+)
+
+
+def decode_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched image decode over binary payloads via
+    ``mapInPandas`` — the real-decode twin of ``extract_features``.
+    Same batch shape a GPU decode stage would consume; per-image cost is
+    payload-proportional, so Spark's size-based file splits keep
+    partitions balanced without operator help."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_image(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": [r["width"] for r in rows],
+                    "height": [r["height"] for r in rows],
+                    "mode": [r["mode"] for r in rows],
+                    "mean_lum_milli": [r["mean_lum_milli"] for r in rows],
+                    "real_decode": [r["real"] for r in rows],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, DECODE_SCHEMA)
 
 
 FEATURE_SCHEMA = "doc_id bigint, byte_len bigint, fp string, first_byte bigint"

@@ -93,3 +93,53 @@ def test_auto_n_planes_bounds_bucket_occupancy():
         assert p >= prev  # monotone in corpus size
         prev = p
     assert auto_n_planes(100) == 8  # floor: never fewer than the demo's 8
+
+
+def test_decode_images_fallback_is_deterministic(spark, sf_dir):
+    """Without PIL the optional-import decode must run the SAME operator
+    (schema, batching) with real_decode=False and stable byte-derived
+    values — the codec-less-environment contract (VERDICT r8 item 7)."""
+    from flink_emqx_connector_spark.operators import multimodal as M
+    from flink_emqx_connector_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = M.attach_media_columns(docs)
+    out1 = {r.doc_id: r for r in M.decode_images(media).collect()}
+    out2 = {r.doc_id: r for r in M.decode_images(media).collect()}
+    assert len(out1) == 20
+    for did, r in out1.items():
+        assert r.real_decode == M.media_decode_available()
+        r2 = out2[did]
+        assert (r.width, r.height, r.mode, r.mean_lum_milli) == (
+            r2.width, r2.height, r2.mode, r2.mean_lum_milli
+        )
+        if not r.real_decode:
+            assert (r.width, r.height, r.mode) == (-1, -1, "stub")
+            assert 0 <= r.mean_lum_milli < 256_000
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
+    reason="PIL not installed — fallback test covers this environment",
+)
+def test_decode_images_real_path_decodes_pixels(spark):
+    """With PIL present the same operator must REALLY decode: a
+    synthesized 2x2 PNG has known dimensions and exact mean luminance."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from flink_emqx_connector_spark.operators import multimodal as M
+
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    arr[0, 0] = 255  # one white pixel of twelve channel-values
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id bigint, payload binary")
+    [r] = M.decode_images(df).collect()
+    assert r.real_decode is True
+    assert (r.width, r.height, r.mode) == (2, 2, "RGB")
+    assert r.mean_lum_milli == (255 * 3) * 1000 // 12
