@@ -279,7 +279,7 @@ def _cell(seconds: float) -> None:
 
 
 def _multi_bridge_leg(
-    seconds: float, cells: tuple[int, ...] = (1, 2, 4)
+    seconds: float, cells: tuple[int, ...] = (1, 2, 4, 8)
 ) -> dict[int, float]:
     """{n_cells: aggregate msgs/s} for each point of the scale-out curve.
 
@@ -287,9 +287,11 @@ def _multi_bridge_leg(
     publishers — the 'one bridge per topic-filter on any stable host'
     scale-out unit from sources/bridge.py, executed rather than claimed.
     Near-linear aggregate (≈ n_cells × single) shows the single-process
-    ingest ceiling is a per-host ceiling, not a design ceiling; the
-    4-cell point pins the TREND, not just one ratio (32 cores here, so
-    4 cells of ~3 threads each stay CPU-unconstrained).
+    ingest ceiling is a per-host ceiling, not a design ceiling. The
+    8-cell point (VERDICT r8 item 5) probes whether a shared host
+    resource — the spool filesystem above all — bends the curve before
+    CPU does (32 cores, ~3 threads/cell: 8 cells ≈ 24 threads is the
+    first point where scheduler pressure is plausible).
     """
     import subprocess
 
