@@ -1082,10 +1082,25 @@ def test_bridge_watchdog_respawns_dead_member():
         assert _wait(lambda: bridge.respawns >= 1, timeout=30), "no respawn"
         # session resume redelivers the queued 5; nothing lost
         assert _wait(lambda: st.latest_seq() >= 6, timeout=30), st.latest_seq()
-        assert st.latest_seq() == 6, st.latest_seq()  # and no duplicates
         assert bridge._clients[0] is not victim
         pub.publish("t/1", b"after", qos=1).wait_for_publish()
-        assert _wait(lambda: st.latest_seq() == 7, timeout=30)
+        assert _wait(lambda: st.latest_seq() >= 7, timeout=30)
+        time.sleep(0.3)  # any extra redelivery lands here
+        # Flake policy (round-5, same as the prefix-aligned-replay test):
+        # QoS 1 is at-least-once — when full-suite host stall delays an
+        # ack past the respawned member's next resume cycle, the broker
+        # legitimately redelivers and one extra spool row appears
+        # (observed once in ~8 rounds of suite runs). The contract is
+        # COVERAGE exact + duplicates bounded by ONE redelivery cycle,
+        # never scattered: each payload 1-2 copies, nothing foreign.
+        from collections import Counter
+
+        copies = Counter(
+            bytes(m.payload) for m in st.read_range(0, 100, 0, 1)
+        )
+        expect = {b"before", b"after"} | {b"down%d" % i for i in range(5)}
+        assert set(copies) == expect, copies
+        assert all(1 <= c <= 2 for c in copies.values()), copies
         pub.disconnect()
     finally:
         bridge.stop()
