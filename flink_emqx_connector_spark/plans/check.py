@@ -65,6 +65,118 @@ def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     )
 
 
+# ---------------------------------------------------------------------------
+# Vectorized multiset compare for LARGE atomic-typed outputs.
+#
+# The sf10 campaign exposed the gate's real bottleneck: for queries whose
+# output is table-sized (window families at 15M rows, full-table joins),
+# the ENGINES finish in seconds while the per-value Python _norm loop +
+# repr-keyed sort takes 10+ minutes per side. The fast path below applies
+# only when the Spark schema is entirely atomic (no arrays/maps/structs):
+# both sides are fetched as pandas frames (Arrow on the Spark side) and
+# every column is canonicalized VECTORIZED into a string series —
+# numerically identical normalization (9-dp float rounding, -0.0
+# absorption, tz-stripped microsecond timestamps, NULL sentinel) — then
+# rows are joined, sorted as one numpy array, and compared. Any
+# unsupported dtype, any cross-side dtype-class disagreement, or ANY
+# mismatch verdict falls back to the exact per-row path over the same
+# frames, so the fast path can only ever short-circuit an all-green
+# comparison, never produce a false failure by itself.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+# below this the exact path is fast enough; env override exists so the
+# validation gate can force the vectorized lane for EVERY atomic query
+_FAST_MIN_ROWS = int(_os.environ.get("SPARK_GRAFT_CHECK_FAST_MIN", "200000"))
+
+
+def _canon_columns(pdf, cols: list[str]):
+    """Per-column canonical string Series, or None → caller falls back."""
+    import numpy as np
+    import pandas as pd
+
+    out = []
+    for c in cols:
+        s = pdf[c]
+        k = s.dtype.kind
+        if k in "iu":
+            canon = s.astype("int64").astype(str)
+        elif k == "b":
+            canon = s.astype(str)
+        elif k == "f":
+            canon = (s.round(9) + 0.0).astype(str)  # NaN → 'nan', both sides
+        elif k == "M":
+            try:
+                s = s.dt.tz_localize(None)
+            except TypeError:
+                pass
+            canon = s.astype("datetime64[us]").astype(str)
+        elif k == "O":
+            nn = s.dropna()
+            if len(nn):
+                first = nn.iloc[0]
+                # strings and date objects stringify canonically; anything
+                # else (bytes, Decimal, lists, dicts) → exact path
+                if isinstance(first, _dt.datetime) or not isinstance(
+                    first, (str, _dt.date)
+                ):
+                    return None
+            mask = s.isna().to_numpy()
+            canon = s.astype(str)
+            if mask.any():
+                canon = canon.copy()
+                canon[mask] = "\x00NULL"
+        else:
+            return None
+        out.append(canon.astype(str))
+    return out
+
+
+def _fast_multiset_equal(s_pdf, d_pdf) -> bool | None:
+    """True/False when the vectorized compare is conclusive; None → the
+    caller must use the exact path (unsupported dtype or dtype-class
+    disagreement between the sides)."""
+    import numpy as np
+
+    cols = sorted(s_pdf.columns)
+    for c in cols:  # same dtype CLASS on both sides or bail
+        sk, dk = s_pdf[c].dtype.kind, d_pdf[c].dtype.kind
+        grp = lambda k: "num" if k in "iuf" else k  # int-vs-float handled
+        if grp(sk) != grp(dk):
+            return None
+        if sk in "iu" and dk == "f" or sk == "f" and dk in "iu":
+            # one side nullable-widened to float: push both through float
+            s_pdf = s_pdf.copy()
+            d_pdf = d_pdf.copy()
+            s_pdf[c] = s_pdf[c].astype("float64")
+            d_pdf[c] = d_pdf[c].astype("float64")
+    s_cols = _canon_columns(s_pdf, cols)
+    if s_cols is None:
+        return None
+    d_cols = _canon_columns(d_pdf, cols)
+    if d_cols is None:
+        return None
+    s_join = s_cols[0].str.cat(s_cols[1:], sep="\x01") if len(s_cols) > 1 else s_cols[0]
+    d_join = d_cols[0].str.cat(d_cols[1:], sep="\x01") if len(d_cols) > 1 else d_cols[0]
+    return bool(
+        np.array_equal(
+            np.sort(s_join.to_numpy()), np.sort(d_join.to_numpy())
+        )
+    )
+
+
+def _atomic_schema(sdf) -> bool:
+    from pyspark.sql import types as T
+
+    atomic = (
+        T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.DoubleType,
+        T.FloatType, T.StringType, T.BooleanType, T.DateType,
+        T.TimestampType, T.TimestampNTZType,
+    )
+    return all(isinstance(f.dataType, atomic) for f in sdf.schema.fields)
+
+
 def _compare_bounded(q, sf_dir: str, s_cols: list[str], s_rows: list[tuple]) -> dict:
     """Bounded-error gate for sketch queries (QueryDef.bounded contract).
 
@@ -139,56 +251,113 @@ def _compare_bounded(q, sf_dir: str, s_cols: list[str], s_rows: list[tuple]) -> 
     return res
 
 
+def _pandas_rows(pdf) -> list[tuple]:
+    """Pandas frame → python row tuples with UNIFORM nulls (NaT/NaN →
+    None, matching what collect()/fetchall() produce), for the exact
+    comparison path."""
+    obj = pdf.astype(object)
+    obj = obj.where(obj.notna(), None)
+    return [tuple(r) for r in obj.itertuples(index=False, name=None)]
+
+
 def compare_query(spark, sf_dir: str, name: str) -> dict:
     """Run one query both ways; return a result dict (ok/raw details)."""
+    import time as _time
+
     from .registry import QUERIES
 
     q = QUERIES[name]
+    t0 = _time.monotonic()
     sdf = q.spark(spark, sf_dir)
     s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
+
+    # Atomic-typed oracle outputs ride the pandas/Arrow lane: collect()'s
+    # per-row Row objects and the per-value _norm loop are the gate's
+    # bottleneck at table-sized outputs (15M-row window families at sf10
+    # spent 10+ min in comparison against seconds of engine time).
+    s_pdf = d_pdf = None
+    if q.oracle is not None and _atomic_schema(sdf):
+        s_pdf = sdf.toPandas()
+        s_rows = None
+        n_s_rows = len(s_pdf)
+    else:
+        s_rows = [tuple(r) for r in sdf.collect()]
+        n_s_rows = len(s_rows)
+    t_spark = _time.monotonic() - t0
 
     if q.oracle is None:
         if q.bounded is not None:
-            return _compare_bounded(q, sf_dir, s_cols, s_rows)
+            res = _compare_bounded(q, sf_dir, s_cols, s_rows)
+            res["secs"] = round(_time.monotonic() - t0, 2)
+            return res
         return {
             "name": name,
-            "ok": len(s_rows) >= 0,
+            "ok": n_s_rows >= 0,
             "mode": "rows-only",
-            "spark_rows": len(s_rows),
+            "spark_rows": n_s_rows,
+            "secs": round(_time.monotonic() - t0, 2),
         }
 
+    t1 = _time.monotonic()
     con = duckdb_connect(sf_dir)
     cur = con.execute(q.oracle)
     d_cols = [c[0] for c in cur.description]
-    d_rows = cur.fetchall()
+    if s_pdf is not None:
+        d_pdf = cur.fetch_df()
+        d_rows = None
+        n_d_rows = len(d_pdf)
+        # fetch_df widens DATE to midnight datetime64 while Spark/fetchall
+        # keep datetime.date objects — coerce by the SPARK schema so both
+        # sides carry the same representation the classic path compares
+        from pyspark.sql import types as _T
+
+        for f in sdf.schema.fields:
+            if (
+                isinstance(f.dataType, _T.DateType)
+                and f.name in d_pdf.columns
+                and d_pdf[f.name].dtype.kind == "M"
+            ):
+                d_pdf[f.name] = d_pdf[f.name].dt.date
+    else:
+        d_rows = cur.fetchall()
+        n_d_rows = len(d_rows)
     con.close()
+    t_duck = _time.monotonic() - t1
 
     res = {
         "name": name,
         "mode": "oracle",
-        "spark_rows": len(s_rows),
-        "duck_rows": len(d_rows),
+        "spark_rows": n_s_rows,
+        "duck_rows": n_d_rows,
         "spark_cols": sorted(s_cols),
         "duck_cols": sorted(d_cols),
+        "secs": None,  # filled below
+        "spark_s": round(t_spark, 2),
+        "duck_s": round(t_duck, 2),
     }
+
+    def _done(ok: bool, **extra) -> dict:
+        res.update(ok=ok, **extra)
+        res["secs"] = round(_time.monotonic() - t0, 2)
+        return res
+
     if sorted(s_cols) != sorted(d_cols):
-        res["ok"] = False
-        res["why"] = "columns"
-        return res
-    if len(s_rows) != len(d_rows):
-        res["ok"] = False
-        res["why"] = "rowcount"
-        return res
+        return _done(False, why="columns")
+    if n_s_rows != n_d_rows:
+        return _done(False, why="rowcount")
+    if s_pdf is not None and n_s_rows >= _FAST_MIN_ROWS:
+        verdict = _fast_multiset_equal(s_pdf, d_pdf)
+        if verdict is True:
+            return _done(True, compare="vectorized")
+        # inconclusive OR mismatch → the exact path decides (the fast
+        # path alone never fails a query)
+    if s_pdf is not None:
+        s_rows, d_rows = _pandas_rows(s_pdf), _pandas_rows(d_pdf)
     sn, dn = _normalize(s_rows, s_cols), _normalize(d_rows, d_cols)
     if sn != dn:
-        res["ok"] = False
-        res["why"] = "values"
         diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-        res["sample_diff"] = diff
-        return res
-    res["ok"] = True
-    return res
+        return _done(False, why="values", sample_diff=diff)
+    return _done(True)
 
 
 def main(argv: list[str]) -> int:

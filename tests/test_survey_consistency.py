@@ -89,3 +89,41 @@ def test_catalog_is_current():
     qmd = (SURVEY.parent / "QUERIES.md").read_text()
     missing = {n for n in QUERIES if f"`{n}`" not in qmd}
     assert not missing, f"QUERIES.md is stale; regenerate (missing {missing})"
+
+
+def test_fast_multiset_compare_verdicts():
+    """The gate's vectorized lane: conclusive True on equal multisets
+    (any row order), conclusive False on a value diff (caller then
+    re-checks exactly), None on types it must not judge (lists)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from flink_emqx_connector_spark.plans.check import _fast_multiset_equal
+
+    a = pd.DataFrame(
+        {
+            "i": [1, 2, 3],
+            "f": [1.0000000001, float("nan"), -0.0],
+            "s": ["x", None, "y"],
+            "d": [dt.date(2024, 1, 1), dt.date(2024, 1, 2), None],
+        }
+    )
+    # same multiset, different row order, float inside the 9-dp rounding,
+    # +0.0 vs -0.0
+    b = a.iloc[[2, 0, 1]].reset_index(drop=True).copy()
+    b.loc[b.index[1], "f"] = 1.0000000002  # rounds to the same 9 dp
+    b.loc[b.index[0], "f"] = 0.0
+    assert _fast_multiset_equal(a, b) is True
+
+    c = a.copy()
+    c.loc[0, "i"] = 99
+    assert _fast_multiset_equal(a, c) is False
+
+    # int column vs nullable-widened float column: still conclusive
+    d = a.copy()
+    d["i"] = d["i"].astype("float64")
+    assert _fast_multiset_equal(a, d) is True
+
+    e = pd.DataFrame({"arr": [[1, 2], [3]]})
+    assert _fast_multiset_equal(e, e.copy()) is None
