@@ -303,18 +303,26 @@ def rollup_lineitem(spark, sf_dir):
     "cube_orders",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    doc="CUBE grouping sets.",
+    doc="CUBE grouping sets. The grand total sums in exact integer cents: "
+    "at sf10 the double-sum over 15M rows reaches ~3.8e12 where parallel "
+    "summation order moves the 2nd decimal (found by the sf10 gate); int64 "
+    "cents are exact to ~9e16 and both engines divide the same integer.",
     tags=("agg", "grouping-sets"),
 )
 def cube_orders(spark, sf_dir):
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         _t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(cents) / 100.0, 2).alias("total"),
+        )
     )
 
 
