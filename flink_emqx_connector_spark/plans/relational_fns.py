@@ -196,13 +196,16 @@ def codec_roundtrip_docs(spark, sf_dir):
            CASE WHEN GROUPING(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END
              AS priority,
            count(*) AS cnt,
-           round(sum(o_totalprice), 2) AS total_price
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """,
     doc="GROUPING SETS ((a,b),(a),()) with grouping() → '<all>' labels so "
     "every level has a concrete key (no NULL ambiguity across engines). "
-    "One pass, Expand operator — not three scans.",
+    "One pass, Expand operator — not three scans. The total sums in "
+    "exact integer cents: the sf10 grand total (~3.8e12 over 15M rows) "
+    "sits where double summation order moves the 2nd decimal.",
     tags=("agg", "grouping-sets"),
 )
 def grouping_sets_orders(spark, sf_dir):
@@ -214,7 +217,8 @@ def grouping_sets_orders(spark, sf_dir):
                CASE WHEN grouping(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END
                  AS priority,
                count(*) AS cnt,
-               round(sum(o_totalprice), 2) AS total_price
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+                 AS total_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """

@@ -111,6 +111,14 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", _driver_java_options())
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # The oracle gate collects both engines' full outputs to compare;
+        # at sf10 a per-user/per-hour result exceeds the 1g default. Only
+        # gate/bench collects ever get near this — engine plans never
+        # funnel data through the driver (audited: bounded build-sides).
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
