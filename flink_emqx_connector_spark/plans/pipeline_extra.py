@@ -296,7 +296,8 @@ def partitioned_layout_pruning(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -310,7 +311,9 @@ def partitioned_layout_pruning(spark, sf_dir):
     "join from a full-network shuffle into a node-local merge, and the "
     "one-time bucketed write amortizes over every subsequent join on "
     "the same key. Oracle joins the original parquet: layout must be "
-    "invisible to results.",
+    "invisible to results. Revenue sums per-row integer cents (identical "
+    "IEEE product both engines, then exact int64): per-priority sums hit "
+    "~6e11 at sf10, where double summation order moves the 2nd decimal.",
     tags=("join", "layout", "bucketing", "pruning"),
 )
 def bucketed_colocated_join(spark, sf_dir):
@@ -378,7 +381,13 @@ def bucketed_colocated_join(spark, sf_dir):
         .agg(
             F.count("*").alias("n_lines"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
             ).alias("revenue"),
         )
         .orderBy("o_orderpriority")
