@@ -31,14 +31,40 @@ from pyspark.sql import functions as F
 from .registry import register
 
 _PACK_BUDGET = 512
-_SHARDS = 8
 _CHUNK = 32
 _STRIDE = 24
 
-_DUCK_SHARD = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 "
-    "AS BIGINT)"
+# Shards scale with the corpus (~512 docs per shard, floor 8) instead of a
+# fixed 8: shards are the packing parallelism unit, so a constant count
+# means constant parallelism no matter the data (8 tasks at 100 TB), and
+# the oracle's recursive-CTE replay recurses docs-per-shard deep — fixed
+# shards made the sf10 oracle recurse 62,500 deep (unbounded runtime; found
+# by the round-9 sf10 gate). Both engines derive the SAME count from the
+# data itself: the oracle via a scalar subquery, the plan via parquet
+# metadata (no Spark job).
+_DOCS_PER_SHARD = 512
+
+_DUCK_N_SHARDS = (
+    f"(SELECT greatest(8, CAST(ceil(count(*) / {_DOCS_PER_SHARD}.0) AS BIGINT)) "
+    "FROM documents)"
 )
+_DUCK_SHARD = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % "
+    f"{_DUCK_N_SHARDS} AS BIGINT)"
+)
+
+
+def _n_shards(sf_dir: str) -> int:
+    """max(8, ceil(n_docs / 512)) from parquet footer metadata — the same
+    number the oracle's scalar subquery computes, without running a job."""
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(path).metadata.num_rows
+    return max(8, math.ceil(n / _DOCS_PER_SHARD))
 
 
 def _t(spark, sf_dir, name):
@@ -88,7 +114,9 @@ def sequence_pack_docs(spark, sf_dir):
     from ..operators.packing import pack_sequences_greedy
 
     return pack_sequences_greedy(
-        _t(spark, sf_dir, "documents"), budget=_PACK_BUDGET, shards=_SHARDS
+        _t(spark, sf_dir, "documents"),
+        budget=_PACK_BUDGET,
+        shards=_n_shards(sf_dir),
     )
 
 
@@ -127,7 +155,7 @@ def sequence_pack_contiguous(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("doc"),
         F.coalesce(F.size(F.split("text", " ")), F.lit(0)).alias("t"),
-        shard_of(F.col("doc_id"), _SHARDS).alias("shard"),
+        shard_of(F.col("doc_id"), _n_shards(sf_dir)).alias("shard"),
     )
     w = (
         Window.partitionBy("shard")
