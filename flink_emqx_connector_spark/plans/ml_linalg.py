@@ -401,13 +401,17 @@ def pareto_frontier(pts, price_col: str = "price", size_col: str = "size"):
              count(*) AS n_parts
       FROM part GROUP BY 1, 2
     )
-    SELECT a.price, a.size, CAST(a.n_parts AS BIGINT) AS n_parts
-    FROM pts a
-    WHERE NOT EXISTS (
-      SELECT 1 FROM pts b
-      WHERE b.price <= a.price AND b.size >= a.size
-        AND (b.price < a.price OR b.size > a.size)
+    , bp AS (
+      SELECT price, max(size) AS msize FROM pts GROUP BY 1
+    ), sk AS (
+      SELECT price, msize,
+             max(msize) OVER (ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+      FROM bp
     )
+    SELECT s.price, s.msize AS size, CAST(p.n_parts AS BIGINT) AS n_parts
+    FROM sk s JOIN pts p ON p.price = s.price AND p.size = s.msize
+    WHERE s.cm IS NULL OR s.msize > s.cm
     """,
     doc="X103: Pareto frontier (skyline) over parts — the points where "
     "no other part is both cheaper and larger (price minimized, size "
@@ -420,9 +424,11 @@ def pareto_frontier(pts, price_col: str = "price", size_col: str = "size"):
     "|distinct prices| rows (domain-bounded after the reduction); an "
     "unbounded price domain would use the two-phase range-partitioned "
     "skyline merge (local frontier per range, then frontier of "
-    "frontiers) — same operator shapes. The oracle states dominance "
-    "directly as NOT EXISTS; hash-equality proves the window algebra "
-    "implements it.",
+    "frontiers) — same operator shapes. The oracle uses the same "
+    "prefix-max algebra (the direct NOT-EXISTS dominance form is "
+    "quadratic in distinct points — it sat unbounded at sf10's ~110k "
+    "prices); tests/test_operators.py pins window-form ≡ NOT-EXISTS "
+    "dominance inside DuckDB itself at driver scale.",
     tags=("analytics", "skyline", "optimization"),
 )
 def pareto_frontier_parts(spark, sf_dir):

@@ -261,6 +261,42 @@ def test_pareto_frontier_is_exactly_the_undominated_set(spark, sf_dir):
     assert out == brute
 
 
+def test_pareto_oracle_prefix_max_equals_not_exists_dominance(sf_dir):
+    """The registered ORACLE uses the prefix-max skyline algebra (the direct
+    NOT-EXISTS dominance form is quadratic in distinct points and sat
+    unbounded at sf10). This pins, inside DuckDB itself, that both SQL forms
+    answer identically — so the scalable oracle still means 'undominated'."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM '{sf_dir}/part.parquet'"
+    )
+    pts = """
+    WITH pts AS (
+      SELECT p_retailprice AS price, p_size AS size, count(*) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    """
+    not_exists = con.execute(
+        pts
+        + """
+        SELECT a.price, a.size, CAST(a.n_parts AS BIGINT) AS n_parts
+        FROM pts a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts b
+          WHERE b.price <= a.price AND b.size >= a.size
+            AND (b.price < a.price OR b.size > a.size)
+        )
+        ORDER BY 1, 2
+        """
+    ).fetchall()
+    window_form = con.execute(
+        QUERIES["pareto_frontier_parts"].oracle + " ORDER BY 1, 2"
+    ).fetchall()
+    assert window_form == not_exists
+
+
 # ---------- X104 event trigrams ----------
 
 
