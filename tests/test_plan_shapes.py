@@ -355,16 +355,18 @@ def test_vocab_coverage_topk_not_global_sort(plans):
         assert "_w0" in line, line
 
 
-def test_percentiles_partial_aggregated_with_documented_scale_route(plans):
-    """percentiles_lineitem must keep partial aggregation below the
-    exchange (the shuffle carries per-group value buffers, not raw rows).
-    Exact percentiles stay holistic — the sanctioned 100 TB default is
-    approx_aggregates (sketch-mergeable, constant shuffle bytes); this
-    pins the exact form's best-available shape plus the registry routing."""
+def test_percentiles_histogram_form_with_documented_scale_route(plans):
+    """percentiles_lineitem computes exact percentile_cont over the
+    DISTINCT-VALUE HISTOGRAM, never through Spark's holistic percentile()
+    aggregate (whose partial buffer ships a group's entire value multiset
+    to one reducer — the round-9 sf10 gate's only JVM OOM, 203 s at 60M
+    rows). Pins: no percentile agg anywhere in the plan; the histogram
+    groupBy is partially aggregated (partial_count below its Exchange) so
+    the shuffle carries distinct values, not raw rows; the sanctioned
+    unbounded-domain route (approx_aggregates) stays documented."""
     p = plans("percentiles_lineitem")
-    # partial_percentile in the plan = map-side partial aggregation exists
-    # (the Exchange then carries per-group buffers, not raw rows)
-    assert "partial_percentile" in p, p
+    assert "partial_percentile" not in p, p  # the holistic agg is banned
+    assert "partial_count" in p, p  # histogram build is map-side combined
     assert "Exchange" in p, p
     assert "approx_aggregates" in QUERIES  # the documented scale route exists
     assert "approx_aggregates" in QUERIES["percentiles_lineitem"].doc
