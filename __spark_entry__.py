@@ -60,7 +60,7 @@ _DRIVER_RECORDED = {
         # latest green driver record: round 3 (9 names)
         "correlated_subquery_agg": 3, "decode_dead_letter_split": 3,
         "multimodal_frame_sample": 3, "multimodal_resize_plan": 3,
-        "percentiles_lineitem": 3, "text_regex_tokens": 3,
+        "text_regex_tokens": 3,
         "union_all_counts": 3, "unpivot_part_measures": 3,
         "window_functions_family": 3,
         # latest green driver record: round 4 (49 names)
@@ -72,8 +72,7 @@ _DRIVER_RECORDED = {
         "decode_xml_payload": 4, "dedup_ngram_jaccard_dfcap": 4,
         "doc_winnowing_fingerprints": 4, "full_outer_join_coverage": 4,
         "fuzzy_match_nations": 4, "gini_by_priority": 4,
-        "global_shuffle_docs": 4, "grouping_sets_orders": 4,
-        "interval_join_event_pairs": 4, "json_functions_events": 4,
+        "global_shuffle_docs": 4, "interval_join_event_pairs": 4, "json_functions_events": 4,
         "left_outer_join_nulls": 4, "map_functions_events": 4,
         "multiset_ops_users": 4, "ohlc_per_user_hour": 4,
         "partitioned_layout_pruning": 4, "pii_redact_docs": 4,
@@ -83,7 +82,6 @@ _DRIVER_RECORDED = {
         "range_frame_trailing_sum": 4, "regression_per_segment": 4,
         "repetition_filter_docs": 4, "resample_gapfill_events": 4,
         "salted_user_activity": 4, "scan_orc_roundtrip": 4,
-        "sequence_pack_contiguous": 4, "sequence_pack_docs": 4,
         "shard_assignment_docs": 4, "sliding_window_events": 4,
         "sql_interface_revenue_by_nation_quarter": 4,
         "stratified_sample_docs": 4, "try_functions_safety": 4,
@@ -91,7 +89,7 @@ _DRIVER_RECORDED = {
         "window_distribution_functions": 4, "zscore_per_priority": 4,
         # latest green driver record: round 5 (45 names)
         "bigram_lm_topk": 5, "bpe_merge_candidates": 5,
-        "bucketed_colocated_join": 5, "cross_source_duplication": 5,
+        "cross_source_duplication": 5,
         "daily_anomaly_events": 5, "dedup_graph_triangles": 5,
         "dedup_incremental": 5, "event_transition_matrix": 5,
         "funnel_stage_conversion": 5, "histogram_events": 5,
@@ -137,8 +135,7 @@ _DRIVER_RECORDED = {
         "ann_truncated_dim_recall": 8,
         "anti_join_customers_without_orders": 8, "bloom_membership_eval": 8,
         "bm25_search_topk": 8, "boilerplate_bigrams_by_source": 8,
-        "compaction_bins_by_source": 8, "cube_orders": 8,
-        "date_functions_orders": 8, "decode_json": 8,
+        "compaction_bins_by_source": 8, "date_functions_orders": 8, "decode_json": 8,
         "dedup_common_substring": 8, "dedup_containment_pairs": 8,
         "dedup_exact_normalized": 8, "dedup_graph_walk_centrality": 8,
         "dedup_lsh_recall_eval": 8, 
@@ -151,8 +148,7 @@ _DRIVER_RECORDED = {
         "events_rollup_reaggregate": 8, "fk_integrity_audit": 8,
         "hash_split_train_val_test": 8, "heavy_hitters_cms": 8,
         "hll_manual_registers": 8, "knn_label_agreement": 8,
-        "markov_stationary_events": 8, "pareto_frontier_parts": 8,
-        "q1_pricing_summary": 8, "q3_top_revenue_orders": 8,
+        "markov_stationary_events": 8, "q1_pricing_summary": 8, "q3_top_revenue_orders": 8,
         "rolling_sum": 8, "rollup_lineitem": 8, "runtime_filter_join": 8,
         "scalar_functions_part": 8, "scan_jsonl_roundtrip": 8,
         "scd2_user_state_history": 8, "schema_evolution_scan": 8,
