@@ -271,6 +271,46 @@ def compare_query(spark, sf_dir: str, name: str) -> dict:
     sdf = q.spark(spark, sf_dir)
     s_cols = list(sdf.columns)
 
+    # Dtype guard (r9 verdict, What's-wrong #2): the driver hashes TYPED
+    # values, so a Spark DecimalType column against a DOUBLE oracle column
+    # hash-mismatches even when the _norm-coerced floats agree (the
+    # grouping_sets_orders bug class: a bare `/ 100.0` in spark.sql() text
+    # parses as DECIMAL(4,1) and silently turns the whole expression
+    # DECIMAL). Fail loudly here — before either engine runs — instead of
+    # letting _norm's Decimal→float coercion mask the class. Both schemas
+    # are available lazily: Spark's from the unexecuted plan, DuckDB's from
+    # an unexecuted relation.
+    from pyspark.sql import types as _T
+
+    dec_cols = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, _T.DecimalType)
+    ]
+    if dec_cols and q.oracle is not None:
+        _con = duckdb_connect(sf_dir)
+        try:
+            _rel = _con.sql(q.oracle)
+            d_types = dict(zip(_rel.columns, (str(t) for t in _rel.types)))
+        finally:
+            _con.close()
+        bad = [
+            c for c in dec_cols
+            if not str(d_types.get(c, "")).upper().startswith("DECIMAL")
+        ]
+        if bad:
+            return {
+                "name": name,
+                "ok": False,
+                "mode": "oracle",
+                "why": (
+                    "dtype: Spark DecimalType vs non-DECIMAL oracle for "
+                    f"{bad} — driver hash would fail; check decimal "
+                    "literals in spark.sql() text (use 100.0D / CAST AS "
+                    "DOUBLE)"
+                ),
+                "secs": round(_time.monotonic() - t0, 2),
+            }
+
     # Atomic-typed oracle outputs ride the pandas/Arrow lane: collect()'s
     # per-row Row objects and the per-value _norm loop are the gate's
     # bottleneck at table-sized outputs (15M-row window families at sf10

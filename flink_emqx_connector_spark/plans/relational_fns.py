@@ -217,7 +217,7 @@ def grouping_sets_orders(spark, sf_dir):
                CASE WHEN grouping(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END
                  AS priority,
                count(*) AS cnt,
-               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2)
                  AS total_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())

@@ -25,7 +25,19 @@ and DuckDB SQL, collected from rounds 1-8 of cross-engine lessons):
 - every window/top-k/ntile ORDER BY carries a unique tie-break key;
 - plain ``WITH`` only — these texts are cheap enough that DuckDB's
   CTE re-inlining is harmless (the AS MATERIALIZED pin is DuckDB-only
-  syntax and would break Spark).
+  syntax and would break Spark);
+- **no bare decimal-literal arithmetic on aggregate results** (r9
+  verdict, the ``grouping_sets_orders`` bug class): Spark parses
+  ``100.0`` as DECIMAL(4,1), so ``sum(BIGINT) / 100.0`` comes back
+  DecimalType while DuckDB returns DOUBLE — the driver's typed hash
+  fails even though values agree. Scientific notation (``1e2``) parses
+  as DOUBLE in both engines and is safe; if a plain decimal literal
+  must touch an integer aggregate, write ``100.0D`` is Spark-only —
+  instead CAST the aggregate to DOUBLE first. ``plans/check.py`` now
+  hard-fails any query whose Spark schema carries DecimalType against a
+  non-DECIMAL oracle column, so this class can't pass the local gate
+  again. (``0.5`` inside ``floor(dbl * 1e2 + 0.5)`` is fine: the
+  double operand wins the numeric promotion in both engines.)
 
 Catalyst treats a parsed-SQL plan identically to the DataFrame API
 (same logical plan, same optimizer rules), so every scale property the
