@@ -114,7 +114,9 @@ _DRIVER_RECORDED = {
         "dedup_keep_list": 7, "dedup_minhash_lsh": 7,
         "dedup_ngram_jaccard": 7, "dedup_pipeline_report": 7,
         "doc_fingerprint_dupes": 7, "embedding_clusters": 7,
-        "embedding_quantization_stats": 7, "knn_graph_lsh": 7,
+        # round 10: knn_graph_lsh DELETED (occupancy-targeted plane count —
+        # plan changed; driver re-verifies)
+        "embedding_quantization_stats": 7,
         "knn_join_topk": 7, "lang_id_confusion": 7, "merge_upsert_orders": 7,
         "multimodal_features": 7, "nearest_centroid_confusion": 7,
         "pivot_lineitem_status": 7, "text_quality_scores": 7,

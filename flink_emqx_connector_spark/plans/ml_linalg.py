@@ -427,7 +427,7 @@ def pareto_frontier(pts, price_col: str = "price", size_col: str = "size"):
     "frontiers) — same operator shapes. The oracle uses the same "
     "prefix-max algebra (the direct NOT-EXISTS dominance form is "
     "quadratic in distinct points — it sat unbounded at sf10's ~110k "
-    "prices); tests/test_operators.py pins window-form ≡ NOT-EXISTS "
+    "prices); tests/test_layout_ml.py pins window-form ≡ NOT-EXISTS "
     "dominance inside DuckDB itself at driver scale.",
     tags=("analytics", "skyline", "optimization"),
 )

@@ -313,7 +313,10 @@ def partitioned_layout_pruning(spark, sf_dir):
     "the same key. Oracle joins the original parquet: layout must be "
     "invisible to results. Revenue sums per-row integer cents (identical "
     "IEEE product both engines, then exact int64): per-priority sums hit "
-    "~6e11 at sf10, where double summation order moves the 2nd decimal.",
+    "~6e11 at sf10, where double summation order moves the 2nd decimal. "
+    "Documented tradeoff (ADVICE r9): round-THEN-sum differs from the "
+    "classic sum-then-round revenue by ≤0.5 cent/row — the price of "
+    "cross-engine bit-determinism at any scale.",
     tags=("join", "layout", "bucketing", "pruning"),
 )
 def bucketed_colocated_join(spark, sf_dir):

@@ -56,14 +56,19 @@ _DUCK_SHARD = (
 
 def _n_shards(sf_dir: str) -> int:
     """max(8, ceil(n_docs / 512)) from parquet footer metadata — the same
-    number the oracle's scalar subquery computes, without running a job."""
+    number the oracle's scalar subquery computes, without running a job.
+    Dataset-aware (ADVICE r9): Spark-written corpora are DIRECTORIES of
+    part files; pq.ParquetFile only opens a single file."""
     import math
     import os
 
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "documents.parquet")
-    n = pq.ParquetFile(path).metadata.num_rows
+    if os.path.isdir(path):
+        n = pq.ParquetDataset(path).count_rows()
+    else:
+        n = pq.ParquetFile(path).metadata.num_rows
     return max(8, math.ceil(n / _DOCS_PER_SHARD))
 
 

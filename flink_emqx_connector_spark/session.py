@@ -115,9 +115,13 @@ def get_spark(
         # at sf10 a per-user/per-hour result exceeds the 1g default. Only
         # gate/bench collects ever get near this — engine plans never
         # funnel data through the driver (audited: bounded build-sides).
+        # Default 4g < driver heap (8g) so a runaway collect on an
+        # ordinary session raises a clean size error instead of OOMing
+        # the JVM (ADVICE r9); sf10 gate runs export
+        # SPARK_GRAFT_MAX_RESULT alongside the 64g heap.
         .config(
             "spark.driver.maxResultSize",
-            os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
         )
     )
     for k, v in (extra_conf or {}).items():
