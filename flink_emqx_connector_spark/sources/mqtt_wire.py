@@ -23,10 +23,15 @@ Scope — exactly the protocol surface the connector semantics need
   properties;
 - persistent sessions: a second CONNECT with a live clientid takes the
   session over (the old connection is closed — EMQX behavior);
-- PINGREQ/PINGRESP, DISCONNECT.
+- PINGREQ/PINGRESP, DISCONNECT;
+- (round 9, client side, exercised by the trace-replay corpus in
+  ``tests/test_real_broker_traces.py``) inbound topic-alias bind/resolve,
+  retained-flag delivery on subscribe, SUBACK failure reason codes, and
+  Receive-Maximum send quota incl. release on failure PUBACKs.
 
-Out of scope (unused by the connector): retained-message store, will
-messages, topic aliases, auth, session-expiry timers.
+Out of scope (unused by the connector): retained-message STORE on the
+embedded broker, will messages, outbound alias assignment, auth,
+session-expiry timers.
 """
 
 from __future__ import annotations
@@ -43,7 +48,8 @@ from ..functions.topics import strip_share, topic_matches_py
 
 CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
 PUBREC, PUBREL, PUBCOMP = 5, 6, 7
-SUBSCRIBE, SUBACK, PINGREQ, PINGRESP, DISCONNECT = 8, 9, 12, 13, 14
+SUBSCRIBE, SUBACK, UNSUBSCRIBE, UNSUBACK = 8, 9, 10, 11
+PINGREQ, PINGRESP, DISCONNECT = 12, 13, 14
 
 
 # --------------------------------------------------------------------------
@@ -194,6 +200,10 @@ _SUBACK_CODES = frozenset(
     {0x00, 0x01, 0x02, 0x80, 0x83, 0x87, 0x8F, 0x91, 0x97, 0x9E, 0xA1, 0xA2}
 )
 
+#: Legal UNSUBACK reason codes (MQTT 5 §3.11.3): Success, No subscription
+#: existed, plus the failure codes. Anything else is malformed (MQTT-4.13).
+_UNSUBACK_CODES = frozenset({0x00, 0x11, 0x80, 0x83, 0x87, 0x8F, 0x91})
+
 
 def disconnect_packet(reason: int = 0) -> bytes:
     """Server/client DISCONNECT with a reason code (MQTT 5 §3.14)."""
@@ -251,6 +261,16 @@ def subscribe_packet(pid: int, topic_filter: str, qos: int) -> bytes:
 
 def suback_packet(pid: int, reasons: list[int]) -> bytes:
     return _packet(SUBACK, 0, struct.pack(">H", pid) + _varint(0) + bytes(reasons))
+
+
+def unsubscribe_packet(pid: int, topic_filter: str) -> bytes:
+    # UNSUBSCRIBE's fixed-header flags are 0b0010 by spec (§3.10.1)
+    body = struct.pack(">H", pid) + _varint(0) + _mqtt_str(topic_filter)
+    return _packet(UNSUBSCRIBE, 2, body)
+
+
+def unsuback_packet(pid: int, reasons: list[int]) -> bytes:
+    return _packet(UNSUBACK, 0, struct.pack(">H", pid) + _varint(0) + bytes(reasons))
 
 
 def _hard_close(sock: socket.socket) -> None:
@@ -464,6 +484,8 @@ class EmbeddedBroker:
             self._on_connect(conn, body)
         elif ptype == SUBSCRIBE:
             self._on_subscribe(conn, body)
+        elif ptype == UNSUBSCRIBE:
+            self._on_unsubscribe(conn, body)
         elif ptype == PUBLISH:
             self._on_publish(conn, flags, body)
         elif ptype == PUBACK:
@@ -566,6 +588,22 @@ class EmbeddedBroker:
                     conn.session.subs[filt] = (qos, group if group else None)
                 reasons.append(qos)
             conn.send(suback_packet(pid, reasons))
+
+    def _on_unsubscribe(self, conn: _BrokerConn, body: bytes) -> None:
+        # §3.10-3.11: per-filter reason — 0x00 when the subscription
+        # existed and is removed, 0x11 when it never did (EMQX behavior).
+        (pid,) = struct.unpack_from(">H", body, 0)
+        _props, i = _parse_props(body, 2)
+        reasons = []
+        with self._lock:
+            while i < len(body):
+                filt, i = _parse_str(body, i)
+                if conn.session is not None and filt in conn.session.subs:
+                    del conn.session.subs[filt]
+                    reasons.append(0x00)
+                else:
+                    reasons.append(0x11)  # No subscription existed
+            conn.send(unsuback_packet(pid, reasons))
 
     def _on_publish(self, conn: _BrokerConn, flags: int, body: bytes) -> None:
         qos = (flags >> 1) & 0x03
@@ -832,6 +870,12 @@ class Client:
         #: per-topic in the SUBACK, NOT with a connection teardown).
         self.suback_reasons: dict[int, tuple] = {}
         self.on_subscribe = None  # (client, userdata, mid, reason_codes, props)
+        #: pid → tuple of UNSUBACK reason codes (§3.11.3: 0x00 removed,
+        #: 0x11 no subscription existed, 0x87 not authorized, ...). The
+        #: connection stays up either way — per-filter outcomes, exactly
+        #: like SUBACK.
+        self.unsuback_reasons: dict[int, tuple] = {}
+        self.on_unsubscribe = None  # (client, userdata, mid, reason_codes, props)
         self._running = False
         self._thread: threading.Thread | None = None
         self._wlock = threading.Lock()
@@ -893,6 +937,9 @@ class Client:
 
     def subscribe(self, topic, qos=0) -> None:
         self._send(subscribe_packet(self._next_pid(), topic, qos))
+
+    def unsubscribe(self, topic) -> None:
+        self._send(unsubscribe_packet(self._next_pid(), topic))
 
     def publish(
         self, topic, payload=b"", qos=0, retain=False, properties=None
@@ -1154,6 +1201,24 @@ class Client:
                 self._safe_callback(
                     self.on_subscribe, self, None, pid, codes, None
                 )
+        elif ptype == UNSUBACK:
+            # MQTT-3.11: pid + properties + one reason code per filter.
+            # EMQX answers per-filter (0x00 removed / 0x11 no such
+            # subscription / 0x87 not authorized) in a healthy UNSUBACK —
+            # the connection stays up. A reason byte outside the §3.11.3
+            # table is malformed (MQTT-4.13): ValueError → teardown +
+            # reconnect, same path as a malformed SUBACK.
+            (pid,) = struct.unpack_from(">H", body, 0)
+            _props, i = _parse_props(body, 2)
+            codes = tuple(body[i:])
+            bad = [c for c in codes if c not in _UNSUBACK_CODES]
+            if bad or not codes:
+                raise ValueError(f"malformed UNSUBACK reason codes {codes!r}")
+            self.unsuback_reasons[pid] = codes
+            if self.on_unsubscribe is not None:
+                self._safe_callback(
+                    self.on_unsubscribe, self, None, pid, codes, None
+                )
         elif ptype == DISCONNECT:
             # Server-initiated DISCONNECT (real EMQX sends these with a
             # reason code before closing). Surface the reason, then:
@@ -1175,7 +1240,7 @@ class Client:
                 self.superseded = True
                 self._running = False
             raise ConnectionError(f"server DISCONNECT reason=0x{reason:02x}")
-        # PINGRESP / UNSUBACK need no action
+        # PINGRESP needs no action
 
     def _release_quota(self) -> None:
         with self._quota_cv:

@@ -1202,3 +1202,40 @@ def test_shared_group_redispatch_on_member_death(broker):
     for t in ts[1:]:
         t.client.disconnect()
     pub.disconnect()
+
+
+def test_unsubscribe_stops_delivery(broker):
+    """UNSUBSCRIBE over real sockets: delivery stops, the broker answers
+    0x00 for the removed filter and 0x11 for a filter that never
+    existed, and the connection stays fully usable (a re-subscribe
+    receives again)."""
+    got = []
+    unsubs = []
+    sub = Client(CallbackAPIVersion.VERSION2, client_id="unsub-e2e", protocol=MQTTv5)
+    sub.on_connect = lambda c, u, f, r, p=None: c.subscribe("t/u/#", qos=1)
+    sub.on_message = lambda c, u, m: got.append(bytes(m.payload))
+    sub.on_unsubscribe = lambda c, u, mid, codes, p=None: unsubs.append(codes)
+    sub.connect("127.0.0.1", broker.port)
+    sub.loop_start()
+    assert _wait(lambda: broker.sessions.get("unsub-e2e") and broker.sessions["unsub-e2e"].subs)
+
+    pub = _publisher(broker.port)
+    pub.publish("t/u/1", b"before", qos=1).wait_for_publish()
+    assert _wait(lambda: got == [b"before"])
+
+    sub.unsubscribe("t/u/#")
+    assert _wait(lambda: unsubs == [(0x00,)]), unsubs
+    assert broker.sessions["unsub-e2e"].subs == {}
+    pub.publish("t/u/2", b"after", qos=1).wait_for_publish()
+    time.sleep(0.3)
+    assert got == [b"before"], got  # nothing delivered post-unsubscribe
+
+    sub.unsubscribe("t/u/#")  # second time: no subscription existed
+    assert _wait(lambda: unsubs == [(0x00,), (0x11,)]), unsubs
+
+    sub.subscribe("t/u/#", qos=1)  # connection still healthy
+    assert _wait(lambda: broker.sessions["unsub-e2e"].subs)
+    pub.publish("t/u/3", b"again", qos=1).wait_for_publish()
+    assert _wait(lambda: got == [b"before", b"again"]), got
+    sub.disconnect()
+    pub.disconnect()

@@ -538,3 +538,206 @@ def test_trace_failure_puback_still_releases_send_quota():
     assert not ts.errors, ts.errors
     cli.loop_stop()
     ts.close()
+
+
+def test_trace_flow_control_exhaustion_release_under_sustained_load():
+    """Round-10 trace: sustained stream through a small quota. EMQX
+    advertises Receive-Maximum 3; the client wants to publish 30 QoS 1
+    messages as fast as it can. The broker acks each message only after
+    it has VERIFIED the outstanding count never exceeded the quota —
+    repeatedly exhausting and releasing the window mid-stream (not the
+    one-shot exhaust/release the round-9 trace pinned). The server
+    tracks, per arriving PUBLISH, how many un-acked messages exist;
+    any excursion above 3 is a quota violation a real EMQX would punish
+    with DISCONNECT 0x93."""
+    QUOTA, TOTAL = 3, 30
+    seen = []          # mids in arrival order
+    outstanding_max = [0]
+    done = threading.Event()
+
+    def handler(conn):
+        read_packet(conn)  # CONNECT
+        conn.sendall(connack_packet(False, receive_maximum=QUOTA))
+        unacked = []
+        for i in range(TOTAL):
+            ptype, _f, body = read_packet(conn)
+            assert ptype == PUBLISH, ptype
+            (tlen,) = struct.unpack_from(">H", body, 0)
+            (mid,) = struct.unpack_from(">H", body, 2 + tlen)
+            seen.append(mid)
+            unacked.append(mid)
+            outstanding_max[0] = max(outstanding_max[0], len(unacked))
+            assert len(unacked) <= QUOTA, f"quota violated at msg {i}"
+            # hold the window shut every QUOTA-th message to force a full
+            # exhaust, then release the OLDEST (in-order ack), sometimes
+            # two at once (burst release) — the shapes a loaded broker
+            # produces
+            if len(unacked) == QUOTA:
+                n_release = 2 if (i // QUOTA) % 2 else 1
+                for _ in range(min(n_release, len(unacked))):
+                    conn.sendall(
+                        struct.pack(">BBH", (PUBACK << 4), 2, unacked.pop(0))
+                    )
+        for mid in unacked:  # drain so the publisher thread unblocks
+            conn.sendall(struct.pack(">BBH", (PUBACK << 4), 2, mid))
+        done.set()
+        time.sleep(0.2)
+
+    ts = _TraceServer(handler)
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="sustain-q", protocol=MQTTv5)
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    def publisher():
+        for i in range(TOTAL):
+            cli.publish("t/load", b"m%d" % i, qos=1)
+
+    th = threading.Thread(target=publisher, daemon=True)
+    th.start()
+    assert _wait(done.is_set, timeout=30), (len(seen), ts.errors)
+    th.join(timeout=5)
+    assert len(seen) == TOTAL and len(set(seen)) == TOTAL, seen
+    assert outstanding_max[0] == QUOTA, outstanding_max  # window was USED, not just obeyed
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+def test_trace_unsuback_reason_codes_per_filter():
+    """Round-10 trace: UNSUBACK carries per-filter reason codes
+    (§3.11.3) — 0x00 for a removed subscription, 0x11 when none existed
+    (EMQX answers exactly these). Like SUBACK failures, the connection
+    STAYS UP: a later publish must still flow, and the client must
+    surface the codes (unsuback_reasons + on_unsubscribe)."""
+    unsubs = []
+    done = threading.Event()
+
+    def handler(conn):
+        read_packet(conn)  # CONNECT
+        conn.sendall(connack_packet(False))
+        ptype, _f, body = read_packet(conn)  # SUBSCRIBE t/a
+        (pid,) = struct.unpack_from(">H", body, 0)
+        conn.sendall(suback_packet(pid, [1]))
+        # UNSUBSCRIBE #1: existing filter → 0x00
+        ptype, flags, body = read_packet(conn)
+        assert (ptype, flags) == (10, 2), (ptype, flags)  # UNSUBSCRIBE, 0b0010
+        (pid1,) = struct.unpack_from(">H", body, 0)
+        conn.sendall(
+            struct.pack(">BBH", (11 << 4), 4, pid1) + b"\x00" + bytes([0x00])
+        )
+        # UNSUBSCRIBE #2: unknown filter → 0x11 No subscription existed
+        ptype, _f, body = read_packet(conn)
+        assert ptype == 10, ptype
+        (pid2,) = struct.unpack_from(">H", body, 0)
+        conn.sendall(
+            struct.pack(">BBH", (11 << 4), 4, pid2) + b"\x00" + bytes([0x11])
+        )
+        # connection must remain usable after both
+        conn.sendall(publish_packet("t/alive", b"ok", 0))
+        done.set()
+        time.sleep(0.5)
+
+    ts = _TraceServer(handler, lambda conn: None)
+    delivered = []
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="unsub-c", protocol=MQTTv5)
+    cli.on_connect = lambda c, u, f, r, p=None: c.subscribe("t/a", qos=1)
+    cli.on_unsubscribe = lambda c, u, mid, codes, p=None: unsubs.append((mid, codes))
+    cli.on_message = lambda c, u, m: delivered.append(bytes(m.payload))
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    assert _wait(lambda: cli.suback_reasons, timeout=10), ts.errors
+    cli.unsubscribe("t/a")
+    assert _wait(lambda: len(unsubs) == 1, timeout=5), (unsubs, ts.errors)
+    cli.unsubscribe("t/never")
+    assert _wait(done.is_set, timeout=10), ts.errors
+    assert _wait(lambda: len(unsubs) == 2 and delivered, timeout=5), (unsubs, delivered)
+    assert unsubs[0][1] == (0x00,) and unsubs[1][1] == (0x11,), unsubs
+    assert set(cli.unsuback_reasons.values()) == {(0x00,), (0x11,)}
+    assert delivered == [b"ok"]
+    time.sleep(0.3)
+    assert ts.accepted == 1, "client reconnected on a per-filter UNSUBACK code"
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+def test_trace_malformed_unsuback_closes_connection():
+    """An UNSUBACK reason byte outside §3.11.3 is malformed (MQTT-4.13):
+    teardown + reconnect, never a recorded grant — the UNSUBACK twin of
+    the malformed-SUBACK trace."""
+    second = threading.Event()
+
+    def malformed(conn):
+        read_packet(conn)
+        conn.sendall(connack_packet(False))
+        ptype, _f, body = read_packet(conn)  # UNSUBSCRIBE
+        (pid,) = struct.unpack_from(">H", body, 0)
+        conn.sendall(struct.pack(">BBH", (11 << 4), 4, pid) + b"\x00" + bytes([0x55]))
+        time.sleep(0.5)
+
+    def fresh(conn):
+        ptype, _f, _b = read_packet(conn)
+        assert ptype == CONNECT, ptype
+        conn.sendall(connack_packet(False))
+        second.set()
+        time.sleep(0.3)
+
+    ts = _TraceServer(malformed, fresh)
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="unsub-mal", protocol=MQTTv5)
+    once = []
+    cli.on_connect = lambda c, u, f, r, p=None: (
+        once.append(1), c.unsubscribe("t/x")
+    ) if not once else None
+    cli.reconnect_delay_set(min_delay=0.05, max_delay=0.2)
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    assert _wait(second.is_set, timeout=10), ts.errors
+    assert cli.unsuback_reasons == {}, "recorded a malformed UNSUBACK"
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+def test_trace_alias_above_advertised_maximum_is_protocol_error():
+    """MQTT-3.3.2-9/-10: a PUBLISH carrying a Topic Alias GREATER than
+    the Topic-Alias-Maximum the client advertised in CONNECT is a
+    protocol error even when the packet also names the topic — the
+    receiver must tear the connection down (real EMQX answers
+    DISCONNECT 0x94 Topic Alias invalid), never bind the alias. Trace:
+    named publish with alias (max+1) → no delivery, fresh CONNECT on the
+    scripted second connection."""
+    second = threading.Event()
+
+    def bad(conn):
+        ptype, _f, body = read_packet(conn)
+        assert ptype == CONNECT, ptype
+        maximum = _parse_connect_props(body).get(0x22)
+        assert maximum and maximum > 0
+        conn.sendall(connack_packet(False))
+        conn.sendall(
+            publish_packet("t/over", b"nope", 1, 31, topic_alias=maximum + 1)
+        )
+        time.sleep(0.5)
+
+    def fresh(conn):
+        ptype, _f, _b = read_packet(conn)
+        assert ptype == CONNECT, ptype
+        conn.sendall(connack_packet(False))
+        second.set()
+        time.sleep(0.3)
+
+    ts = _TraceServer(bad, fresh)
+    delivered = []
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="alias-over", protocol=MQTTv5)
+    cli.on_message = lambda c, u, m: delivered.append(m.topic)
+    cli.reconnect_delay_set(min_delay=0.05, max_delay=0.2)
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    assert _wait(second.is_set, timeout=10), ts.errors
+    assert delivered == [], "delivered a PUBLISH whose alias exceeds the maximum"
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
