@@ -57,7 +57,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_survey_consistency.py asserts the literal is duplicate-free
 # and registry-known (the 40596e4 bug class).
 _DRIVER_RECORDED = {
-        # round 10: grouping_sets_orders DELETED (100.0D decimal-literal
+        # round 10 deletions (re-record-on-change): sql_segment_revenue /
+        # sql_monthly_ship_flow / sql_returnflag_status_matrix (integer-
+        # cents rewrite), knn_graph_lsh (occupancy-targeted planes), and
+        # grouping_sets_orders DELETED (100.0D decimal-literal
         # fix, plans/relational_fns.py) so the driver re-verifies the
         # fixed plan — it fronts the window as never-recorded.
         # latest green driver record: round 4 (28 names)
@@ -163,10 +166,8 @@ _DRIVER_RECORDED = {
         "sequence_pack_contiguous": 9, "sequence_pack_docs": 9,
         "sql_above_average_orders": 9, "sql_buyer_viewer_setops": 9,
         "sql_docs_lang_profile": 9, "sql_events_daily_activity": 9,
-        "sql_exists_repeat_purchasers": 9, "sql_monthly_ship_flow": 9,
-        "sql_nation_region_rollup": 9, "sql_order_value_deciles": 9,
-        "sql_priority_share_by_year": 9, "sql_returnflag_status_matrix": 9,
-        "sql_segment_revenue": 9, "sql_supplier_part_coverage": 9,
+        "sql_exists_repeat_purchasers": 9, "sql_nation_region_rollup": 9, "sql_order_value_deciles": 9,
+        "sql_priority_share_by_year": 9, "sql_supplier_part_coverage": 9,
         "sql_top3_parts_per_brand": 9, "text_regex_tokens": 9,
         "union_all_counts": 9, "unpivot_part_measures": 9,
         "window_distribution_functions": 9, "window_functions_family": 9,

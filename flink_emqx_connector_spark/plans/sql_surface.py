@@ -37,7 +37,17 @@ and DuckDB SQL, collected from rounds 1-8 of cross-engine lessons):
   hard-fails any query whose Spark schema carries DecimalType against a
   non-DECIMAL oracle column, so this class can't pass the local gate
   again. (``0.5`` inside ``floor(dbl * 1e2 + 0.5)`` is fine: the
-  double operand wins the numeric promotion in both engines.)
+  double operand wins the numeric promotion in both engines.);
+- **integer-cents for money sums whose groups can reach ~1e11** (the
+  round-9 sf10 FP-summation finding, applied proactively here in r10):
+  ``CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) / 1e2`` —
+  identical IEEE per-row product both engines, exact int64 sum, one
+  double division at the end (the outer CAST collapses DuckDB's
+  HUGEINT). Used by ``sql_segment_revenue`` (~7.5e11/segment at sf10),
+  ``sql_returnflag_status_matrix`` (~5e11/flag), and
+  ``sql_monthly_ship_flow`` (crosses 1e11 at ~sf30). Per-row rounding
+  before the sum is the same documented ≤0.5-cent/row tradeoff as
+  ``bucketed_colocated_join``.
 
 Catalyst treats a parsed-SQL plan identically to the DataFrame API
 (same logical plan, same optimizer rules), so every scale property the
@@ -87,8 +97,11 @@ _define(
     """
     SELECT c.c_mktsegment AS segment,
            CAST(count(*) AS BIGINT) AS n_orders,
-           floor(sum(o.o_totalprice) * 1e2 + 0.5) / 1e2 AS total_revenue,
-           floor(avg(o.o_totalprice) * 1e4 + 0.5) / 1e4 AS avg_order_value
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 1e2 AS total_revenue,
+           floor(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) / 1e2 / count(*) * 1e4 + 0.5) / 1e4
+               AS avg_order_value
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
@@ -183,8 +196,8 @@ _define(
     SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
            CAST(count(*) AS BIGINT) AS n_lines,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
-           floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5)
-               / 1e2 AS gross_revenue
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) / 1e2 AS gross_revenue
     FROM lineitem
     GROUP BY date_trunc('month', l_shipdate)
     """,
@@ -242,9 +255,9 @@ _define(
                AS n_o,
            CAST(count(*) FILTER (WHERE l_linestatus = 'P') AS BIGINT)
                AS n_p,
-           floor(sum(CASE WHEN l_linestatus = 'F'
-                          THEN l_extendedprice ELSE 0 END) * 1e2 + 0.5)
-               / 1e2 AS rev_f
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) / 1e2 AS rev_f
     FROM lineitem
     GROUP BY l_returnflag
     """,
