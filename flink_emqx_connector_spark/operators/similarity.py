@@ -138,12 +138,15 @@ def auto_n_planes(n_rows: int, target_occupancy: int = 64, floor: int = 8) -> in
 
     Why this exists: any fixed plane count makes in-bucket pair work
     Σm² ≈ n²/2^planes — quadratic in the corpus (the sf1→sf10 probe
-    regime shows it: 20k vecs / 256 buckets is fine, 200k is not). With
+    regime shows it: 20k vecs / 256 buckets is fine, 200k is not; the
+    fixed-8-plane form measured 12.9× per 10× data, round 9). With
     planes = log2(n / occupancy) the per-bucket pair cost stays constant
-    and total pair work is O(n·occupancy) — linear. The registry's
-    ``knn_graph_lsh`` demo pins planes=8 because its DuckDB oracle
-    inlines the plane literals (a static string); scale deployments call
-    this helper with a cheap ``df.count()`` probe instead.
+    and total pair work is O(n·occupancy) — linear. Since round 10 the
+    registry's ``knn_graph_lsh`` applies this policy in a
+    SQL-replayable form (16 static seeded planes, corpus-derived prefix
+    length via integer indicator sum — see plans/similarity.py), and
+    measured 1.67× per 10× at sf1→sf10. Scale deployments can call this
+    helper directly with a cheap ``df.count()`` probe.
     """
     import math
 

@@ -143,3 +143,28 @@ def test_decode_images_real_path_decodes_pixels(spark):
     assert r.real_decode is True
     assert (r.width, r.height, r.mode) == (2, 2, "RGB")
     assert r.mean_lum_milli == (255 * 3) * 1000 // 12
+
+
+def test_knn_prefix_len_matches_auto_n_planes_policy():
+    """The registry's integer indicator-sum prefix length (r10) must be
+    exactly clamp(auto_n_planes(n, 64), 8, 16) — the same occupancy
+    policy, just in a form both engines compute with pure integer
+    arithmetic. Pin across the whole regime incl. exact powers of two
+    (where float log2 is the edge the indicator form exists to avoid)."""
+    import math
+
+    from flink_emqx_connector_spark.operators.similarity import auto_n_planes
+    from flink_emqx_connector_spark.plans.similarity import (
+        _KNN_MAX_PLANES,
+        _KNN_MIN_PLANES,
+        _knn_prefix_len,
+    )
+
+    for n in [1, 100, 500, 2000, 16384, 16385, 20000, 32768, 32769,
+              200000, 2**20, 2**20 + 1, 64 * 2**16, 10**8]:
+        expect = min(
+            max(auto_n_planes(n, target_occupancy=64), _KNN_MIN_PLANES),
+            _KNN_MAX_PLANES,
+        )
+        assert _knn_prefix_len(n) == expect, (n, _knn_prefix_len(n), expect)
+        assert _KNN_MIN_PLANES <= _knn_prefix_len(n) <= _KNN_MAX_PLANES
