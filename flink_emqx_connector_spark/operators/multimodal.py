@@ -221,3 +221,68 @@ def sample_frames(
         idx.alias("frame_indices"),
         F.size(idx).cast("bigint").alias("n_sampled"),
     )
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("pcm_bytes", T.LongType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("last_window_start", T.LongType()),
+    ]
+)
+
+
+def audio_windows(
+    df: DataFrame,
+    sr_col: str = "sample_rate",
+    n_samples_col: str = "n_samples",
+    win_s: float = 0.5,
+    hop_s: float = 0.25,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio windowing plumbing (the audio leg of the image/audio/video
+    triad): per-clip sliding-window geometry over 16-bit mono PCM
+    metadata — window count, exact duration, last-window start sample —
+    WITHOUT decoding (the container ships no librosa/ffmpeg; a real
+    pipeline feeds each (start, start+win) sample range through a decode
+    or feature kernel exactly like ``decode_images``).
+
+    Runs as one vectorized numpy pass per Arrow batch (``mapInPandas``) —
+    the same batch shape an STFT/VAD kernel consumes, so swapping the
+    arithmetic for a real DSP kernel changes nothing structurally. All
+    math is integer-exact: ``win = sr·win_s`` and ``hop = sr·hop_s``
+    sample counts (win_s/hop_s chosen so these are integral for common
+    rates), ``n_windows = (n - win)//hop + 1`` for n ≥ win else one
+    padded window. At 100 TB the input is one metadata row per clip —
+    the operator never touches the payload bytes, so it scans narrow
+    columns and parallelizes embarrassingly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sr = pdf[sr_col].to_numpy(dtype=np.int64)
+            n = pdf[n_samples_col].to_numpy(dtype=np.int64)
+            win = (sr * win_s).astype(np.int64)
+            hop = (sr * hop_s).astype(np.int64)
+            n_win = np.where(n >= win, (n - win) // np.maximum(hop, 1) + 1, 1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "sample_rate": sr,
+                    "n_samples": n,
+                    "duration_ms": n * 1000 // sr,
+                    "pcm_bytes": n * 2,  # 16-bit mono
+                    "n_windows": n_win,
+                    "last_window_start": (n_win - 1) * hop,
+                }
+            )
+
+    return df.select(id_col, sr_col, n_samples_col).mapInPandas(
+        kernel, AUDIO_WINDOW_SCHEMA
+    )

@@ -93,3 +93,46 @@ def multimodal_resize_plan(spark, sf_dir):
         (240 + F.col("n_chars") % 768).alias("in_h"),
     )
     return M.resize_plan(d, "in_w", "in_h", target=224)
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             8000 + (n_chars % 3) * 4000          AS sample_rate,
+             (8000 + (n_chars % 3) * 4000)
+               * (1 + n_chars % 29)               AS n_samples
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms,
+           CAST(n_samples * 2 AS BIGINT) AS pcm_bytes,
+           CAST((n_samples - sample_rate // 2) // (sample_rate // 4) + 1
+                AS BIGINT) AS n_windows,
+           CAST(((n_samples - sample_rate // 2) // (sample_rate // 4))
+                * (sample_rate // 4) AS BIGINT) AS last_window_start
+    FROM meta
+    """,
+    doc="Audio windowing plumbing (the audio leg of the multimodal triad): "
+    "0.5 s windows / 0.25 s hop over 16-bit mono PCM metadata — window "
+    "count, exact duration, last-window start — as one vectorized numpy "
+    "pass per Arrow batch, never touching payload bytes. sample_rate "
+    "(8/12/16 kHz) and 1-29 s clip lengths synthesized from n_chars since "
+    "the container has no audio decode; clips are always >= one window so "
+    "the pad branch is exercised by unit test, not the oracle. "
+    "operators/multimodal.py:audio_windows.",
+    tags=("multimodal", "udf", "audio"),
+)
+def multimodal_audio_windows(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (8000 + (F.col("n_chars") % 3) * 4000).cast("long").alias("sample_rate"),
+        (
+            (8000 + (F.col("n_chars") % 3) * 4000)
+            * (1 + F.col("n_chars") % 29)
+        ).cast("long").alias("n_samples"),
+    )
+    return M.audio_windows(d, win_s=0.5, hop_s=0.25)

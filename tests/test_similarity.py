@@ -168,3 +168,28 @@ def test_knn_prefix_len_matches_auto_n_planes_policy():
         )
         assert _knn_prefix_len(n) == expect, (n, _knn_prefix_len(n), expect)
         assert _KNN_MIN_PLANES <= _knn_prefix_len(n) <= _KNN_MAX_PLANES
+
+
+def test_audio_windows_pad_branch_and_exact_math(spark):
+    """audio_windows: a clip shorter than one window yields exactly one
+    (padded) window starting at 0; a clip of exactly one window yields
+    one; longer clips follow (n - win)//hop + 1 with integer-exact
+    duration. The registry query never exercises the pad branch (clips
+    are >= 1 s by construction) — this test does."""
+    from flink_emqx_connector_spark.operators.multimodal import audio_windows
+
+    rows = [
+        (1, 16000, 4000),    # 0.25 s < 0.5 s window → 1 padded window
+        (2, 16000, 8000),    # exactly one window
+        (3, 16000, 16000),   # 1 s → (16000-8000)//4000+1 = 3
+        (4, 8000, 8000 * 7 + 123),  # non-aligned tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, sample_rate long, n_samples long")
+    out = {r["doc_id"]: r.asDict() for r in audio_windows(df).collect()}
+    assert out[1]["n_windows"] == 1 and out[1]["last_window_start"] == 0
+    assert out[2]["n_windows"] == 1 and out[2]["last_window_start"] == 0
+    assert out[3]["n_windows"] == 3 and out[3]["last_window_start"] == 8000
+    n, win, hop = 8000 * 7 + 123, 4000, 2000
+    assert out[4]["n_windows"] == (n - win) // hop + 1
+    assert out[4]["duration_ms"] == n * 1000 // 8000
+    assert out[4]["pcm_bytes"] == n * 2
