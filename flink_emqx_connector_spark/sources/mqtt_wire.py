@@ -363,7 +363,7 @@ class _PacketReader:
 class _Session:
     __slots__ = (
         "clientid", "subs", "queue", "inflight", "next_pid", "conn",
-        "awaiting_comp", "rx_qos2",
+        "awaiting_comp", "rx_qos2", "departed_shared",
     )
 
     def __init__(self, clientid: str):
@@ -371,6 +371,12 @@ class _Session:
         self.subs: dict[str, tuple[int, str | None]] = {}  # filter → (qos, group)
         self.queue: deque = deque()  # (topic, payload, qos, retain, uprops, dup)
         self.inflight: dict[int, tuple] = {}
+        # shared (bare, group) filters this session UNSUBSCRIBED while
+        # connected (graceful scale-in): un-acked leftovers for these are
+        # re-dispatched to live group members at detach time — the member
+        # gets the unsubscribe→drain→disconnect window to ack cleanly,
+        # and only what it never acked moves. Cleared on resume.
+        self.departed_shared: list[tuple[str, str]] = []
         # outgoing QoS 2 past PUBREC: the client HAS the message — on
         # resume we re-send PUBREL, never the PUBLISH (exactly-once)
         self.awaiting_comp: set[int] = set()
@@ -586,6 +592,14 @@ class EmbeddedBroker:
                 group, bare = strip_share(filt)
                 if conn.session is not None:
                     conn.session.subs[filt] = (qos, group if group else None)
+                    if group:
+                        # re-joining a group it departed cancels the
+                        # pending scale-in re-dispatch for that filter
+                        conn.session.departed_shared = [
+                            (b, g)
+                            for b, g in conn.session.departed_shared
+                            if (b, g) != (bare, group)
+                        ]
                 reasons.append(qos)
             conn.send(suback_packet(pid, reasons))
 
@@ -595,15 +609,31 @@ class EmbeddedBroker:
         (pid,) = struct.unpack_from(">H", body, 0)
         _props, i = _parse_props(body, 2)
         reasons = []
+        removed_shared: list[tuple[str, str]] = []  # (bare, group)
         with self._lock:
             while i < len(body):
                 filt, i = _parse_str(body, i)
                 if conn.session is not None and filt in conn.session.subs:
-                    del conn.session.subs[filt]
+                    _q, group = conn.session.subs.pop(filt)
+                    if group is not None:
+                        removed_shared.append((strip_share(filt)[1], group))
                     reasons.append(0x00)
                 else:
                     reasons.append(0x11)  # No subscription existed
             conn.send(unsuback_packet(pid, reasons))
+            if removed_shared and conn.session is not None:
+                # Graceful scale-in: a member leaving the group hands its
+                # QUEUED (never-delivered) backlog for that filter to
+                # live members immediately, and the filter is remembered
+                # on the session so _detach re-dispatches whatever
+                # inflight the member never acked during its drain window
+                # — without this, a member that unsubscribes and then
+                # cleanly disconnects strands that work forever (the
+                # detach re-dispatch consults subs, which no longer
+                # contain the filter). Inflight stays for now: the
+                # connection is alive and draining acks.
+                self._redispatch_shared(conn.session, removed_shared)
+                conn.session.departed_shared.extend(removed_shared)
 
     def _on_publish(self, conn: _BrokerConn, flags: int, body: bytes) -> None:
         qos = (flags >> 1) & 0x03
@@ -687,21 +717,40 @@ class EmbeddedBroker:
                 session.inflight.clear()
                 for topic, payload, qos, retain, uprops, _d in reversed(inflight):
                     session.queue.appendleft((topic, payload, qos, retain, uprops, True))
-                self._redispatch_shared(session)
+                live_shared = [
+                    (strip_share(filt)[1], group)
+                    for filt, (_q, group) in session.subs.items()
+                    if group is not None
+                ]
+                # departed filters (graceful scale-in: unsubscribed while
+                # connected) join the re-dispatch — whatever the member
+                # didn't ack during its drain window moves to live members
+                self._redispatch_shared(
+                    session, live_shared + session.departed_shared
+                )
+                session.departed_shared.clear()
 
-    def _redispatch_shared(self, session: _Session) -> None:
+    def _redispatch_shared(
+        self,
+        session: _Session,
+        filters: list[tuple[str, str]] | None = None,
+    ) -> None:
         """Shared-subscription re-dispatch on abnormal disconnect (EMQX
         behavior: a group member's undelivered/un-acked messages move to
         LIVE members of the same group rather than stranding until the
         dead clientid resumes — the 'dead partition's work is reassigned'
         leg of the scale-out story; the supervisor's respawn covers the
-        session-resume leg). Messages whose topic only matches the
-        session's NON-shared subs keep normal resume semantics; with no
-        live member in the group the message also stays queued (the
-        documented whole-group-offline behavior). Caller holds _lock."""
+        session-resume leg) AND on graceful scale-in (``filters`` given:
+        the member just UNSUBSCRIBED those (bare, group) shared filters —
+        no longer in ``session.subs`` — and its queued backlog for them
+        moves to the remaining members). Messages whose topic only
+        matches the session's NON-shared subs keep normal resume
+        semantics; with no live member in the group the message also
+        stays queued (the documented whole-group-offline behavior).
+        Caller holds _lock."""
         if not session.queue:
             return
-        shared_filters = [
+        shared_filters = filters if filters is not None else [
             (strip_share(filt)[1], group)
             for filt, (_q, group) in session.subs.items()
             if group is not None

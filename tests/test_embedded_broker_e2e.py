@@ -1239,3 +1239,71 @@ def test_unsubscribe_stops_delivery(broker):
     assert _wait(lambda: got == [b"before", b"again"]), got
     sub.disconnect()
     pub.disconnect()
+
+
+def test_shared_group_graceful_scale_in_no_loss(broker):
+    """Graceful scale-in of a shared-subscription group (round-10): a
+    member UNSUBSCRIBEs its $share filter, drains part of its un-acked
+    backlog, and disconnects cleanly — everything it never acked must
+    re-dispatch to the remaining live member (real EMQX redistributes a
+    departing shared subscriber's un-acked work). Before this round the
+    detach re-dispatch consulted subs — already missing the filter — so
+    the departing member's backlog stranded forever."""
+    import threading as _t
+
+    got_a, got_b = [], []
+    lock = _t.Lock()
+
+    def on_msg(sink):
+        def cb(c, u, m):
+            with lock:
+                sink.append(m)
+        return cb
+
+    a = Client(CallbackAPIVersion.VERSION2, client_id="scalein-a",
+               protocol=MQTTv5, manual_ack=True)
+    a.on_connect = lambda c, u, f, r, p=None: c.subscribe("$share/g/t/s/#", qos=1)
+    a.on_message = on_msg(got_a)
+    a.connect("127.0.0.1", broker.port)
+    a.loop_start()
+    b = Client(CallbackAPIVersion.VERSION2, client_id="scalein-b",
+               protocol=MQTTv5, manual_ack=True)
+    b.on_connect = lambda c, u, f, r, p=None: c.subscribe("$share/g/t/s/#", qos=1)
+    b.on_message = on_msg(got_b)
+    b.connect("127.0.0.1", broker.port)
+    b.loop_start()
+    assert _wait(lambda: broker.sessions.get("scalein-a", None)
+                 and broker.sessions["scalein-a"].subs
+                 and broker.sessions.get("scalein-b", None)
+                 and broker.sessions["scalein-b"].subs)
+
+    pub = _publisher(broker.port)
+    for i in range(20):
+        pub.publish("t/s/1", b"m%02d" % i, qos=1).wait_for_publish()
+    assert _wait(lambda: len(got_a) + len(got_b) == 20), (len(got_a), len(got_b))
+    assert got_a and got_b, "round-robin should hit both members"
+
+    # A drains (acks) HALF its messages, unsubscribes, disconnects.
+    with lock:
+        drained = got_a[: len(got_a) // 2]
+        leftover = {bytes(m.payload) for m in got_a[len(got_a) // 2:]}
+    for m in drained:
+        a.ack(m)
+    a.unsubscribe("$share/g/t/s/#")
+    assert _wait(lambda: broker.sessions["scalein-a"].subs == {}), "unsubscribe"
+    a.disconnect()
+
+    # everything A never acked must arrive at B (DUP redelivery)
+    def b_has_leftovers():
+        with lock:
+            return leftover <= {bytes(m.payload) for m in got_b}
+    assert _wait(b_has_leftovers, timeout=10), (
+        sorted(leftover), sorted(bytes(m.payload) for m in got_b))
+    # B acks everything → no stranded backlog anywhere
+    with lock:
+        for m in got_b:
+            b.ack(m)
+    assert _wait(lambda: broker.session_backlog("scalein-b") == 0)
+    assert broker.session_backlog("scalein-a") == 0, "backlog stranded on departed member"
+    b.disconnect()
+    pub.disconnect()
