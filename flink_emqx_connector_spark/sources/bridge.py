@@ -167,6 +167,65 @@ class MqttSpoolBridge:
                     self.respawns += 1
                     self._clients[i] = self._spawn_member(i)
 
+    def scale_to(self, members: int, drain_s: float = 1.0) -> None:
+        """Dynamic resize of the shared-subscription group (round-10).
+
+        Scale OUT spawns new members (broker round-robins new work to
+        them immediately). Scale IN is the graceful three-step the
+        broker's departure semantics expect: each departing member
+        UNSUBSCRIBEs its ``$share`` filter (no new work; the broker
+        immediately re-dispatches its never-delivered queue), gets a
+        ``drain_s`` window in which deliveries already in flight keep
+        flowing through the normal append-then-ack path, then
+        disconnects — whatever it never acked re-dispatches to the
+        surviving members (EMQX behavior, pinned by
+        ``test_shared_group_graceful_scale_in_no_loss``). No message is
+        lost or stranded in either direction; duplicates follow the
+        at-least-once contract the spool consumer already de-dups.
+
+        Retired member indices are reused on a later scale-out (same
+        clientids, ``clean_start=False``) — safe because departure left
+        their sessions empty.
+        """
+        import time as _time
+
+        members = max(int(members), 0)
+        cur = len(self._clients)
+        if members > cur:
+            fresh = [self._spawn_member(i) for i in range(cur, members)]
+            self._clients.extend(fresh)
+            # A reused index resumes its old session (clean_start=False,
+            # session_present=1) so on_connect skips the subscribe — but
+            # graceful departure REMOVED the subscription from that
+            # session. Re-subscribe explicitly; harmless duplicate when
+            # on_connect also subscribed (fresh session).
+            for cli in fresh:
+                deadline = _time.monotonic() + 10.0
+                while _time.monotonic() < deadline:
+                    try:
+                        cli.subscribe(self._sub_topic, qos=self._qos)
+                        break
+                    except Exception:
+                        _time.sleep(0.05)  # CONNACK not in yet
+            return
+        if members == cur:
+            return
+        departing = self._clients[members:]
+        # shrink FIRST so the watchdog stops supervising departing
+        # members (a respawn mid-departure would undo the unsubscribe)
+        self._clients = self._clients[:members]
+        for cli in departing:
+            try:
+                cli.unsubscribe(self._sub_topic)
+            except Exception:
+                pass  # already dead → broker detach re-dispatch covers it
+        _time.sleep(drain_s)  # in-flight deliveries append+ack normally
+        for cli in departing:
+            try:
+                cli.disconnect()
+            except Exception:
+                pass
+
     def stop(self) -> None:
         self._stopped.set()
         self._watchdog.join(timeout=2 * self.WATCHDOG_INTERVAL + 1)

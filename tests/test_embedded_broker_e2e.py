@@ -1307,3 +1307,68 @@ def test_shared_group_graceful_scale_in_no_loss(broker):
     assert broker.session_backlog("scalein-a") == 0, "backlog stranded on departed member"
     b.disconnect()
     pub.disconnect()
+
+
+def test_bridge_scale_in_and_out_no_loss(tmp_path):
+    """Bridge dynamic resize (round-10 scale_to): start a 3-member shared
+    group, pump, scale IN to 1 mid-stream (unsubscribe → drain →
+    disconnect; the broker re-dispatches whatever the departing members
+    never acked), keep pumping, scale back OUT to 2 and pump again.
+    Every published payload must appear in the spool at least once
+    (at-least-once contract; downstream exactly-once is the spool
+    consumer's WAL) and no backlog may strand on any retired clientid."""
+    from flink_emqx_connector_spark.sources.bridge import MqttSpoolBridge
+    from flink_emqx_connector_spark.sources.transport import SpoolTransport
+
+    broker = EmbeddedBroker().start()
+    spool = str(tmp_path / "spool")
+    bridge = MqttSpoolBridge(
+        "127.0.0.1", broker.port, "t/sc/#", group="g", clientid="sc",
+        spool_dir=spool, qos=1, members=3,
+    )
+    try:
+        cids = [f"sc-bridge-{i}" for i in range(3)]
+        assert _wait(lambda: all(
+            broker.sessions.get(c) and broker.sessions[c].subs for c in cids
+        ))
+        pub = _publisher(broker.port)
+        sent = []
+
+        def pump(tag, n):
+            last = None
+            for i in range(n):
+                p = b"%s-%03d" % (tag.encode(), i)
+                sent.append(p)
+                last = pub.publish("t/sc/1", p, qos=1)
+            last.wait_for_publish()
+
+        st = SpoolTransport(spool)
+        pump("a", 30)
+        assert _wait(lambda: st.latest_seq() >= 30)
+
+        bridge.scale_to(1, drain_s=0.5)
+        assert len(bridge._clients) == 1
+        # retired members: subscription gone, nothing stranded
+        for c in cids[1:]:
+            assert broker.sessions[c].subs == {}, c
+            assert broker.session_backlog(c) == 0, c
+
+        pump("b", 30)
+        assert _wait(lambda: st.latest_seq() >= 60)
+
+        bridge.scale_to(2)
+        assert len(bridge._clients) == 2
+        assert _wait(lambda: broker.sessions.get("sc-bridge-1")
+                     and broker.sessions["sc-bridge-1"].subs)
+        pump("c", 30)
+
+        def all_present():
+            got = {m.payload for m in st.read_range(0, 10_000, 0, 1)}
+            return set(sent) <= got
+        assert _wait(all_present, timeout=15), "lost messages across resize"
+        for c in cids:
+            assert broker.session_backlog(c) == 0, c
+        pub.disconnect()
+    finally:
+        bridge.stop()
+        broker.stop()
