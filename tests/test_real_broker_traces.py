@@ -147,7 +147,10 @@ def test_trace_receive_maximum_send_quota():
 
     th = threading.Thread(target=publisher, daemon=True)
     th.start()
-    assert _wait(done.is_set, timeout=20), (phase_counts, seen, ts.errors)
+    # 60 s: under heavy host contention (parallel sf10 gate chunks) the
+    # publisher/loop thread handoff has been observed to exceed 20 s —
+    # the assertions below, not the wall clock, carry the protocol claim
+    assert _wait(done.is_set, timeout=60), (phase_counts, seen, ts.errors)
     th.join(timeout=5)
     assert phase_counts == ["held"], phase_counts
     assert len(seen) == 5 and len(set(seen)) == 5, seen
