@@ -282,31 +282,32 @@ def compare_query(spark, sf_dir: str, name: str) -> dict:
     # an unexecuted relation.
     from pyspark.sql import types as _T
 
-    dec_cols = [
-        f.name for f in sdf.schema.fields
-        if isinstance(f.dataType, _T.DecimalType)
-    ]
-    if dec_cols and q.oracle is not None:
+    if q.oracle is not None:
+        s_dec = {
+            f.name for f in sdf.schema.fields
+            if isinstance(f.dataType, _T.DecimalType)
+        }
         _con = duckdb_connect(sf_dir)
         try:
-            _rel = _con.sql(q.oracle)
-            d_types = dict(zip(_rel.columns, (str(t) for t in _rel.types)))
+            _rel = _con.sql(q.oracle)  # planned, never executed
+            d_dec = {
+                c for c, t in zip(_rel.columns, _rel.types)
+                if str(t).upper().startswith("DECIMAL")
+            }
         finally:
             _con.close()
-        bad = [
-            c for c in dec_cols
-            if not str(d_types.get(c, "")).upper().startswith("DECIMAL")
-        ]
+        bad = sorted(s_dec ^ d_dec)  # decimal on exactly one side
         if bad:
             return {
                 "name": name,
                 "ok": False,
                 "mode": "oracle",
                 "why": (
-                    "dtype: Spark DecimalType vs non-DECIMAL oracle for "
-                    f"{bad} — driver hash would fail; check decimal "
-                    "literals in spark.sql() text (use 100.0D / CAST AS "
-                    "DOUBLE)"
+                    "dtype: decimal on exactly one side for "
+                    f"{bad} (Spark decimal: {sorted(s_dec)}, oracle "
+                    "DECIMAL: "
+                    f"{sorted(d_dec)}) — driver hash would fail; check "
+                    "decimal literals (use 100.0D / 1e2 / CAST AS DOUBLE)"
                 ),
                 "secs": round(_time.monotonic() - t0, 2),
             }

@@ -99,3 +99,18 @@ def test_registry_has_no_decimal_outputs(spark, sf_dir):
             if isinstance(f.dataType, T.DecimalType):
                 offenders.append((name, f.name))
     assert not offenders, offenders
+
+
+def test_guard_fails_double_vs_decimal_oracle(spark, sf_dir, _temp_query):
+    # The REVERSE direction: a DuckDB DECIMAL column against a Spark
+    # DOUBLE also hash-mismatches at the driver (typed values). DuckDB's
+    # `/` yields DOUBLE, so an explicit CAST forces the decimal side.
+    def q(spark, sf_dir):
+        return spark.sql("SELECT 1.23D AS v")
+
+    name = _temp_query(
+        "_guard_dbl_vs_dec", q, "SELECT CAST(1.23 AS DECIMAL(10,2)) AS v"
+    )
+    res = compare_query(spark, sf_dir, name)
+    assert res["ok"] is False
+    assert "dtype" in res["why"] and "v" in res["why"]
