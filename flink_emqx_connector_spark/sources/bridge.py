@@ -97,6 +97,8 @@ class MqttSpoolBridge:
         props.SessionExpiryInterval = 300
 
         def on_connect(client, userdata, flags, reason, properties=None):
+            if getattr(reason, "value", reason) != 0:
+                return  # CONNACK refusal — never subscribe into it
             if not flags.session_present:
                 client.subscribe(self._sub_topic, qos=self._qos)
 
@@ -163,6 +165,12 @@ class MqttSpoolBridge:
                     return
                 if getattr(cli, "superseded", False):
                     continue  # new owner holds the clientid — cede
+                if getattr(cli, "connect_refused", None) is not None:
+                    # permanent CONNACK refusal (bad clientid/credentials/
+                    # not authorized) stopped the loop — respawning would
+                    # storm doomed CONNECTs; transient refusals never kill
+                    # the loop, so they never reach this branch
+                    continue
                 if self._member_dead(cli):
                     self.respawns += 1
                     self._clients[i] = self._spawn_member(i)

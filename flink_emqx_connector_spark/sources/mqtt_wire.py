@@ -194,6 +194,15 @@ def connack_packet(
 #: sends): session taken over / server busy / use another server.
 RC_SESSION_TAKEN_OVER, RC_SERVER_BUSY, RC_USE_ANOTHER_SERVER = 0x8E, 0x89, 0x9C
 
+#: CONNACK refusal codes (§3.2.2.2) that can never succeed by retrying
+#: with the same parameters — the client CEDES instead of storming doomed
+#: CONNECTs (same policy precedent as the 0x8E takeover cede; everything
+#: else — 0x89 server busy, 0x97 quota exceeded, ... — is transient and
+#: retries with the normal backoff).
+_CONNACK_PERMANENT = frozenset(
+    {0x84, 0x85, 0x86, 0x87, 0x8C}  # bad proto / clientid / credentials /
+)                                   # not authorized / bad auth method
+
 #: Legal SUBACK reason codes (MQTT 5 §3.9.3): granted QoS 0-2 plus the
 #: failure codes. Anything else in a SUBACK is a malformed packet.
 _SUBACK_CODES = frozenset(
@@ -882,6 +891,9 @@ class Client:
         #: 0x8E) — the clientid has a NEW owner; supervisors must not
         #: respawn this client (that would ping-pong the takeover).
         self.superseded = False
+        #: Last CONNACK refusal code (>= 0x80), or None after a
+        #: successful connect. Permanent refusals also stop the loop.
+        self.connect_refused: int | None = None
         # MQTT-3.3.4-9 send quota: the server's CONNACK Receive-Maximum
         # bounds our un-acked QoS>=1 PUBLISHes. None until a CONNACK
         # carries the property (the spec default 65535 is effectively
@@ -1155,6 +1167,27 @@ class Client:
     def _dispatch_packet(self, ptype: int, flags: int, body: bytes) -> None:
         if ptype == CONNACK:
             session_present = bool(body[0] & 0x01)
+            rc = body[1]  # §3.2.2.2 Connect Reason Code
+            if rc >= 0x80:
+                # Connection REFUSED (real EMQX: CONNACK(rc) then close).
+                # Pre-round-10 this byte was ignored — the client fired
+                # on_connect(rc=0), "subscribed" into a dying socket, and
+                # retry-stormed doomed CONNECTs. Surface the code
+                # paho-style, then: permanent refusals (bad clientid /
+                # credentials / not authorized) CEDE like 0x8E takeover —
+                # retrying identical parameters can never succeed;
+                # transient ones (server busy, quota) ride the normal
+                # reconnect backoff via the ConnectionError path.
+                self.connect_refused = rc
+                if self.on_connect is not None:
+                    self._safe_callback(
+                        self.on_connect, self, None,
+                        _Flags(False), rc, None,
+                    )
+                if rc in _CONNACK_PERMANENT:
+                    self._running = False
+                raise ConnectionError(f"CONNACK refused rc=0x{rc:02x}")
+            self.connect_refused = None
             props, _ = _parse_props(body, 2)
             with self._quota_cv:
                 # fresh connection → fresh quota (the old connection's

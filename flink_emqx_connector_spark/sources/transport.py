@@ -515,6 +515,8 @@ class PahoTransport:
         sub_topic = f"$share/{group}/{topic_filter}" if group else topic_filter
 
         def on_connect(client, userdata, flags, reason, properties=None):
+            if getattr(reason, "value", reason) != 0:
+                return  # CONNACK refusal — never subscribe into it
             # re-subscribe only when the broker kept no session (ST5)
             if not flags.session_present:
                 client.subscribe(sub_topic, qos=qos)

@@ -744,3 +744,88 @@ def test_trace_alias_above_advertised_maximum_is_protocol_error():
     assert not ts.errors, ts.errors
     cli.loop_stop()
     ts.close()
+
+
+def test_trace_connack_refusal_transient_retries_with_backoff():
+    """CONNACK with a transient refusal code (0x89 Server busy; EMQX
+    sends this under overload, then closes): the client must surface the
+    code to on_connect (paho-compatible), NOT subscribe into the dying
+    socket, and retry with backoff — the scripted second connection
+    accepts and the client comes up normally. Pre-round-10 the reason
+    byte was ignored entirely: on_connect fired rc=0 on a refused
+    connection."""
+    rcs = []
+    done = threading.Event()
+
+    def busy(conn):
+        read_packet(conn)  # CONNECT
+        conn.sendall(connack_packet(False, reason=RC_SERVER_BUSY))
+        # a refused client must NOT send SUBSCRIBE here
+        conn.settimeout(0.5)
+        try:
+            ptype, _f, _b = read_packet(conn)
+            rcs.append(("SUBSCRIBED-INTO-REFUSAL", ptype))
+        except (TimeoutError, socket.timeout, ConnectionError, ValueError):
+            pass
+
+    def accept(conn):
+        ptype, _f, _b = read_packet(conn)
+        assert ptype == CONNECT, ptype
+        conn.sendall(connack_packet(False))
+        ptype, _f, body = read_packet(conn)  # SUBSCRIBE this time
+        (pid,) = struct.unpack_from(">H", body, 0)
+        conn.sendall(suback_packet(pid, [1]))
+        done.set()
+        time.sleep(0.3)
+
+    ts = _TraceServer(busy, accept)
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="busy-c", protocol=MQTTv5)
+    cli.on_connect = lambda c, u, f, r, p=None: (
+        rcs.append(("rc", getattr(r, "value", r))),
+        c.subscribe("t/#", qos=1) if getattr(r, "value", r) == 0 else None,
+    )
+    cli.reconnect_delay_set(min_delay=0.05, max_delay=0.2)
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    assert _wait(done.is_set, timeout=10), (rcs, ts.errors)
+    assert ("rc", RC_SERVER_BUSY) in rcs and ("rc", 0) in rcs, rcs
+    assert not any(x[0] == "SUBSCRIBED-INTO-REFUSAL" for x in rcs), rcs
+    assert cli.connect_refused is None  # cleared by the successful connect
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+def test_trace_connack_refusal_permanent_cedes():
+    """CONNACK 0x87 (Not authorized) can never succeed by retrying the
+    same parameters — the client must CEDE (stop the reconnect loop,
+    same policy as the 0x8E takeover) instead of storming doomed
+    CONNECTs, and supervisors must see connect_refused so they don't
+    respawn into the auth wall."""
+    second = threading.Event()
+
+    def refuse(conn):
+        read_packet(conn)
+        conn.sendall(connack_packet(False, reason=0x87))
+        time.sleep(0.3)
+
+    def never(conn):
+        second.set()
+
+    ts = _TraceServer(refuse, never)
+    rcs = []
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="auth-c", protocol=MQTTv5)
+    cli.on_connect = lambda c, u, f, r, p=None: rcs.append(getattr(r, "value", r))
+    cli.reconnect_delay_set(min_delay=0.05, max_delay=0.2)
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    assert _wait(lambda: cli.connect_refused == 0x87, timeout=10), (rcs, ts.errors)
+    assert _wait(lambda: not cli._running, timeout=5)
+    time.sleep(1.0)  # several backoff periods — no new CONNECT may appear
+    assert not second.is_set(), "retried a permanently refused CONNECT"
+    assert rcs == [0x87], rcs
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
