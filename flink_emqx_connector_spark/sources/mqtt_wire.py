@@ -541,8 +541,20 @@ class EmbeddedBroker:
         connect_flags = body[i]
         i += 1
         clean_start = bool(connect_flags & 0x02)
-        i += 2  # keepalive (ignored: the embedded broker never times out)
+        (keepalive,) = struct.unpack_from(">H", body, i)
+        i += 2
         _props, i = _parse_props(body, i)
+        if keepalive:
+            # MQTT-3.1.2-22: close after 1.5× keepalive of client
+            # silence — the behavior a real EMQX shows that the old
+            # "never times out" double hid (the client's PINGREQ loop is
+            # what keeps an idle subscriber alive). The recv timeout
+            # rides the normal teardown path: detach → backlog
+            # redelivery on session resume.
+            try:
+                conn.sock.settimeout(1.5 * keepalive)
+            except OSError:
+                pass
         clientid, i = _parse_str(body, i)
         if not clientid:
             clientid = f"auto-{uuid.uuid4().hex[:12]}"
@@ -939,6 +951,14 @@ class Client:
         self.on_unsubscribe = None  # (client, userdata, mid, reason_codes, props)
         self._running = False
         self._thread: threading.Thread | None = None
+        self._ka_thread: threading.Thread | None = None
+        # keepalive state (MQTT-3.1.2-23): the CLIENT must keep traffic
+        # flowing — a server disconnects after 1.5× keepalive of silence.
+        # _last_send is stamped by every outbound packet; the keepalive
+        # thread PINGREQs on idle and tears the link down when a
+        # PINGRESP never comes back (half-open detection).
+        self._last_send = 0.0
+        self._ping_outstanding: float | None = None
         self._wlock = threading.Lock()
 
     # paho surface ---------------------------------------------------------
@@ -967,12 +987,21 @@ class Client:
         self._running = True
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+        self._ka_thread = threading.Thread(
+            target=self._keepalive_loop, daemon=True
+        )
+        self._ka_thread.start()
 
     def loop_stop(self) -> None:
         self._running = False
         self._close_sock()
         if self._thread is not None and self._thread is not threading.current_thread():
             self._thread.join(timeout=2)
+        if (
+            self._ka_thread is not None
+            and self._ka_thread is not threading.current_thread()
+        ):
+            self._ka_thread.join(timeout=2)
 
     def _close_sock(self) -> None:
         sock = self._sock
@@ -1090,6 +1119,8 @@ class Client:
             )
         )
         self._preader = _PacketReader(sock)
+        self._ping_outstanding = None
+        self._last_send = time.monotonic()
         self._sock = sock
 
     def _next_pid(self) -> int:
@@ -1102,6 +1133,35 @@ class Client:
             raise ConnectionError("not connected")
         with self._wlock:
             sock.sendall(data)
+            self._last_send = time.monotonic()
+
+    def _keepalive_loop(self) -> None:
+        """Client half of MQTT-3.1.2-23: PINGREQ when the connection has
+        been send-idle ~0.8× keepalive (a real broker closes at 1.5×
+        silence — the embedded double now enforces the same), and tear
+        the link down when a PINGRESP never returns within one keepalive
+        (half-open TCP: publishes kept flowing into a dead peer would
+        otherwise look healthy forever). keepalive=0 disables, per spec."""
+        while self._running:
+            ka = self._keepalive
+            time.sleep(max(0.05, min(1.0, ka / 4)) if ka > 0 else 0.5)
+            if not self._running or ka <= 0 or self._sock is None:
+                continue
+            now = time.monotonic()
+            out = self._ping_outstanding
+            if out is not None and now - out > ka:
+                # no PINGRESP within a full keepalive → half-open link;
+                # shutdown wakes the blocked reader → reconnect path
+                self._ping_outstanding = None
+                self._close_sock()
+                self._sock = None
+                continue
+            if out is None and now - self._last_send >= ka * 0.8:
+                try:
+                    self._ping_outstanding = now
+                    self._send(_packet(PINGREQ, 0, b""))
+                except (ConnectionError, OSError):
+                    self._ping_outstanding = None
 
     def _loop(self) -> None:
         delay = self._min_delay
@@ -1322,7 +1382,8 @@ class Client:
                 self.superseded = True
                 self._running = False
             raise ConnectionError(f"server DISCONNECT reason=0x{reason:02x}")
-        # PINGRESP needs no action
+        elif ptype == PINGRESP:
+            self._ping_outstanding = None  # link round-trip confirmed
 
     def _release_quota(self) -> None:
         with self._quota_cv:

@@ -29,6 +29,8 @@ import time
 
 from flink_emqx_connector_spark.sources.mqtt_wire import (
     CONNECT,
+    PINGREQ,
+    PINGRESP,
     PUBACK,
     PUBLISH,
     RC_SERVER_BUSY,
@@ -36,12 +38,29 @@ from flink_emqx_connector_spark.sources.mqtt_wire import (
     CallbackAPIVersion,
     Client,
     MQTTv5,
+    _packet,
     connack_packet,
     disconnect_packet,
     publish_packet,
-    read_packet,
     suback_packet,
 )
+from flink_emqx_connector_spark.sources.mqtt_wire import (
+    read_packet as _raw_read_packet,
+)
+
+
+def read_packet(conn):
+    """PINGREQ-transparent read for scripted handlers: since round 10 the
+    client keepalive loop pings on send-idle ≥ 0.8× keepalive, so a
+    handler blocked in a long read under host load may see a PINGREQ
+    where it expects application traffic — answer it (a real broker
+    would) and keep reading."""
+    while True:
+        ptype, flags, body = _raw_read_packet(conn)
+        if ptype == PINGREQ:
+            conn.sendall(_packet(PINGRESP, 0, b""))
+            continue
+        return ptype, flags, body
 
 
 def _wait(predicate, timeout=15.0, step=0.05):
@@ -826,6 +845,81 @@ def test_trace_connack_refusal_permanent_cedes():
     time.sleep(1.0)  # several backoff periods — no new CONNECT may appear
     assert not second.is_set(), "retried a permanently refused CONNECT"
     assert rcs == [0x87], rcs
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+def test_trace_keepalive_pingreq_on_idle():
+    """MQTT-3.1.2-23: the CLIENT is responsible for keepalive traffic —
+    a real EMQX closes a connection silent for 1.5x keepalive, so an
+    idle subscriber that never PINGREQs churns through
+    disconnect/reconnect forever (the bug the 'never times out' embedded
+    double hid until round 10). Trace: keepalive=1, no application
+    traffic — the server must see PINGREQs arriving, answer them, and
+    the client must stay on the SAME connection."""
+    pings = [0]
+    done = threading.Event()
+
+    def handler(conn):
+        ptype, _f, _b = _raw_read_packet(conn)
+        assert ptype == CONNECT, ptype
+        conn.sendall(connack_packet(False))
+        conn.settimeout(5)
+        while pings[0] < 3:
+            ptype, _f, _b = _raw_read_packet(conn)
+            assert ptype == PINGREQ, ptype
+            pings[0] += 1
+            conn.sendall(_packet(PINGRESP, 0, b""))
+        done.set()
+        time.sleep(0.3)
+
+    ts = _TraceServer(handler, lambda conn: None)
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="ka-c", protocol=MQTTv5)
+    cli.connect("127.0.0.1", ts.port, keepalive=1)
+    cli.loop_start()
+
+    assert _wait(done.is_set, timeout=10), (pings, ts.errors)
+    assert pings[0] >= 3
+    time.sleep(0.3)
+    assert ts.accepted == 1, "healthy pinged connection was torn down"
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+def test_trace_missing_pingresp_tears_down_half_open_link():
+    """A server that swallows PINGREQs (half-open TCP: outbound works,
+    nothing comes back) must be detected — no PINGRESP within one full
+    keepalive tears the link down and the client reconnects. Without
+    this a subscriber on a dead link looks healthy forever."""
+    second = threading.Event()
+
+    def swallow(conn):
+        ptype, _f, _b = _raw_read_packet(conn)
+        assert ptype == CONNECT, ptype
+        conn.sendall(connack_packet(False))
+        conn.settimeout(10)
+        try:
+            while True:
+                _raw_read_packet(conn)  # eat pings, never respond
+        except (TimeoutError, socket.timeout, ConnectionError, ValueError):
+            pass
+
+    def fresh(conn):
+        ptype, _f, _b = _raw_read_packet(conn)
+        assert ptype == CONNECT, ptype
+        conn.sendall(connack_packet(False))
+        second.set()
+        time.sleep(0.3)
+
+    ts = _TraceServer(swallow, fresh)
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="halfopen-c", protocol=MQTTv5)
+    cli.reconnect_delay_set(min_delay=0.05, max_delay=0.2)
+    cli.connect("127.0.0.1", ts.port, keepalive=1)
+    cli.loop_start()
+
+    assert _wait(second.is_set, timeout=15), ts.errors
     assert not ts.errors, ts.errors
     cli.loop_stop()
     ts.close()
