@@ -23,7 +23,13 @@ Scope — exactly the protocol surface the connector semantics need
   properties;
 - persistent sessions: a second CONNECT with a live clientid takes the
   session over (the old connection is closed — EMQX behavior);
-- PINGREQ/PINGRESP, DISCONNECT;
+- PINGREQ/PINGRESP, DISCONNECT; (round 10) full keepalive on BOTH
+  sides — the client pings on send-idle and tears down half-open links
+  on a missing PINGRESP, the broker closes after 1.5× keepalive of
+  client silence (MQTT-3.1.2-22/23); CONNACK refusal reason codes
+  (transient → backoff retry, permanent → cede); UNSUBSCRIBE/UNSUBACK
+  with per-filter reasons and graceful shared-group scale-in
+  re-dispatch;
 - (round 9, client side, exercised by the trace-replay corpus in
   ``tests/test_real_broker_traces.py``) inbound topic-alias bind/resolve,
   retained-flag delivery on subscribe, SUBACK failure reason codes, and

@@ -1372,3 +1372,39 @@ def test_bridge_scale_in_and_out_no_loss(tmp_path):
     finally:
         bridge.stop()
         broker.stop()
+
+
+def test_broker_disconnects_silent_client_after_keepalive():
+    """Broker half of MQTT-3.1.2-22 (round-10): a client that declares
+    keepalive=1 and then goes silent is detached after ~1.5x keepalive —
+    the real-EMQX behavior the old 'never times out' double hid. A
+    session-present queue survives for resume (normal detach path)."""
+    import struct as _struct
+
+    from flink_emqx_connector_spark.sources.mqtt_wire import (
+        connect_packet,
+        read_packet,
+    )
+
+    broker = EmbeddedBroker().start()
+    try:
+        s = socket.create_connection(("127.0.0.1", broker.port), timeout=5)
+        s.sendall(connect_packet("silent-c", False, 1, 60))
+        ptype, _f, _b = read_packet(s)
+        assert ptype == 2  # CONNACK
+        assert _wait(lambda: broker.sessions.get("silent-c") is not None)
+        # stay silent: no PINGREQ, no traffic — the broker must close
+        # within ~1.5 s (+ scheduling slack)
+        assert _wait(
+            lambda: broker.sessions["silent-c"].conn is None, timeout=6
+        ), "broker kept a silent keepalive=1 client alive"
+        # the socket is really dead from the client's side too
+        s.settimeout(2)
+        try:
+            data = s.recv(1)
+            assert data == b"", data  # FIN
+        except (TimeoutError, socket.timeout):
+            raise AssertionError("no FIN from broker after keepalive timeout")
+        s.close()
+    finally:
+        broker.stop()
