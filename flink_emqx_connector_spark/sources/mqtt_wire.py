@@ -33,11 +33,15 @@ Scope — exactly the protocol surface the connector semantics need
 - (round 9, client side, exercised by the trace-replay corpus in
   ``tests/test_real_broker_traces.py``) inbound topic-alias bind/resolve,
   retained-flag delivery on subscribe, SUBACK failure reason codes, and
-  Receive-Maximum send quota incl. release on failure PUBACKs.
+  Receive-Maximum send quota incl. release on failure PUBACKs;
+- (round 10) will messages end-to-end: CONNECT will fields + Will Delay
+  Interval, publish on abnormal close / keepalive timeout / takeover /
+  DISCONNECT 0x04, discard on clean DISCONNECT, delay cancelled by
+  session resume (MQTT-3.1.3-9) — the death-notice leg a monitor or
+  rebalancer consumes; ``Client.will_set``/``will_clear`` (paho surface).
 
 Out of scope (unused by the connector): retained-message STORE on the
-embedded broker, will messages, outbound alias assignment, auth,
-session-expiry timers.
+embedded broker, outbound alias assignment, auth, session-expiry timers.
 """
 
 from __future__ import annotations
@@ -163,6 +167,7 @@ def connect_packet(
     keepalive: int,
     session_expiry: int | None,
     topic_alias_maximum: int | None = None,
+    will: tuple[str, bytes, int, bool, int] | None = None,
 ) -> bytes:
     props = _props_bytes(session_expiry=session_expiry)
     if topic_alias_maximum:
@@ -172,13 +177,33 @@ def connect_packet(
         _, i = _varint_from(props, 0)
         inner = props[i:] + b"\x22" + struct.pack(">H", topic_alias_maximum)
         props = _varint(len(inner)) + inner
+    connect_flags = 0x02 if clean_start else 0x00
+    tail = _mqtt_str(clientid)
+    if will is not None:
+        # Will fields (§3.1.2.5-7, §3.1.3.2-4): flag + QoS bits 3-4 +
+        # retain bit 5 in the connect flags; payload order after the
+        # clientid is will properties, will topic, then a LENGTH-PREFIXED
+        # binary payload (unlike a PUBLISH payload, which runs to the
+        # packet end).
+        wtopic, wpayload, wqos, wretain, wdelay = will
+        connect_flags |= 0x04 | ((wqos & 0x03) << 3) | (0x20 if wretain else 0)
+        wprops = b""
+        if wdelay:
+            wprops += b"\x18" + struct.pack(">I", wdelay)  # Will Delay Interval
+        tail += (
+            _varint(len(wprops))
+            + wprops
+            + _mqtt_str(wtopic)
+            + struct.pack(">H", len(wpayload))
+            + wpayload
+        )
     body = (
         _mqtt_str("MQTT")
         + b"\x05"
-        + bytes([0x02 if clean_start else 0x00])
+        + bytes([connect_flags])
         + struct.pack(">H", keepalive)
         + props
-        + _mqtt_str(clientid)
+        + tail
     )
     return _packet(CONNECT, 0, body)
 
@@ -407,6 +432,9 @@ class _BrokerConn:
         self.broker = broker
         self.sock = sock
         self.session: _Session | None = None
+        #: (topic, payload, qos, retain, delay) from CONNECT, published at
+        #: network close unless a clean DISCONNECT (0x00) cleared it first
+        self.will: tuple[str, bytes, int, bool, int] | None = None
         self._wlock = threading.Lock()
         self._reader = _PacketReader(sock)
 
@@ -538,6 +566,13 @@ class EmbeddedBroker:
         elif ptype == PINGREQ:
             conn.send(_packet(PINGRESP, 0, b""))
         elif ptype == DISCONNECT:
+            # MQTT-3.14.4-3: a DISCONNECT with reason 0x00 (Normal
+            # disconnection) discards the will; 0x04 ("Disconnect with
+            # Will Message") — or any other reason — leaves it armed, so
+            # _detach publishes it when the connection tears down.
+            reason = body[0] if body else 0x00
+            if reason == 0x00:
+                conn.will = None
             raise ConnectionError("client disconnect")
 
     def _on_connect(self, conn: _BrokerConn, body: bytes) -> None:
@@ -564,25 +599,47 @@ class EmbeddedBroker:
         clientid, i = _parse_str(body, i)
         if not clientid:
             clientid = f"auto-{uuid.uuid4().hex[:12]}"
+        if connect_flags & 0x04:  # Will Flag (§3.1.2.5)
+            wprops, i = _parse_props(body, i)
+            wtopic, i = _parse_str(body, i)
+            (wlen,) = struct.unpack_from(">H", body, i)
+            i += 2
+            conn.will = (
+                wtopic,
+                body[i : i + wlen],
+                (connect_flags >> 3) & 0x03,
+                bool(connect_flags & 0x20),
+                wprops.get(0x18, 0),  # Will Delay Interval, seconds
+            )
+            i += wlen
         with self._lock:
             existing = self.sessions.get(clientid)
             session_present = existing is not None and not clean_start
-            if existing is None or clean_start:
-                self.sessions[clientid] = _Session(clientid)
-            session = self.sessions[clientid]
-            if session.conn is not None and session.conn is not conn:
+            if (
+                existing is not None
+                and existing.conn is not None
+                and existing.conn is not conn
+            ):
                 # session takeover: real EMQX sends DISCONNECT (0x8E
                 # Session taken over) to the OLD connection before
                 # closing it — validated scenario in
                 # tests/test_real_broker_traces.py; a client that
                 # blindly reconnects after 0x8E causes the takeover
                 # ping-pong storm (measured 34x duplicate delivery in
-                # round 2).
+                # round 2). MQTT-3.1.4-3: this happens REGARDLESS of the
+                # new connection's clean-start flag — checked on the
+                # PRE-replacement session (a clean-start CONNECT swaps in
+                # a fresh session object below, which would otherwise
+                # leave the superseded socket open forever and its will
+                # unarmed; found by the will-message takeover test).
                 try:
-                    session.conn.send(disconnect_packet(RC_SESSION_TAKEN_OVER))
+                    existing.conn.send(disconnect_packet(RC_SESSION_TAKEN_OVER))
                 except OSError:
                     pass
-                _hard_close(session.conn.sock)
+                _hard_close(existing.conn.sock)
+            if existing is None or clean_start:
+                self.sessions[clientid] = _Session(clientid)
+            session = self.sessions[clientid]
             session.conn = conn
             conn.session = session
             conn.send(connack_packet(session_present))
@@ -736,6 +793,30 @@ class EmbeddedBroker:
         with self._lock:
             self._conns.discard(conn)
             session = conn.session
+            will, conn.will = conn.will, None
+            if will is not None:
+                # The network connection closed without a clean DISCONNECT
+                # (0x00 cleared conn.will in _handle): publish the will
+                # (MQTT-3.1.2-8). This deliberately includes session
+                # TAKEOVER — real EMQX publishes the superseded
+                # connection's will (the new connection brings its own).
+                wtopic, wpayload, wqos, wretain, wdelay = will
+                if wdelay and session is not None:
+                    # Will Delay Interval (§3.1.3.2.2): publish after the
+                    # delay UNLESS a new network connection to this
+                    # session arrives first (MQTT-3.1.3-9) — the orderly-
+                    # failover window that lets a respawned bridge resume
+                    # without alarming every monitor subscribed to the
+                    # status topic.
+                    t = threading.Timer(
+                        wdelay,
+                        self._fire_delayed_will,
+                        args=(session.clientid, wtopic, wpayload, wqos, wretain),
+                    )
+                    t.daemon = True
+                    t.start()
+                else:
+                    self._dispatch(wtopic, wpayload, wqos, wretain, [])
             if session is not None and session.conn is conn:
                 session.conn = None
                 # crash without DISCONNECT: un-acked messages go back to
@@ -756,6 +837,15 @@ class EmbeddedBroker:
                     session, live_shared + session.departed_shared
                 )
                 session.departed_shared.clear()
+
+    def _fire_delayed_will(
+        self, clientid: str, topic: str, payload: bytes, qos: int, retain: bool
+    ) -> None:
+        with self._lock:
+            s = self.sessions.get(clientid)
+            if s is not None and s.conn is not None:
+                return  # session resumed inside the delay window: cancelled
+            self._dispatch(topic, payload, qos, retain, [])
 
     def _redispatch_shared(
         self,
@@ -859,6 +949,9 @@ class Properties:
         # paho-style: callers assign an ordered [(key, value), ...] list;
         # duplicate keys are legal MQTT 5 (EMQXMessage.java:9)
         self.UserProperty: list | None = None
+        # will-properties surface (passed to will_set): seconds the broker
+        # holds the will before publishing (§3.1.3.2.2)
+        self.WillDelayInterval: int | None = None
 
 
 class _Flags:
@@ -965,6 +1058,9 @@ class Client:
         # PINGRESP never comes back (half-open detection).
         self._last_send = 0.0
         self._ping_outstanding: float | None = None
+        # (topic, payload, qos, retain, delay) sent with every CONNECT of
+        # this client (paho re-sends the will on reconnect too)
+        self._will: tuple[str, bytes, int, bool, int] | None = None
         self._wlock = threading.Lock()
 
     # paho surface ---------------------------------------------------------
@@ -1030,6 +1126,21 @@ class Client:
             sock.close()
         except OSError:
             pass
+
+    def will_set(
+        self, topic, payload=None, qos=0, retain=False, properties=None
+    ) -> None:
+        """Arm a will message (paho surface): the broker publishes it if
+        this connection dies without a clean DISCONNECT — the death
+        notice a monitor/rebalancer watches. Takes effect on the next
+        CONNECT (call before connect, per paho)."""
+        if isinstance(payload, str):
+            payload = payload.encode("utf-8")
+        delay = getattr(properties, "WillDelayInterval", None) or 0
+        self._will = (topic, bytes(payload or b""), int(qos), bool(retain), int(delay))
+
+    def will_clear(self) -> None:
+        self._will = None
 
     def subscribe(self, topic, qos=0) -> None:
         self._send(subscribe_packet(self._next_pid(), topic, qos))
@@ -1122,6 +1233,7 @@ class Client:
                 self._cid, self._clean_start, self._keepalive,
                 self._session_expiry,
                 topic_alias_maximum=self.topic_alias_maximum,
+                will=self._will,
             )
         )
         self._preader = _PacketReader(sock)
