@@ -495,3 +495,114 @@ def event_trigrams_top(spark, sf_dir):
         )
         .filter(F.col("rk") <= 20)
     )
+
+
+@register(
+    "event_rate_cusum",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(sum(n) AS BIGINT) * 1000 // count(*) AS target_milli
+      FROM d GROUP BY 1
+    ),
+    p AS (
+      SELECT d.event_type, d.day,
+             sum(d.n * 1000 - t.target_milli - t.target_milli // 10)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS pref,
+             t.target_milli
+      FROM d JOIN t USING (event_type)
+    ),
+    c AS (
+      SELECT event_type, day, target_milli,
+             pref - least(CAST(0 AS BIGINT),
+                          min(pref) OVER (PARTITION BY event_type
+                                          ORDER BY day
+                                          ROWS UNBOUNDED PRECEDING))
+               AS cusum
+      FROM p
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(cusum) AS BIGINT) AS max_cusum_milli,
+           CAST(count(*) FILTER (WHERE cusum > 3 * target_milli) AS BIGINT)
+             AS n_flagged,
+           min(day) FILTER (WHERE cusum > 3 * target_milli) AS first_flag_day
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Sequential drift detection (Page's CUSUM) over per-type daily "
+    "event rates — the detector that catches a sustained small rate "
+    "drift the per-day median/MAD anomaly flags (daily_anomaly_events) "
+    "miss. The CUSUM recursion s_i = max(0, s_{i-1} + dev_i) is "
+    "deliberately NOT a row-by-row loop: by the prefix identity "
+    "s_i = P_i - min(0, min_{j<=i} P_j) it becomes TWO stacked window "
+    "functions over the same (type, day) ordering — one prefix sum, one "
+    "running min — so both engines evaluate pure window algebra and the "
+    "fact table collapses to the |types|x|days| daily aggregate first "
+    "(map-side combined; the windows run over the tiny series, one "
+    "exchange reused by both). All milli-integer: dev = n*1000 - "
+    "target_milli - slack (slack = 10% of target), flag when the "
+    "cumulative excess tops 3 mean-days. At 100 TB the shape is "
+    "unchanged — windows partition by type over day-count-bounded "
+    "series.",
+    tags=("events", "timeseries", "anomaly", "cusum", "analytics"),
+)
+def event_rate_cusum(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    t = d.groupBy("event_type").agg(
+        F.expr("CAST(sum(n) AS BIGINT) * 1000 div count(*)").alias(
+            "target_milli"
+        )
+    )
+    wo = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    p = d.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "day",
+        "target_milli",
+        F.sum(
+            F.col("n") * 1000
+            - F.col("target_milli")
+            - F.expr("target_milli div 10")
+        )
+        .over(wo)
+        .alias("pref"),
+    )
+    c = p.select(
+        "event_type",
+        "day",
+        "target_milli",
+        (
+            F.col("pref")
+            - F.least(F.lit(0).cast("bigint"), F.min("pref").over(wo))
+        ).alias("cusum"),
+    )
+    flagged = F.col("cusum") > 3 * F.col("target_milli")
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.max("cusum").cast("bigint").alias("max_cusum_milli"),
+            F.sum(F.when(flagged, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.min(F.when(flagged, F.col("day"))).alias("first_flag_day"),
+        )
+        .orderBy("event_type")
+    )

@@ -331,3 +331,53 @@ def runtime_filter_join(spark, sf_dir):
             F.sum(cents).cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "null_safe_join_segments",
+    oracle="""
+    WITH c AS (
+      SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM customer GROUP BY 1
+    ),
+    o AS (
+      SELECT NULLIF(c.c_mktsegment, 'BUILDING') AS seg,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    )
+    SELECT c.seg AS seg, c.n_customers, o.n_orders
+    FROM c JOIN o ON c.seg IS NOT DISTINCT FROM o.seg
+    ORDER BY seg NULLS FIRST
+    """,
+    doc="Null-safe equality join (Spark `<=>` / SQL IS NOT DISTINCT "
+    "FROM): per-segment customer and order censuses joined on a "
+    "NULLABLE segment key — the data-quality reality where an unknown "
+    "segment is encoded as NULL (here NULLIF demotes one segment to "
+    "model it). A plain equi-join silently DROPS the NULL group on both "
+    "sides; the null-safe predicate matches NULL to NULL, so the "
+    "unknown-segment row survives with its counts. Catalyst plans "
+    "EqualNullSafe as a real hash/sort-merge join key (coalesce-"
+    "normalized), NOT a nested loop — at 100 TB this shuffles exactly "
+    "like an ordinary equi-join; verified by the plan containing a "
+    "single join exchange per side.",
+    tags=("join", "null-safe", "functions"),
+)
+def null_safe_join_segments(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    seg = F.expr("NULLIF(c_mktsegment, 'BUILDING')")
+    c = cust.groupBy(seg.alias("seg")).agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+    o = (
+        orders.join(cust, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy(seg.alias("seg"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    return (
+        c.join(o, c["seg"].eqNullSafe(o["seg"]))
+        .select(c["seg"].alias("seg"), "n_customers", "n_orders")
+        .orderBy(F.col("seg").asc_nulls_first())
+    )

@@ -136,3 +136,87 @@ def multimodal_audio_windows(spark, sf_dir):
         ).cast("long").alias("n_samples"),
     )
     return M.audio_windows(d, win_s=0.5, hop_s=0.25)
+
+
+@register(
+    "multimodal_shot_boundaries",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id,
+             CAST(n_chars % 30 + 1 AS BIGINT) AS n_frames,
+             unnest(range(0, CAST(n_chars % 30 + 1 AS BIGINT))) AS f
+      FROM documents
+    ),
+    luma AS (
+      SELECT doc_id, n_frames, f,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                      CAST(f AS VARCHAR)), 1, 2))::UBIGINT
+                  AS BIGINT) AS y
+      FROM frames
+    ),
+    deltas AS (
+      SELECT doc_id, n_frames,
+             abs(y - lag(y) OVER (PARTITION BY doc_id ORDER BY f)) AS d
+      FROM luma
+    )
+    SELECT doc_id,
+           any_value(n_frames) AS n_frames,
+           CAST(1 + count(*) FILTER (WHERE d > 96) AS BIGINT) AS n_shots,
+           CAST(COALESCE(max(d), 0) AS BIGINT) AS max_delta
+    FROM deltas GROUP BY doc_id
+    """,
+    doc="Shot-boundary detection (the video-analysis leg of the "
+    "multimodal family): per-frame mean-luminance series, a boundary "
+    "wherever the frame-to-frame delta exceeds the cut threshold (96 of "
+    "255) — the standard hard-cut detector a video-curation pipeline "
+    "runs before frame dedup and caption alignment. Luminance is "
+    "synthesized per (doc, frame) from md5 (no video decode in this "
+    "container); with real media the SAME plan shape consumes the "
+    "decode_images kernel's milli-mean luminance instead (operators/"
+    "multimodal.py:decode_images). Plan: one scan -> bounded explode "
+    "(<=30 frames/clip) -> per-doc lag window -> per-doc aggregate "
+    "REUSING the window's doc_id exchange (one shuffle total); at scale "
+    "the frame series partitions by clip, so no window partition "
+    "outgrows one clip's frame count.",
+    tags=("multimodal", "video", "window"),
+)
+def multimodal_shot_boundaries(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    frames = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_chars") % 30 + 1).cast("bigint").alias("n_frames"),
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"),
+                       (F.col("n_chars") % 30).cast("bigint"))
+        ).alias("f"),
+    )
+    # F.conv returns STRING (round-8 sketch-wave gotcha) — cast before use
+    luma = frames.select(
+        "doc_id",
+        "n_frames",
+        "f",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("f"))), 1, 2
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    d = F.abs(
+        F.col("y") - F.lag("y").over(W.partitionBy("doc_id").orderBy("f"))
+    )
+    return (
+        luma.select("doc_id", "n_frames", d.alias("d"))
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_frames").alias("n_frames"),
+            (1 + F.sum(F.when(F.col("d") > 96, 1).otherwise(0)))
+            .cast("bigint")
+            .alias("n_shots"),
+            F.coalesce(F.max("d"), F.lit(0)).cast("bigint").alias("max_delta"),
+        )
+    )

@@ -266,3 +266,187 @@ def knn_label_agreement(spark, sf_dir):
             "agreement"
         ),
     )
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_TOPK = 10
+_RRF_SCALE = 1_000_000  # micro-unit RRF contributions (exact integer div)
+
+
+def _bm25_oracle() -> str:
+    """The CERTIFIED bm25_search_topk oracle text, scoped as a subquery
+    (round-8 composition rule: composed queries reuse certified oracles
+    verbatim — zero drift risk)."""
+    from .registry import QUERIES
+
+    return QUERIES["bm25_search_topk"].oracle
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle=None,  # assembled below (needs the bm25 oracle registered first)
+    doc="placeholder",  # replaced below
+    tags=("retrieval", "fusion", "topk"),
+)
+def hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (RRF, k=60): the
+    lexical leg is the CERTIFIED BM25 top-10 (bm25_search_topk, reused
+    unchanged — Σ-members cost model of X106/X108), the semantic leg is
+    the exact top-10 by quantized milli-int dot product to the probe
+    embedding (vec_id 0), and the fused score is
+    sum(1e6 div (60 + rank)) over the legs where the doc appears —
+    pure integer arithmetic, so both engines rank identical values.
+    This is the standard hybrid-search shape (BM25 + dense retrieval →
+    RRF) a curation pipeline uses for contamination lookups and targeted
+    audits where neither lexical nor semantic recall alone suffices.
+
+    100 TB posture: each leg is an already-certified scale plan (BM25:
+    vocab-bounded discovery + semi-joined tf, no corpus (doc,term)
+    shuffle; dense: one integer GEMV per Arrow batch emitting only
+    batch-local top-k — the shuffle carries |batches| x k rows). The
+    fusion itself joins two k-row lists — driver-bounded, broadcast
+    trivially."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .ml_linalg import _quantize
+
+    # ---- lexical leg: the certified BM25 plan, ranked -------------------
+    lex = bm25_search_topk(spark, sf_dir).select("doc_id", "score_micro")
+    # pmod(score,1) = non-foldable constant partition key (the
+    # token_vocab_coverage trick): 10-row global window without the
+    # single-partition planner warning
+    wl = W.partitionBy(F.pmod(F.col("score_micro"), F.lit(1))).orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("bigint").alias("lex_rank")
+    )
+
+    # ---- semantic leg: exact quantized-dot top-10 to vec_id 0 -----------
+    import numpy as np
+
+    qrow = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
+    qv = _quantize(np.array([list(qrow[0])]))[0]  # (dim,) int64
+
+    def kernel(iterator):
+        for pdf in iterator:
+            pdf = pdf[pdf["embedding"].notna() & (pdf["vec_id"] != 0)]
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            dots = _quantize(np.array(pdf["embedding"].to_list())) @ qv
+            # batch-local top-k under the GLOBAL total order (dot desc,
+            # vec_id asc) — round-8 lesson 3: np.lexsort, never a
+            # reversed stable argsort
+            top = np.lexsort((ids, -dots))[:_RRF_TOPK]
+            yield pd.DataFrame(
+                {"doc_id": ids[top], "dot": dots[top].astype(np.int64)}
+            )
+
+    sem = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            kernel,
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("dot", T.LongType()),
+                ]
+            ),
+        )
+        .orderBy(F.col("dot").desc(), F.col("doc_id"))
+        .limit(_RRF_TOPK)
+    )
+    ws = W.partitionBy(F.pmod(F.col("dot"), F.lit(1))).orderBy(
+        F.col("dot").desc(), F.col("doc_id")
+    )
+    semr = sem.select(
+        "doc_id", F.row_number().over(ws).cast("bigint").alias("sem_rank")
+    )
+
+    # ---- fuse ------------------------------------------------------------
+    return (
+        lexr.join(semr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({_RRF_K} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({_RRF_K} + sem_rank)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_micro"),
+            "lex_rank",
+            "sem_rank",
+        )
+        .orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+        .limit(_RRF_TOPK)
+    )
+
+
+def _install_hybrid_rrf_oracle() -> None:
+    """Assemble the RRF oracle from the certified member texts and swap
+    it into the registry entry (dataclass is frozen → rebuild)."""
+    from dataclasses import replace
+
+    from .ml_linalg import _DIM, _QUANT_SQL
+    from .registry import QUERIES
+
+    oracle = f"""
+    WITH lex AS MATERIALIZED (
+      SELECT doc_id, score_micro FROM ({_bm25_oracle()})
+    ),
+    lexr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                  AS BIGINT) AS lex_rank
+      FROM lex
+    ),
+    qv AS (
+      SELECT {_QUANT_SQL} AS q FROM embeddings WHERE vec_id = 0
+    ),
+    dots AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                  k -> ev[k] * qv.q[k])) AS BIGINT) AS dot
+      FROM (SELECT vec_id, {_QUANT_SQL} AS ev
+            FROM embeddings
+            WHERE vec_id <> 0 AND embedding IS NOT NULL) e, qv
+    ),
+    semr AS (
+      SELECT doc_id, lex_rank AS sem_rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY dot DESC, doc_id)
+                    AS BIGINT) AS lex_rank
+        FROM dots
+      ) WHERE lex_rank <= {_RRF_TOPK}
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + l.lex_rank), 0)
+              + COALESCE({_RRF_SCALE} // ({_RRF_K} + s.sem_rank), 0)
+              AS BIGINT) AS rrf_micro,
+           l.lex_rank AS lex_rank,
+           s.sem_rank AS sem_rank
+    FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+    ORDER BY rrf_micro DESC, doc_id
+    LIMIT {_RRF_TOPK}
+    """
+    entry = QUERIES["hybrid_rrf_search"]
+    QUERIES["hybrid_rrf_search"] = replace(
+        entry,
+        oracle=oracle,
+        doc=hybrid_rrf_search.__doc__,
+    )
+
+
+_install_hybrid_rrf_oracle()

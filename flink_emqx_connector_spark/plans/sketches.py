@@ -455,3 +455,111 @@ def hll_manual_registers(spark, sf_dir):
             .alias("raw_estimate"),
         )
     )
+
+
+_F2_D = 4  # sketch rows for the join-size / F2 estimator
+_F2_W = 1024
+
+
+@register(
+    "join_size_cms_estimate",
+    oracle=f"""
+    WITH ks AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+    ), cells AS (
+      SELECT r.range AS row_id,
+             {_h32_sql("k", "f2'||r.range||':")} % {_F2_W} AS bucket,
+             count(*) AS cnt
+      FROM ks, range({_F2_D}) r
+      GROUP BY 1, 2
+    ), re AS (
+      SELECT row_id, CAST(sum(cnt * cnt) AS BIGINT) AS est_f2
+      FROM cells GROUP BY 1
+    ), ex AS (
+      SELECT CAST(sum(n * n) AS BIGINT) AS exact_f2
+      FROM (SELECT count(*) AS n FROM ks GROUP BY k)
+    )
+    SELECT CAST(row_id AS BIGINT) AS row_id,
+           est_f2,
+           exact_f2,
+           CAST(est_f2 - exact_f2 AS BIGINT) AS overestimate,
+           CAST((est_f2 - exact_f2) * 1000 // exact_f2 AS BIGINT)
+             AS rel_err_milli
+    FROM re, ex ORDER BY row_id
+    """,
+    doc="Sketch-based join-size estimation (the optimizer-statistics "
+    "story): the self-join cardinality on a key — |R ⋈ R on user_id| = "
+    "Σ n_k², the F2 moment that decides broadcast-vs-shuffle and "
+    "flags skew BEFORE running the join — estimated as the CMS "
+    "inner product Σ_b cell_b² per hash row (AGMS/count-min theory: "
+    "collisions only ADD, so every row's estimate ≥ exact, asserted as "
+    "the overestimate column; expected excess ≤ F1²/w). One "
+    "{d}x{w}-cell census with map-side combine (shuffle ≤ {cells} rows "
+    "per partition at ANY corpus size) vs the exact per-key census — "
+    "the oracle replays every cell, so the sketch MATH is hash-verified "
+    "like an exact query. rel_err is milli-units: the margin keeps "
+    "(est-exact)*1000 inside int64 for corpora to ~1e8 rows (ANSI "
+    "overflow would throw, not corrupt).".format(
+        d=_F2_D, w=_F2_W, cells=_F2_D * _F2_W
+    ),
+    tags=("sketch", "count-min", "join", "skew", "approx"),
+)
+def join_size_cms_estimate(spark, sf_dir):
+    ks = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    cells = (
+        ks.select(
+            "k",
+            F.explode(F.array(*[F.lit(i) for i in range(_F2_D)])).alias(
+                "row_id"
+            ),
+        )
+        .select(
+            "row_id",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("f2"),
+                                F.col("row_id").cast("string"),
+                                F.lit(":"),
+                                F.col("k"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(_F2_W),
+            ).alias("bucket"),
+        )
+        .groupBy("row_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    re = cells.groupBy("row_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("est_f2")
+    )
+    ex = (
+        ks.groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact_f2"))
+    )
+    return (
+        re.crossJoin(F.broadcast(ex))
+        .select(
+            F.col("row_id").cast("bigint").alias("row_id"),
+            "est_f2",
+            "exact_f2",
+            (F.col("est_f2") - F.col("exact_f2"))
+            .cast("bigint")
+            .alias("overestimate"),
+            F.expr("(est_f2 - exact_f2) * 1000 div exact_f2")
+            .cast("bigint")
+            .alias("rel_err_milli"),
+        )
+        .orderBy("row_id")
+    )

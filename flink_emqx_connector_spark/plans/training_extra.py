@@ -537,3 +537,125 @@ def weighted_sample_docs(spark, sf_dir):
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
+
+
+_BUDGET_DENOM = 2  # select under a budget of half the corpus tokens
+
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+    WITH st AS MATERIALIZED (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST((1000 * len(list_distinct(string_split(text, ' '))))
+                  // len(string_split(text, ' ')) AS BIGINT) AS ttr_milli
+      FROM documents
+    ),
+    budget AS (
+      SELECT CAST(sum(n_tok) AS BIGINT) // {_BUDGET_DENOM} AS b FROM st
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (ORDER BY ttr_milli DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM st
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE cum <= b) AS BIGINT) AS n_kept,
+           CAST(COALESCE(sum(n_tok) FILTER (WHERE cum <= b), 0)
+                AS BIGINT) AS tokens_kept,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total
+    FROM c, budget
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Budget-capped greedy data selection (the data-selection "
+    "operator for training under a token budget): rank every document "
+    "by value density — milli-unit type-token ratio, exact integer "
+    "div — and keep the maximal PREFIX of the (ttr desc, doc_id) order "
+    "whose running token total fits the budget (half the corpus tokens, "
+    "derived from the data identically in both engines via a scalar "
+    "aggregate). Output is the per-source kept/total census an ablation "
+    "dashboard reads. SCALE SHAPE (the point of this entry): the global "
+    "running sum is NOT a single-partition window — scores live in a "
+    "bounded integer domain (0..1000), so the plan computes per-band "
+    "token subtotals (tiny agg), takes the exclusive prefix over the "
+    "<=1001 bands (broadcast), and runs the in-band cumulative window "
+    "partitioned BY band: two-phase range-partitioned prefix sum, the "
+    "same decomposition a 1000-executor sort-based selection would use. "
+    "The oracle replays it as one plain window (oracle scales are "
+    "DuckDB-sized). No floats anywhere.",
+    tags=("pipeline", "training", "selection", "budget"),
+)
+def token_budget_selection(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    st = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        (
+            F.expr(
+                "CAST(1000 * size(array_distinct(split(text, ' '))) AS BIGINT)"
+                " div size(split(text, ' '))"
+            )
+        ).alias("ttr_milli"),
+    )
+    # phase 1: per-band token subtotals (band = exact milli-TTR value;
+    # bounded domain 0..1000 regardless of corpus size)
+    band = st.groupBy("ttr_milli").agg(
+        F.sum("n_tok").cast("bigint").alias("band_tok")
+    )
+    # exclusive prefix over the bands in global order (<=1001 rows; pmod
+    # trick = non-foldable constant partition key, no planner warning)
+    wb = (
+        Window.partitionBy(F.pmod(F.col("ttr_milli"), F.lit(1)))
+        .orderBy(F.col("ttr_milli").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = band.select(
+        "ttr_milli",
+        F.coalesce(F.sum("band_tok").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("band_offset"),
+    )
+    # phase 2: in-band cumulative sum, partitioned by band — the global
+    # running total is band_offset + in-band prefix (identical to the
+    # oracle's single window because doc_id is the in-band order)
+    win = (
+        Window.partitionBy("ttr_milli")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # integer div, never (sum/2).cast: double division rounds to nearest
+    # BEFORE the cast truncates (round-8 lesson 1 — off-by-one at ~1e11+)
+    budget = st.agg(
+        F.expr(f"CAST(sum(n_tok) AS BIGINT) div {_BUDGET_DENOM}").alias("b")
+    )
+    cum = (
+        st.join(F.broadcast(offs), "ttr_milli")
+        .select(
+            "source",
+            "n_tok",
+            (F.col("band_offset") + F.sum("n_tok").over(win))
+            .cast("bigint")
+            .alias("cum"),
+        )
+        .crossJoin(F.broadcast(budget))
+    )
+    kept = F.sum(F.when(F.col("cum") <= F.col("b"), 1).otherwise(0))
+    kept_tok = F.sum(
+        F.when(F.col("cum") <= F.col("b"), F.col("n_tok")).otherwise(F.lit(0))
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            kept.cast("bigint").alias("n_kept"),
+            kept_tok.cast("bigint").alias("tokens_kept"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        )
+        .orderBy("source")
+    )

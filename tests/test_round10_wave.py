@@ -1,0 +1,181 @@
+"""Semantic invariants for the round-10 second wave (what oracle parity
+can't express): RRF score algebra, budget-prefix maximality, null-group
+survival in the null-safe join, and shot-boundary recomputation."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_emqx_connector_spark.plans import QUERIES
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def rrf(spark):
+    return {r["doc_id"]: r for r in QUERIES["hybrid_rrf_search"].spark(
+        spark, SF_SMALL
+    ).collect()}
+
+
+def test_rrf_score_algebra(rrf):
+    """rrf_micro is exactly the integer-div sum of the per-leg
+    contributions; ranks are 1..10; at least one leg present per row."""
+    assert 0 < len(rrf) <= 10
+    for r in rrf.values():
+        contrib = 0
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+        for rank in (r["lex_rank"], r["sem_rank"]):
+            if rank is not None:
+                assert 1 <= rank <= 10
+                contrib += 1_000_000 // (60 + rank)
+        assert r["rrf_micro"] == contrib
+
+
+def test_rrf_doc_in_both_legs_outranks_single_leg_peers(rrf):
+    """Any doc present in BOTH legs must outscore any doc whose single
+    rank is >= both of its ranks (fusion algebra sanity)."""
+    both = [r for r in rrf.values() if r["lex_rank"] and r["sem_rank"]]
+    single = [r for r in rrf.values() if not (r["lex_rank"] and r["sem_rank"])]
+    for b in both:
+        worst = max(b["lex_rank"], b["sem_rank"])
+        for s in single:
+            rank = s["lex_rank"] or s["sem_rank"]
+            if rank >= worst:
+                assert b["rrf_micro"] > s["rrf_micro"]
+
+
+def test_budget_selection_prefix_is_maximal(spark):
+    """The kept set is exactly the maximal prefix of the (ttr desc,
+    doc_id) order fitting half the corpus tokens — recomputed doc-by-doc
+    in Python against the plan's per-source census."""
+    out = {r["source"]: r for r in QUERIES["token_budget_selection"].spark(
+        spark, SF_SMALL
+    ).collect()}
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "source", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id", "source",
+            F.size("w").alias("n"),
+            F.size(F.array_distinct("w")).alias("d"),
+        )
+        .collect()
+    )
+    rows = sorted(
+        ((1000 * r["d"]) // r["n"], r["doc_id"], r["source"], r["n"])
+        for r in docs
+    )
+    rows = sorted(rows, key=lambda t: (-t[0], t[1]))
+    budget = sum(r["n"] for r in docs) // 2
+    kept, cum = {}, 0
+    stopped = False
+    for _ttr, _did, src, n in rows:
+        cum += n
+        if cum > budget:
+            stopped = True
+            break
+        kept[src] = kept.get(src, [0, 0])
+        kept[src][0] += 1
+        kept[src][1] += n
+    assert stopped or all(
+        out[s]["n_kept"] == out[s]["n_docs"] for s in out
+    )  # budget binds at every tested SF; degenerate corpora keep all
+    for src, r in out.items():
+        want_n, want_tok = kept.get(src, (0, 0))
+        assert r["n_kept"] == want_n, src
+        assert r["tokens_kept"] == want_tok, src
+    assert sum(r["tokens_kept"] for r in out.values()) <= budget
+
+
+def test_null_safe_join_null_group_survives(spark):
+    """The NULL segment row exists and carries the demoted segment's
+    counts — the row a plain equi-join silently drops."""
+    rows = QUERIES["null_safe_join_segments"].spark(spark, SF_SMALL).collect()
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    n_building = cust.filter(F.col("c_mktsegment") == "BUILDING").count()
+    nulls = [r for r in rows if r["seg"] is None]
+    assert len(nulls) == 1
+    assert nulls[0]["n_customers"] == n_building
+    # and a plain equi-join on the same aggregates drops that row
+    segs = {r["seg"] for r in rows}
+    assert None in segs and "BUILDING" not in segs
+
+
+def test_shot_boundaries_recompute_exact(spark):
+    """Recompute luminance series + boundaries in pure Python for every
+    doc at sf0.001; bounds hold corpus-wide."""
+    rows = QUERIES["multimodal_shot_boundaries"].spark(
+        spark, SF_SMALL
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_shots"] <= r["n_frames"]
+        assert 0 <= r["max_delta"] <= 255
+        ys = [
+            int(hashlib.md5(f"{r['doc_id']}:{f}".encode()).hexdigest()[:2], 16)
+            for f in range(r["n_frames"])
+        ]
+        deltas = [abs(b - a) for a, b in zip(ys, ys[1:])]
+        assert r["n_shots"] == 1 + sum(1 for d in deltas if d > 96)
+        assert r["max_delta"] == (max(deltas) if deltas else 0)
+        if r["n_frames"] == 1:
+            assert r["n_shots"] == 1 and r["max_delta"] == 0
+
+
+def test_cms_f2_estimate_never_undercounts(spark):
+    """Every sketch row's inner-product estimate >= the exact F2, and the
+    exact F2 matches a Python recompute of sum(n_u^2)."""
+    rows = QUERIES["join_size_cms_estimate"].spark(spark, SF_SMALL).collect()
+    assert len(rows) == 4
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    counts = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    exact = sum(n * n for n in counts.values())
+    for r in rows:
+        assert r["exact_f2"] == exact
+        assert r["overestimate"] >= 0
+        assert r["est_f2"] == exact + r["overestimate"]
+        assert r["rel_err_milli"] == (r["est_f2"] - exact) * 1000 // exact
+
+
+def test_cusum_prefix_identity_equals_true_recursion(spark):
+    """The two-window prefix form must equal the textbook recursion
+    s_i = max(0, s_{i-1} + dev_i), recomputed per type in Python —
+    this is the test that pins the drawdown identity the plan relies
+    on (the oracle only proves Spark == DuckDB, not == CUSUM)."""
+    out = {r["event_type"]: r for r in QUERIES["event_rate_cusum"].spark(
+        spark, SF_SMALL
+    ).collect()}
+    daily = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+            .alias("day"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["n"]))
+    for etype, rows in series.items():
+        rows.sort()
+        total = sum(n for _d, n in rows)
+        target = total * 1000 // len(rows)
+        slack = target // 10
+        s, mx, flags, first = 0, 0, 0, None
+        for day, n in rows:
+            s = max(0, s + n * 1000 - target - slack)
+            mx = max(mx, s)
+            if s > 3 * target:
+                flags += 1
+                first = first or day
+        got = out[etype]
+        assert got["n_days"] == len(rows)
+        assert got["max_cusum_milli"] == mx, etype
+        assert got["n_flagged"] == flags, etype
+        assert got["first_flag_day"] == first, etype
