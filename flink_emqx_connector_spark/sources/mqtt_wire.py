@@ -40,8 +40,15 @@ Scope — exactly the protocol surface the connector semantics need
   session resume (MQTT-3.1.3-9) — the death-notice leg a monitor or
   rebalancer consumes; ``Client.will_set``/``will_clear`` (paho surface).
 
-Out of scope (unused by the connector): retained-message STORE on the
-embedded broker, outbound alias assignment, auth, session-expiry timers.
+- (round 10) retained-message STORE on the embedded broker: one retained
+  message per topic, replaced by each retained publish, cleared by a
+  zero-byte retained publish, delivered retain=1 to new (non-shared)
+  subscriptions while live forwards carry retain=0 (MQTT-3.3.1-6/7/9,
+  §4.8.2); composes with wills — a retained will leaves last-known
+  state on the status topic for late monitors.
+
+Out of scope (unused by the connector): outbound alias assignment, auth,
+session-expiry timers.
 """
 
 from __future__ import annotations
@@ -480,6 +487,11 @@ class EmbeddedBroker:
         self.host = host
         self.port = port
         self.sessions: dict[str, _Session] = {}
+        #: topic → (payload, qos, uprops): THE retained message per topic
+        #: (§3.3.1.3) — replaced by each retained publish, cleared by a
+        #: zero-byte retained publish, delivered (retain=1) to new
+        #: subscriptions. Survives stop()/start() like session state.
+        self.retained: dict[str, tuple[bytes, int, list]] = {}
         self._rr: dict[tuple[str, str], int] = {}
         self._lock = threading.RLock()
         self._srv: socket.socket | None = None
@@ -667,6 +679,7 @@ class EmbeddedBroker:
         (pid,) = struct.unpack_from(">H", body, 0)
         _props, i = _parse_props(body, 2)
         reasons = []
+        retained_out: list[tuple[str, bytes, int, list]] = []
         with self._lock:
             while i < len(body):
                 filt, i = _parse_str(body, i)
@@ -684,8 +697,24 @@ class EmbeddedBroker:
                             for b, g in conn.session.departed_shared
                             if (b, g) != (bare, group)
                         ]
+                    else:
+                        # retained snapshot for the new subscription
+                        # (retain=1 on delivery — the SUBSCRIBE-time
+                        # warm-up the client distinguishes from live
+                        # traffic). Shared subscriptions never receive
+                        # retained messages (§4.8.2).
+                        for rtopic, (rpay, rqos, rup) in self.retained.items():
+                            if topic_matches_py(bare, rtopic):
+                                retained_out.append(
+                                    (rtopic, rpay, min(qos, rqos), rup)
+                                )
                 reasons.append(qos)
             conn.send(suback_packet(pid, reasons))
+            if conn.session is not None:
+                for rtopic, rpay, rqos, rup in retained_out:
+                    self._deliver(
+                        conn.session, (rtopic, rpay, rqos, True, rup, False)
+                    )
 
     def _on_unsubscribe(self, conn: _BrokerConn, body: bytes) -> None:
         # §3.10-3.11: per-filter reason — 0x00 when the subscription
@@ -744,9 +773,23 @@ class EmbeddedBroker:
             self._dispatch(topic, payload, qos, retain, props["user"])
 
     def _dispatch(self, topic, payload, qos, retain, uprops) -> None:
+        # Retained STORE (§3.3.1.3): a retained publish replaces the
+        # topic's retained message; a zero-byte retained publish clears
+        # it (MQTT-3.3.1-6/7). Runs here — the single choke point — so
+        # wills (incl. delayed) with the retain flag are stored too: a
+        # status topic then holds last-known state for late monitors.
+        if retain:
+            if payload:
+                self.retained[topic] = (bytes(payload), qos, list(uprops))
+            else:
+                self.retained.pop(topic, None)
         # non-shared: every matching session. shared: ONE member per group,
         # round-robin over live members (queued to a member even when the
         # whole group is offline — at-least-once for resumed sessions).
+        # Live forwards carry retain=0 (MQTT-3.3.1-9: the flag marks a
+        # SUBSCRIBE-time snapshot, not live traffic; no Retain-As-
+        # Published support) — exactly the client-side contract the
+        # trace suite pins.
         shared: dict[tuple[str, str], list[tuple[_Session, int]]] = {}
         for session in self.sessions.values():
             for filt, (sub_qos, group) in session.subs.items():
@@ -755,7 +798,7 @@ class EmbeddedBroker:
                     continue
                 if group is None:
                     self._deliver(
-                        session, (topic, payload, min(qos, sub_qos), retain, uprops, False)
+                        session, (topic, payload, min(qos, sub_qos), False, uprops, False)
                     )
                 else:
                     shared.setdefault((group, bare), []).append((session, sub_qos))
@@ -767,7 +810,7 @@ class EmbeddedBroker:
             self._rr[key] = idx + 1
             session, sub_qos = pool[idx]
             self._deliver(
-                session, (topic, payload, min(qos, sub_qos), retain, uprops, False)
+                session, (topic, payload, min(qos, sub_qos), False, uprops, False)
             )
 
     def _deliver(self, session: _Session, msg: tuple) -> None:
