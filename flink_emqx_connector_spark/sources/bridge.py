@@ -58,12 +58,23 @@ class MqttSpoolBridge:
         spool_dir: str,
         qos: int = 1,
         members: int = 1,
+        status_topic: str | None = None,
     ):
         self.spool_dir = spool_dir
         self._lock = threading.Lock()
         self._pub = SpoolPublisher(spool_dir)
         self._host, self._port, self._qos = host, port, qos
         self._clientid = clientid
+        #: When set, every member maintains a RETAINED liveness record at
+        #: ``{status_topic}/{member-clientid}``: "online" on each connect,
+        #: "offline" on graceful departure (scale-in / stop), and a
+        #: retained WILL "dead" the broker publishes if the member dies
+        #: without a clean DISCONNECT — so a monitor subscribed to
+        #: ``{status_topic}/#`` (or arriving late, via the retained
+        #: snapshot) learns member health from the BROKER, not from its
+        #: own timeouts. This is the operational telemetry leg the
+        #: reference leaves to Flink's metrics system.
+        self._status_topic = status_topic
         self._sub_topic = (
             f"$share/{group}/{topic_filter}" if group else topic_filter
         )
@@ -95,10 +106,23 @@ class MqttSpoolBridge:
         )
         props = Properties(PacketTypes.CONNECT)
         props.SessionExpiryInterval = 300
+        status = (
+            f"{self._status_topic}/{self._clientid}-bridge-{i}"
+            if self._status_topic
+            else None
+        )
+        if status:
+            # retained will: an abnormal death leaves "dead" as the
+            # topic's last-known state for monitors that subscribe later
+            cli.will_set(status, b"dead", qos=1, retain=True)
 
         def on_connect(client, userdata, flags, reason, properties=None):
             if getattr(reason, "value", reason) != 0:
                 return  # CONNACK refusal — never subscribe into it
+            if status:
+                # overwrite any stale "dead"/"offline" record — a watchdog
+                # respawn self-heals the status topic on reconnect
+                client.publish(status, b"online", qos=1, retain=True)
             if not flags.session_present:
                 client.subscribe(self._sub_topic, qos=self._qos)
 
@@ -137,6 +161,7 @@ class MqttSpoolBridge:
         cli.on_connect = on_connect
         cli.on_message = on_message
         cli.on_disconnect = on_disconnect
+        cli._graft_status = status  # for graceful-departure announcements
         cli.reconnect_delay_set(min_delay=1, max_delay=10)
         try:
             cli.connect(
@@ -229,15 +254,29 @@ class MqttSpoolBridge:
                 pass  # already dead → broker detach re-dispatch covers it
         _time.sleep(drain_s)  # in-flight deliveries append+ack normally
         for cli in departing:
+            self._announce_offline(cli)
             try:
                 cli.disconnect()
             except Exception:
                 pass
 
+    @staticmethod
+    def _announce_offline(cli) -> None:
+        """Graceful departure: a clean DISCONNECT discards the will, so
+        the last-known state is published explicitly (retained) first —
+        monitors distinguish planned 'offline' from crashed 'dead'."""
+        status = getattr(cli, "_graft_status", None)
+        if status:
+            try:
+                cli.publish(status, b"offline", qos=1, retain=True)
+            except Exception:
+                pass  # dead socket: the retained WILL tells the truth
+
     def stop(self) -> None:
         self._stopped.set()
         self._watchdog.join(timeout=2 * self.WATCHDOG_INTERVAL + 1)
         for cli in self._clients:
+            self._announce_offline(cli)
             try:
                 cli.disconnect()
             except Exception:

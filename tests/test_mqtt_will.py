@@ -201,3 +201,61 @@ def test_connect_packet_will_fields_roundtrip(broker):
     assert _wait(lambda: broker.sessions["wire-cli"].conn is None)
     assert conn.will is None
     raw.close()
+
+
+def test_bridge_status_wills_lifecycle(broker, tmp_path):
+    """Bridge liveness telemetry (status_topic): members publish retained
+    'online' on connect; a crashed member's retained WILL flips its
+    record to 'dead' (visible to a LATE monitor via the retained
+    snapshot); graceful scale-in and stop write 'offline' explicitly
+    (a clean DISCONNECT discards the will)."""
+    from flink_emqx_connector_spark.sources.bridge import MqttSpoolBridge
+
+    bridge = MqttSpoolBridge(
+        "127.0.0.1", broker.port, "t/st/#", group="g", clientid="st",
+        spool_dir=str(tmp_path / "spool"), qos=1, members=2,
+        status_topic="bridge-status",
+    )
+    try:
+        names = ["st-bridge-0", "st-bridge-1"]
+        assert _wait(lambda: all(
+            broker.retained.get(f"bridge-status/{n}", (None,))[0] == b"online"
+            for n in names
+        ))
+        # graceful scale-in -> explicit retained "offline" for the leaver
+        bridge.scale_to(1, drain_s=0.2)
+        assert _wait(
+            lambda: broker.retained["bridge-status/st-bridge-1"][0]
+            == b"offline"
+        )
+        assert broker.retained["bridge-status/st-bridge-0"][0] == b"online"
+        # crash the survivor (watchdog off first so it can't self-heal
+        # before the assertion): retained will flips the record to "dead"
+        bridge._stopped.set()
+        cli = bridge._clients[0]
+        cli._running = False
+        cli._close_sock()
+        assert _wait(
+            lambda: broker.retained["bridge-status/st-bridge-0"][0] == b"dead"
+        )
+        # a LATE monitor learns both states from the retained snapshot
+        got = {}
+        mon = Client(
+            CallbackAPIVersion.VERSION2, client_id="late-mon", protocol=MQTTv5
+        )
+        mon.on_connect = lambda c, u, f, r, p=None: c.subscribe(
+            "bridge-status/#", qos=1
+        )
+        mon.on_message = lambda c, u, m: got.__setitem__(
+            m.topic, bytes(m.payload)
+        )
+        mon.connect("127.0.0.1", broker.port)
+        mon.loop_start()
+        assert _wait(lambda: len(got) == 2)
+        assert got == {
+            "bridge-status/st-bridge-0": b"dead",
+            "bridge-status/st-bridge-1": b"offline",
+        }
+        mon.disconnect()
+    finally:
+        bridge.stop()
