@@ -617,3 +617,77 @@ def test_bloom_bit_table_is_broadcast(plans):
     probe join (metadata-sized at any corpus scale)."""
     p = plans("bloom_membership_eval")
     assert "BroadcastHashJoin" in p, p
+
+
+def test_null_safe_join_is_hash_join_not_nested_loop(plans):
+    """EqualNullSafe must plan as a real equi-join key (coalesce-
+    normalized hash/sort-merge), never a nested loop / cartesian —
+    the whole 100 TB claim of the entry."""
+    p = plans("null_safe_join_segments")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
+    # the only NLJ allowed anywhere would be a 1-row broadcast; this
+    # query has none at all
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_shot_boundaries_single_exchange_reused(plans):
+    """The per-clip lag window and the per-clip census share ONE doc_id
+    exchange — no second shuffle for the aggregate."""
+    import re
+
+    p = plans("multimodal_shot_boundaries")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    assert "Window" in p
+
+
+def test_budget_selection_no_corpus_scale_global_window(plans):
+    """The two-phase prefix sum: the corpus-scale window partitions BY
+    BAND (ttr_milli), the band-prefix window runs over <=1001 rows and
+    broadcasts its offsets back — there is no unpartitioned window over
+    document rows anywhere."""
+    import re
+
+    p = plans("token_budget_selection")
+    assert "windowspecdefinition(ttr_milli" in p  # in-band cumsum
+    assert "pmod(ttr_milli" in p  # tiny band-prefix window's constant key
+    assert "BroadcastHashJoin" in p  # offsets broadcast to the corpus
+    # budget is a broadcast 1-row scalar (the only NLJ node in the plan)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+
+
+def test_cusum_windows_stack_on_one_exchange(plans):
+    """Prefix sum + running min stack on the SAME (type, day) sort —
+    no exchange between the two Window nodes (the drawdown-identity
+    plan the entry promises)."""
+    import re
+
+    p = plans("event_rate_cusum")
+    tree = p.split("\n\n")[0]
+    wins = [m.start() for m in re.finditer(r"Window \(\d+\)", tree)]
+    assert len(wins) == 2
+    between = tree[wins[0] : wins[1]]
+    assert "Exchange" not in between and "Sort" not in between
+
+
+def test_cms_f2_partial_aggregation_and_scalar_broadcast(plans):
+    """Both the sketch census and the exact per-key census partially
+    aggregate before their shuffles; the exact F2 joins back as a 1-row
+    broadcast scalar."""
+    import re
+
+    p = plans("join_size_cms_estimate")
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 4
+    # the 1-row exact-F2 scalar is the only NLJ node
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+
+
+def test_rrf_legs_are_topk_and_arrow_kernel(plans):
+    """Lexical leg ends in TakeOrdered (the certified BM25 plan), the
+    semantic leg is one Arrow MapInPandas kernel + TakeOrdered, and the
+    final fused ranking is TakeOrdered — no global sort anywhere."""
+    import re
+
+    p = plans("hybrid_rrf_search")
+    assert "MapInPandas" in p
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", p)) == 3
