@@ -45,10 +45,14 @@ Scope — exactly the protocol surface the connector semantics need
   zero-byte retained publish, delivered retain=1 to new (non-shared)
   subscriptions while live forwards carry retain=0 (MQTT-3.3.1-6/7/9,
   §4.8.2); composes with wills — a retained will leaves last-known
-  state on the status topic for late monitors.
+  state on the status topic for late monitors;
+- (round 10) broker-side OUTBOUND topic-alias assignment
+  (MQTT-3.3.2-26/27): repeated topics compress to a 2-byte alias up to
+  the client's advertised Topic-Alias-Maximum, per network connection —
+  so the client's inbound alias table is exercised end-to-end by every
+  repeated-topic delivery, not just by trace replay.
 
-Out of scope (unused by the connector): outbound alias assignment, auth,
-session-expiry timers.
+Out of scope (unused by the connector): auth, session-expiry timers.
 """
 
 from __future__ import annotations
@@ -442,6 +446,12 @@ class _BrokerConn:
         #: (topic, payload, qos, retain, delay) from CONNECT, published at
         #: network close unless a clean DISCONNECT (0x00) cleared it first
         self.will: tuple[str, bytes, int, bool, int] | None = None
+        #: outbound topic-alias assignment (MQTT-3.3.2-26/27): when the
+        #: client's CONNECT advertised Topic-Alias-Maximum > 0, repeated
+        #: topics compress to a 2-byte alias on THIS connection. Both
+        #: live and die with the network connection (never the session).
+        self.alias_max = 0
+        self.tx_alias: dict[str, int] = {}
         self._wlock = threading.Lock()
         self._reader = _PacketReader(sock)
 
@@ -597,6 +607,9 @@ class EmbeddedBroker:
         (keepalive,) = struct.unpack_from(">H", body, i)
         i += 2
         _props, i = _parse_props(body, i)
+        # client's Topic-Alias-Maximum (0x22): cap on aliases WE may
+        # assign on this connection's outbound publishes
+        conn.alias_max = _props.get(0x22, 0)
         if keepalive:
             # MQTT-3.1.2-22: close after 1.5× keepalive of client
             # silence — the behavior a real EMQX shows that the old
@@ -823,9 +836,27 @@ class EmbeddedBroker:
             pid = session.next_pid
             session.next_pid = pid % 65535 + 1
             session.inflight[pid] = msg
+        # outbound topic-alias compression (MQTT-3.3.2-26/27): a bound
+        # topic sends as a zero-length topic + 2-byte alias; the first
+        # use carries BOTH (the bind); past the client's advertised cap,
+        # topics go plain. Real EMQX does exactly this — the client's
+        # inbound _rx_alias table (round 9) is now exercised end-to-end
+        # on every repeated-topic delivery, not just by trace replay.
+        conn = session.conn
+        wire_topic, alias = topic, None
+        if conn.alias_max:
+            alias = conn.tx_alias.get(topic)
+            if alias is not None:
+                wire_topic = ""
+            elif len(conn.tx_alias) < conn.alias_max:
+                alias = len(conn.tx_alias) + 1
+                conn.tx_alias[topic] = alias  # bind: full topic + alias
         try:
-            session.conn.send(
-                publish_packet(topic, payload, qos, pid, retain, dup, uprops)
+            conn.send(
+                publish_packet(
+                    wire_topic, payload, qos, pid, retain, dup, uprops,
+                    topic_alias=alias,
+                )
             )
         except OSError:
             if qos and pid is not None:
