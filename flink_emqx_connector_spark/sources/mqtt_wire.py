@@ -50,9 +50,15 @@ Scope — exactly the protocol surface the connector semantics need
   (MQTT-3.3.2-26/27): repeated topics compress to a 2-byte alias up to
   the client's advertised Topic-Alias-Maximum, per network connection —
   so the client's inbound alias table is exercised end-to-end by every
-  repeated-topic delivery, not just by trace replay.
-
-Out of scope (unused by the connector): auth, session-expiry timers.
+  repeated-topic delivery, not just by trace replay;
+- (round 10) username/password authentication: CONNECT credential
+  fields + broker-side verification (bad/missing → CONNACK 0x86, no
+  session, no will) — the client's permanent-refusal cede is now
+  E2E-tested against the broker, not just trace-replayed; and
+  session-expiry timers: expiry 0 ends the session with the network
+  connection, N discards it N seconds after disconnect unless resumed
+  (property-less clients keep indefinite persistence — see
+  _Session.expiry for why).
 """
 
 from __future__ import annotations
@@ -179,6 +185,8 @@ def connect_packet(
     session_expiry: int | None,
     topic_alias_maximum: int | None = None,
     will: tuple[str, bytes, int, bool, int] | None = None,
+    username: str | None = None,
+    password: bytes | None = None,
 ) -> bytes:
     props = _props_bytes(session_expiry=session_expiry)
     if topic_alias_maximum:
@@ -208,6 +216,12 @@ def connect_packet(
             + struct.pack(">H", len(wpayload))
             + wpayload
         )
+    if username is not None:  # §3.1.3.5-6: after will fields
+        connect_flags |= 0x80
+        tail += _mqtt_str(username)
+    if password is not None:
+        connect_flags |= 0x40
+        tail += struct.pack(">H", len(password)) + password
     body = (
         _mqtt_str("MQTT")
         + b"\x05"
@@ -414,11 +428,21 @@ class _PacketReader:
 class _Session:
     __slots__ = (
         "clientid", "subs", "queue", "inflight", "next_pid", "conn",
-        "awaiting_comp", "rx_qos2", "departed_shared",
+        "awaiting_comp", "rx_qos2", "departed_shared", "expiry",
+        "last_detach",
     )
 
     def __init__(self, clientid: str):
         self.clientid = clientid
+        #: Session Expiry Interval from the latest CONNECT (0x11), or
+        #: None when the client never sent one. Spec default for an
+        #: absent property is 0, but this double deliberately keeps the
+        #: legacy indefinite persistence for property-less clients —
+        #: expiry semantics apply only when EXPLICITLY requested (the
+        #: bridge sends 300), so persistent-session tests model EMQX's
+        #: configured-default deployments.
+        self.expiry: int | None = None
+        self.last_detach = 0.0
         self.subs: dict[str, tuple[int, str | None]] = {}  # filter → (qos, group)
         self.queue: deque = deque()  # (topic, payload, qos, retain, uprops, dup)
         self.inflight: dict[int, tuple] = {}
@@ -493,9 +517,21 @@ class EmbeddedBroker:
     pause/unpause of ``EMQXSourceIntegrationTest.java:303-364``).
     """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        credentials: dict[str, str] | None = None,
+    ):
         self.host = host
         self.port = port
+        #: username → password. None disables auth (anonymous allowed —
+        #: the default EMQX dev posture); a dict makes every CONNECT
+        #: present a matching pair or be refused CONNACK 0x86 (Bad User
+        #: Name or Password) and closed without a session — the
+        #: permanent-refusal class the client cedes on rather than
+        #: storming doomed CONNECTs.
+        self.credentials = credentials
         self.sessions: dict[str, _Session] = {}
         #: topic → (payload, qos, uprops): THE retained message per topic
         #: (§3.3.1.3) — replaced by each retained publish, cleared by a
@@ -637,6 +673,26 @@ class EmbeddedBroker:
                 wprops.get(0x18, 0),  # Will Delay Interval, seconds
             )
             i += wlen
+        username = password = None
+        if connect_flags & 0x80:  # User Name Flag (§3.1.3.5)
+            username, i = _parse_str(body, i)
+        if connect_flags & 0x40:  # Password Flag (§3.1.3.6)
+            (plen,) = struct.unpack_from(">H", body, i)
+            i += 2
+            password = body[i : i + plen]
+            i += plen
+        if self.credentials is not None:
+            expected = (
+                self.credentials.get(username) if username is not None else None
+            )
+            if expected is None or password != expected.encode("utf-8"):
+                # Bad User Name or Password (0x86): permanent refusal —
+                # no session, no will (MQTT-3.1.4: the server MUST NOT
+                # process further; the client's cede policy keys on the
+                # CONNACK reason). Close after the refusal CONNACK.
+                conn.will = None
+                conn.send(connack_packet(False, reason=0x86))
+                raise ConnectionError("authentication failed")
         with self._lock:
             existing = self.sessions.get(clientid)
             session_present = existing is not None and not clean_start
@@ -665,6 +721,7 @@ class EmbeddedBroker:
             if existing is None or clean_start:
                 self.sessions[clientid] = _Session(clientid)
             session = self.sessions[clientid]
+            session.expiry = _props.get(0x11)  # latest CONNECT wins
             session.conn = conn
             conn.session = session
             conn.send(connack_packet(session_present))
@@ -911,6 +968,29 @@ class EmbeddedBroker:
                     session, live_shared + session.departed_shared
                 )
                 session.departed_shared.clear()
+                # session expiry (§3.1.2.11): 0 → the session ends with
+                # the network connection; N → discarded after N seconds
+                # unless resumed first (the stamp guards a
+                # resume-then-redisconnect against the stale timer).
+                # None (property never sent) keeps legacy indefinite
+                # persistence — see _Session.expiry.
+                if session.expiry == 0:
+                    self.sessions.pop(session.clientid, None)
+                elif session.expiry is not None:
+                    session.last_detach = time.monotonic()
+                    t = threading.Timer(
+                        session.expiry,
+                        self._expire_session,
+                        args=(session.clientid, session.last_detach),
+                    )
+                    t.daemon = True
+                    t.start()
+
+    def _expire_session(self, clientid: str, stamp: float) -> None:
+        with self._lock:
+            s = self.sessions.get(clientid)
+            if s is not None and s.conn is None and s.last_detach == stamp:
+                self.sessions.pop(clientid, None)
 
     def _fire_delayed_will(
         self, clientid: str, topic: str, payload: bytes, qos: int, retain: bool
@@ -1135,6 +1215,8 @@ class Client:
         # (topic, payload, qos, retain, delay) sent with every CONNECT of
         # this client (paho re-sends the will on reconnect too)
         self._will: tuple[str, bytes, int, bool, int] | None = None
+        self._username: str | None = None
+        self._password: bytes | None = None
         self._wlock = threading.Lock()
 
     # paho surface ---------------------------------------------------------
@@ -1200,6 +1282,15 @@ class Client:
             sock.close()
         except OSError:
             pass
+
+    def username_pw_set(self, username, password=None) -> None:
+        """Credentials for every CONNECT (paho surface). A broker that
+        refuses them answers CONNACK 0x86 — a PERMANENT refusal the
+        loop cedes on (connect_refused) instead of storming retries."""
+        self._username = username
+        self._password = (
+            password.encode("utf-8") if isinstance(password, str) else password
+        )
 
     def will_set(
         self, topic, payload=None, qos=0, retain=False, properties=None
@@ -1308,6 +1399,8 @@ class Client:
                 self._session_expiry,
                 topic_alias_maximum=self.topic_alias_maximum,
                 will=self._will,
+                username=self._username,
+                password=self._password,
             )
         )
         self._preader = _PacketReader(sock)
