@@ -580,3 +580,116 @@ def embedding_drift_scores(spark, sf_dir):
             .alias("top_shift_bucket"),
         )
     )
+
+
+def _cov_oracle() -> str:
+    """Compose the CERTIFIED gram oracle verbatim (round-8 composition
+    rule) with per-dim sums and the count scalar."""
+    gram = QUERIES["embedding_gram_matrix"].oracle
+    return f"""
+    WITH g AS MATERIALIZED (
+      SELECT i, j, g_milli FROM ({gram})
+    ),
+    q AS MATERIALIZED (
+      SELECT {_QUANT_SQL} AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    s AS (
+      SELECT i.range AS d, CAST(sum(q.q[i.range]) AS BIGINT) AS s
+      FROM q, range(1, {_DIM + 1}) i GROUP BY 1
+    ),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
+    SELECT g.i AS i, g.j AS j,
+           CAST(c.n * g.g_milli - si.s * sj.s AS BIGINT) AS cov_n2
+    FROM g JOIN s si ON si.d = g.i JOIN s sj ON sj.d = g.j CROSS JOIN c
+    """
+
+
+@register(
+    "embedding_covariance_exact",
+    oracle=None,  # installed below (needs the gram entry registered)
+    doc="X121: exact integer covariance matrix of the embedding store — "
+    "the whitening/PCA preprocessing input — via the identity "
+    "n²·cov_ij = n·Σ x_i x_j − (Σ x_i)(Σ x_j) over milli-quantized "
+    "int64 elements: every term is an exact integer, so the full 64×64 "
+    "matrix hash-matches with no FP-summation hazard (centering first "
+    "would make every element a rational — the identity avoids division "
+    "entirely; consumers divide by n² at use time). Composes the "
+    "CERTIFIED gram plan (X100) unchanged; the per-dim sum vector is a "
+    "second numpy partial per partition (the gram kernel's cost model: "
+    "the shuffle carries |partitions|×64 rows, never the corpus) and "
+    "joins back as a broadcast 64-row side, twice. int64 margin: "
+    "n·Σx_ix_j ≤ n²·1e6 — safe to ~3e6 vectors (ANSI throws on "
+    "overflow rather than corrupt).",
+    tags=("embeddings", "linalg", "covariance", "pipeline"),
+)
+def embedding_covariance_exact(spark, sf_dir):
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    gram = embedding_gram_matrix(spark, sf_dir)
+
+    def sums_kernel(iterator):
+        s = np.zeros(_DIM, dtype=np.int64)
+        n = 0
+        for pdf in iterator:
+            pdf = pdf[pdf["embedding"].notna()]
+            if not len(pdf):
+                continue
+            Q = _quantize(np.array(pdf["embedding"].to_list()))
+            s += Q.sum(axis=0)
+            n += len(pdf)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "d": np.arange(1, _DIM + 1, dtype=np.int32),
+                    "s": s,
+                    "np": np.full(_DIM, n, dtype=np.int64),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("d", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("np", T.LongType()),
+        ]
+    )
+    sums = (
+        _emb(spark, sf_dir)
+        .select("embedding")
+        .mapInPandas(sums_kernel, schema)
+        .groupBy("d")
+        .agg(
+            F.sum("s").cast("bigint").alias("s"),
+            F.sum("np").cast("bigint").alias("n"),
+        )
+    )
+    si = sums.select(F.col("d").alias("i"), F.col("s").alias("si"),
+                     F.col("n").alias("n"))
+    sj = sums.select(F.col("d").alias("j"), F.col("s").alias("sj"))
+    return (
+        gram.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("g_milli") - F.col("si") * F.col("sj"))
+            .cast("bigint")
+            .alias("cov_n2"),
+        )
+    )
+
+
+def _install_cov_oracle() -> None:
+    from dataclasses import replace
+
+    QUERIES["embedding_covariance_exact"] = replace(
+        QUERIES["embedding_covariance_exact"], oracle=_cov_oracle()
+    )
+
+
+from .registry import QUERIES  # noqa: E402  (used by the composers above)
+
+_install_cov_oracle()

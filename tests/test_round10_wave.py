@@ -179,3 +179,30 @@ def test_cusum_prefix_identity_equals_true_recursion(spark):
         assert got["max_cusum_milli"] == mx, etype
         assert got["n_flagged"] == flags, etype
         assert got["first_flag_day"] == first, etype
+
+
+def test_covariance_matches_numpy_and_is_psd_on_diagonal(spark):
+    """cov_n2 == n²·cov exactly (numpy recompute on the quantized
+    vectors); diagonal entries are n²·variance >= 0."""
+    import numpy as np
+
+    rows = QUERIES["embedding_covariance_exact"].spark(
+        spark, SF_SMALL
+    ).collect()
+    assert len(rows) == 64 * 65 // 2
+    emb = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("embedding")
+        .collect()
+    )
+    Q = np.floor(
+        np.array([list(r[0]) for r in emb], dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    n = len(Q)
+    G = Q.T @ Q
+    s = Q.sum(axis=0)
+    for r in rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        assert r["cov_n2"] == n * G[i, j] - s[i] * s[j], (i, j)
+        if i == j:
+            assert r["cov_n2"] >= 0  # n² · variance
