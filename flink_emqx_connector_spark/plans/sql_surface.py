@@ -348,3 +348,45 @@ _define(
     HAVING count(DISTINCT p.p_type) >= 5
     """,
 )
+
+_define(
+    "sql_grouping_flags",
+    ("customer", "nation", "region"),
+    "SQL surface: GROUPING() disambiguation over ROLLUP — the flag "
+    "columns that tell a subtotal row from a data row whose key "
+    "happens to be NULL (twin: rollup_lineitem / "
+    "sql_nation_region_rollup, which lack the flags). Both engines "
+    "return 0/1 from GROUPING(); cast pins the shared BIGINT type.",
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region_name,
+           coalesce(n.n_name, 'ALL') AS nation_name,
+           CAST(GROUPING(r.r_name) AS BIGINT) AS g_region,
+           CAST(GROUPING(n.n_name) AS BIGINT) AS g_nation,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+
+_define(
+    "sql_except_all_order_bag",
+    ("orders",),
+    "SQL surface: EXCEPT ALL — BAG difference (each occurrence "
+    "consumes one match), vs the set-semantics EXCEPT the setops "
+    "family covers: a customer with 5 open orders and 2 urgent ones "
+    "keeps multiplicity 3 here and would vanish under EXCEPT if the "
+    "sets merely intersect.",
+    """
+    SELECT k, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY k
+    ORDER BY n DESC, k
+    LIMIT 20
+    """,
+)
