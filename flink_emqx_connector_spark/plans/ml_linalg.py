@@ -693,3 +693,112 @@ def _install_cov_oracle() -> None:
 from .registry import QUERIES  # noqa: E402  (used by the composers above)
 
 _install_cov_oracle()
+
+
+_PCA_ITER = 3
+_C_CAP = 1_000_000  # rescaled covariance magnitude cap (int64 headroom)
+
+
+def _pca_oracle() -> str:
+    cov = QUERIES["embedding_covariance_exact"].oracle
+    parts = [
+        f"""
+    WITH cov AS MATERIALIZED (
+      SELECT i, j, cov_n2 FROM ({cov})
+    ),
+    full_m AS (
+      SELECT i, j, cov_n2 FROM cov
+      UNION ALL
+      SELECT j AS i, i AS j, cov_n2 FROM cov WHERE i < j
+    ),
+    cs AS (
+      SELECT greatest(CAST(max(abs(cov_n2)) AS BIGINT) // {_C_CAP}, 1) AS s
+      FROM full_m
+    ),
+    cm AS (SELECT i, j, cov_n2 // cs.s AS c FROM full_m, cs),
+    v0 AS (
+      SELECT r.range AS d, CAST(1000 AS BIGINT) AS v FROM range(1, {_DIM + 1}) r
+    )"""
+    ]
+    for k in range(1, _PCA_ITER + 1):
+        parts.append(
+            f""",
+    w{k} AS (
+      SELECT cm.i AS d, CAST(sum(cm.c * v{k - 1}.v) AS BIGINT) AS w
+      FROM cm JOIN v{k - 1} ON v{k - 1}.d = cm.j GROUP BY 1
+    ),
+    m{k} AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w{k}),
+    v{k} AS (SELECT d, CAST(w * 1000 // m{k}.mx AS BIGINT) AS v
+             FROM w{k}, m{k})"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(d AS INTEGER) AS dim, v AS v_milli FROM v{_PCA_ITER}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "embedding_pca_power_iteration",
+    oracle=None,  # installed below (composes the covariance oracle)
+    doc="X122: dominant principal component of the embedding store by "
+    "{k} exact integer power-iteration steps over the X121 covariance "
+    "— the PCA/whitening direction a 100 TB pipeline extracts before "
+    "index build or drift monitoring. The corpus-sized work is the one "
+    "covariance pass (certified, composed unchanged); the iteration "
+    "itself runs on the 64x64 matrix: rescale C once to <= ~1e6 by an "
+    "integer data-derived divisor (int64 headroom for C.v products), "
+    "then each step is a broadcast join + groupBy matvec and an "
+    "inf-norm renormalization to milli-units — all integer divisions, "
+    "identical truncation semantics on both engines (verified: DuckDB "
+    "`//` truncates toward zero on negatives exactly like Spark "
+    "`div`). The deterministic trip count makes the whole iteration "
+    "one declarative plan; convergence to the true eigvec is pinned "
+    "against numpy in tests, cross-engine equality by the oracle "
+    "hash.".format(k=_PCA_ITER),
+    tags=("embeddings", "linalg", "pca", "iterative", "pipeline"),
+)
+def embedding_pca_power_iteration(spark, sf_dir):
+    cov = embedding_covariance_exact(spark, sf_dir)
+    full_m = cov.union(
+        cov.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov_n2"
+        )
+    )
+    cs = full_m.agg(
+        F.greatest(
+            F.expr(f"CAST(max(abs(cov_n2)) AS BIGINT) div {_C_CAP}"), F.lit(1)
+        ).alias("s")
+    )
+    cm = (
+        full_m.crossJoin(F.broadcast(cs))
+        .select("i", "j", F.expr("cov_n2 div s").alias("c"))
+        .localCheckpoint(eager=False)  # reused by all iterations
+    )
+    v = spark.range(1, _DIM + 1).select(
+        F.col("id").cast("int").alias("d"), F.lit(1000).cast("bigint").alias("v")
+    )
+    for _ in range(_PCA_ITER):
+        w = (
+            cm.join(F.broadcast(v), cm["j"] == v["d"])
+            .groupBy(cm["i"].alias("wd"))
+            .agg(F.sum(F.col("c") * F.col("v")).cast("bigint").alias("w"))
+        )
+        m = w.agg(F.greatest(F.max(F.abs(F.col("w"))), F.lit(1)).alias("mx"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            F.col("wd").alias("d"),
+            F.expr("w * 1000 div mx").cast("bigint").alias("v"),
+        )
+    return v.select(F.col("d").cast("int").alias("dim"), F.col("v").alias("v_milli"))
+
+
+def _install_pca_oracle() -> None:
+    from dataclasses import replace
+
+    QUERIES["embedding_pca_power_iteration"] = replace(
+        QUERIES["embedding_pca_power_iteration"], oracle=_pca_oracle()
+    )
+
+
+_install_pca_oracle()

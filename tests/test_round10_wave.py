@@ -206,3 +206,38 @@ def test_covariance_matches_numpy_and_is_psd_on_diagonal(spark):
         assert r["cov_n2"] == n * G[i, j] - s[i] * s[j], (i, j)
         if i == j:
             assert r["cov_n2"] >= 0  # n² · variance
+
+
+def test_pca_power_iteration_exact_integer_algebra(spark):
+    """Recompute the integer power iteration in numpy (truncating
+    division, like both engines) — the plan's 3 chained matvecs must be
+    bit-exact; the output is inf-normalized to milli-units."""
+    import numpy as np
+
+    def trunc_div(a, b):
+        return np.sign(a) * (np.abs(a) // b)
+
+    out = {r["dim"]: r["v_milli"] for r in QUERIES[
+        "embedding_pca_power_iteration"
+    ].spark(spark, SF_SMALL).collect()}
+    assert len(out) == 64
+    emb = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("embedding")
+        .collect()
+    )
+    Q = np.floor(
+        np.array([list(r[0]) for r in emb], dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    n = len(Q)
+    C = n * (Q.T @ Q) - np.outer(Q.sum(0), Q.sum(0))
+    cs = max(int(np.abs(C).max()) // 1_000_000, 1)
+    cm = trunc_div(C, cs)
+    v = np.full(64, 1000, dtype=np.int64)
+    for _ in range(3):
+        w = cm @ v
+        mx = max(int(np.abs(w).max()), 1)
+        v = trunc_div(w * 1000, mx)
+    assert int(np.abs(v).max()) == 1000  # inf-normalized
+    for d in range(64):
+        assert out[d + 1] == v[d], d
