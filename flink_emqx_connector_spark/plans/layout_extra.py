@@ -482,3 +482,60 @@ def zorder_layout_stats(spark, sf_dir):
             1.0 - F.sum(hit.cast("bigint")).cast("double") / F.count("*"), 4
         ).alias("file_skip_ratio"),
     )
+
+
+_K_FOLDS = 5
+
+
+@register(
+    "stratified_kfold_assignment",
+    oracle=f"""
+    WITH f AS (
+      SELECT lang, {_md5_bucket_sql("doc_id", "fold:", _K_FOLDS)} AS fold,
+             n_chars
+      FROM documents
+    ), g AS (
+      SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM f GROUP BY 1, 2
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, lang, n_docs, sum_chars,
+           CAST(sum(n_docs) OVER (PARTITION BY fold) AS BIGINT)
+             AS fold_total,
+           CAST(n_docs * 1000 // sum(n_docs) OVER (PARTITION BY fold)
+                AS BIGINT) AS lang_share_milli
+    FROM g
+    """,
+    doc="X124: deterministic {k}-fold cross-validation assignment by "
+    "salted md5 of the document id, with the per-(fold, lang) census a "
+    "validation harness reads to CHECK stratification quality "
+    "(lang_share_milli per fold should match the corpus mix; md5 "
+    "uniformity delivers stratification in expectation without a "
+    "per-stratum pass). Assignment is a pure row-local expression — "
+    "zero shuffle to assign, any engine reproduces it bit-identically; "
+    "folds are disjoint and exhaustive by construction. The only "
+    "exchange is the (fold, lang) census; the fold totals reuse its "
+    "partitioning as a window.".format(k=_K_FOLDS),
+    tags=("pipeline", "split", "training", "evaluation"),
+)
+def stratified_kfold_assignment(spark, sf_dir):
+    f = _load(spark, sf_dir, "documents").select(
+        "lang",
+        _md5_bucket(F.col("doc_id"), "fold:", _K_FOLDS).alias("fold"),
+        "n_chars",
+    )
+    g = f.groupBy("fold", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    wf = Window.partitionBy("fold")
+    return g.select(
+        F.col("fold").cast("bigint").alias("fold"),
+        "lang",
+        "n_docs",
+        "sum_chars",
+        F.sum("n_docs").over(wf).cast("bigint").alias("fold_total"),
+        F.expr("n_docs * 1000 div sum(n_docs) over (partition by fold)")
+        .cast("bigint")
+        .alias("lang_share_milli"),
+    )

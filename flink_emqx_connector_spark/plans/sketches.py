@@ -563,3 +563,120 @@ def join_size_cms_estimate(spark, sf_dir):
         )
         .orderBy("row_id")
     )
+
+
+@register(
+    "sketch_merge_cms",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ), cells AS (
+      SELECT half, r.range AS row_id,
+             {_h32_sql("tok", "cms'||r.range||':")} % {_CMS_W} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks, range({_CMS_D}) r
+      GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT row_id, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM cells GROUP BY 1, 2
+    ), rebuilt AS (
+      SELECT r.range AS row_id,
+             {_h32_sql("tok", "cms'||r.range||':")} % {_CMS_W} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks, range({_CMS_D}) r
+      GROUP BY 1, 2
+    ), cmp AS (
+      SELECT coalesce(m.row_id, b.row_id) AS row_id,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             bool_and(m.cnt IS NOT DISTINCT FROM b.cnt) AS cells_equal,
+             CAST(sum(m.cnt) AS BIGINT) AS mass
+      FROM merged m FULL OUTER JOIN rebuilt b
+        ON b.row_id = m.row_id AND b.bucket = m.bucket
+      GROUP BY 1
+    )
+    SELECT row_id, n_cells, cells_equal, mass FROM cmp ORDER BY row_id
+    """,
+    doc="X123: count-min-sketch MERGEABILITY — the property that makes "
+    "sketches THE 100 TB aggregation tool: a CMS built per shard and "
+    "cell-wise summed must equal the CMS built over the whole corpus "
+    "(linearity of the count cells). Here the corpus splits by doc "
+    "parity, both halves sketch independently, the merge is one "
+    "(row,bucket) groupBy-sum, and cells_equal must be TRUE per row "
+    "(verified cell-for-cell via a full outer join; mass per row = "
+    "total token count, conservation). At scale this is exactly "
+    "Spark's tree-reduce: partial sketches per partition, one "
+    "fixed-size combine — the shuffle carries <= {cells} rows no "
+    "matter the corpus.".format(cells=_CMS_D * _CMS_W),
+    tags=("sketch", "count-min", "merge", "approx"),
+)
+def sketch_merge_cms(spark, sf_dir):
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+    )
+    rows = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias(
+        "row_id"
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col("row_id").cast("string"),
+                        F.lit(":"),
+                        F.col("tok"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(_CMS_W),
+    ).alias("bucket")
+    base = toks.select("half", "tok", rows).select("half", "row_id", bucket)
+    cells = base.groupBy("half", "row_id", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    merged = cells.groupBy("row_id", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    rebuilt = base.groupBy("row_id", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    m = merged.select(
+        F.col("row_id").alias("m_row"),
+        F.col("bucket").alias("m_bucket"),
+        F.col("cnt").alias("m_cnt"),
+    )
+    b = rebuilt.select(
+        F.col("row_id").alias("b_row"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("cnt").alias("b_cnt"),
+    )
+    cmp = m.join(
+        b,
+        (F.col("b_row") == F.col("m_row"))
+        & (F.col("b_bucket") == F.col("m_bucket")),
+        "full_outer",
+    )
+    return (
+        cmp.groupBy(
+            F.coalesce(F.col("m_row"), F.col("b_row")).alias("row_id")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.min(
+                F.col("m_cnt").eqNullSafe(F.col("b_cnt"))
+            ).alias("cells_equal"),
+            F.sum("m_cnt").cast("bigint").alias("mass"),
+        )
+        .orderBy("row_id")
+    )

@@ -241,3 +241,34 @@ def test_pca_power_iteration_exact_integer_algebra(spark):
     assert int(np.abs(v).max()) == 1000  # inf-normalized
     for d in range(64):
         assert out[d + 1] == v[d], d
+
+
+def test_cms_merge_equals_rebuild_and_conserves_mass(spark):
+    rows = QUERIES["sketch_merge_cms"].spark(spark, SF_SMALL).collect()
+    assert len(rows) == 4
+    n_toks = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select(F.explode(F.split("text", " ")))
+        .count()
+    )
+    for r in rows:
+        assert r["cells_equal"] is True
+        assert r["mass"] == n_toks  # every row of the CMS holds all mass
+
+
+def test_kfold_disjoint_exhaustive_and_share_algebra(spark):
+    rows = QUERIES["stratified_kfold_assignment"].spark(
+        spark, SF_SMALL
+    ).collect()
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs  # disjoint+exhaustive
+    assert {r["fold"] for r in rows} <= set(range(5))
+    by_fold = {}
+    for r in rows:
+        by_fold.setdefault(r["fold"], []).append(r)
+        assert r["lang_share_milli"] == r["n_docs"] * 1000 // r["fold_total"]
+    for fold, rs in by_fold.items():
+        assert sum(r["n_docs"] for r in rs) == rs[0]["fold_total"]
+        # integer-floored shares sum to <= 1000 and within |langs| of it
+        s = sum(r["lang_share_milli"] for r in rs)
+        assert 1000 - len(rs) < s <= 1000, fold
