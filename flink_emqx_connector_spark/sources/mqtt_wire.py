@@ -270,9 +270,17 @@ _SUBACK_CODES = frozenset(
 _UNSUBACK_CODES = frozenset({0x00, 0x11, 0x80, 0x83, 0x87, 0x8F, 0x91})
 
 
-def disconnect_packet(reason: int = 0) -> bytes:
-    """Server/client DISCONNECT with a reason code (MQTT 5 §3.14)."""
-    return _packet(DISCONNECT, 0, bytes([reason]) + _varint(0))
+def disconnect_packet(
+    reason: int = 0, session_expiry: int | None = None
+) -> bytes:
+    """Server/client DISCONNECT with a reason code (MQTT 5 §3.14); the
+    client form may carry a Session Expiry Interval update (§3.14.2.2.2)."""
+    props = b""
+    if session_expiry is not None:
+        props = b"\x11" + struct.pack(">I", session_expiry)
+    return _packet(
+        DISCONNECT, 0, bytes([reason]) + _varint(len(props)) + props
+    )
 
 
 def publish_packet(
@@ -538,6 +546,12 @@ class EmbeddedBroker:
         #: zero-byte retained publish, delivered (retain=1) to new
         #: subscriptions. Survives stop()/start() like session state.
         self.retained: dict[str, tuple[bytes, int, list]] = {}
+        #: clientid → (topic, payload, qos, retain): delayed wills not yet
+        #: published. §3.1.2.5: the will goes out at the EARLIER of the
+        #: Will Delay Interval and session end — the expiry timer
+        #: consumes the entry when it wins; the will timer no-ops on a
+        #: consumed/cancelled entry.
+        self._pending_wills: dict[str, tuple[str, bytes, int, bool]] = {}
         self._rr: dict[tuple[str, str], int] = {}
         self._lock = threading.RLock()
         self._srv: socket.socket | None = None
@@ -631,6 +645,25 @@ class EmbeddedBroker:
             reason = body[0] if body else 0x00
             if reason == 0x00:
                 conn.will = None
+            if len(body) > 1:
+                props, _end = _parse_props(body, 1)
+                new_exp = props.get(0x11)
+                if new_exp is not None:
+                    with self._lock:
+                        session = conn.session
+                        if session is not None:
+                            if session.expiry == 0 and new_exp > 0:
+                                # MQTT-3.1.2-30: raising a zero CONNECT
+                                # expiry from DISCONNECT is a Protocol
+                                # Error — answer 0x82 and close.
+                                try:
+                                    conn.send(disconnect_packet(0x82))
+                                except OSError:
+                                    pass
+                            else:
+                                # §3.14.2.2.2: the session's expiry is
+                                # updated for the disconnect that follows
+                                session.expiry = new_exp
             raise ConnectionError("client disconnect")
 
     def _on_connect(self, conn: _BrokerConn, body: bytes) -> None:
@@ -938,11 +971,15 @@ class EmbeddedBroker:
                     # session arrives first (MQTT-3.1.3-9) — the orderly-
                     # failover window that lets a respawned bridge resume
                     # without alarming every monitor subscribed to the
-                    # status topic.
+                    # status topic. Registered as pending so session
+                    # expiry can publish it EARLIER (§3.1.2.5).
+                    self._pending_wills[session.clientid] = (
+                        wtopic, wpayload, wqos, wretain,
+                    )
                     t = threading.Timer(
                         wdelay,
                         self._fire_delayed_will,
-                        args=(session.clientid, wtopic, wpayload, wqos, wretain),
+                        args=(session.clientid,),
                     )
                     t.daemon = True
                     t.start()
@@ -991,14 +1028,23 @@ class EmbeddedBroker:
             s = self.sessions.get(clientid)
             if s is not None and s.conn is None and s.last_detach == stamp:
                 self.sessions.pop(clientid, None)
+                # §3.1.2.5: session end beats a longer Will Delay — the
+                # delayed will publishes NOW; its own timer then no-ops
+                # on the consumed entry.
+                w = self._pending_wills.pop(clientid, None)
+                if w is not None:
+                    topic, payload, qos, retain = w
+                    self._dispatch(topic, payload, qos, retain, [])
 
-    def _fire_delayed_will(
-        self, clientid: str, topic: str, payload: bytes, qos: int, retain: bool
-    ) -> None:
+    def _fire_delayed_will(self, clientid: str) -> None:
         with self._lock:
+            w = self._pending_wills.pop(clientid, None)
+            if w is None:
+                return  # already published at session expiry
             s = self.sessions.get(clientid)
             if s is not None and s.conn is not None:
                 return  # session resumed inside the delay window: cancelled
+            topic, payload, qos, retain = w
             self._dispatch(topic, payload, qos, retain, [])
 
     def _redispatch_shared(
@@ -1367,9 +1413,17 @@ class Client:
         elif msg.qos:
             self._send(puback_packet(msg.mid))
 
-    def disconnect(self) -> None:
+    def disconnect(self, reasoncode=None, properties=None) -> None:
         try:
-            self._send(_packet(DISCONNECT, 0, b""))
+            expiry = getattr(properties, "SessionExpiryInterval", None)
+            if reasoncode is not None or expiry is not None:
+                self._send(
+                    disconnect_packet(
+                        int(reasoncode or 0), session_expiry=expiry
+                    )
+                )
+            else:
+                self._send(_packet(DISCONNECT, 0, b""))
         except (OSError, ConnectionError):
             pass
         self._running = False

@@ -152,3 +152,71 @@ def test_no_expiry_property_keeps_legacy_persistence(broker):
     cli.disconnect()
     time.sleep(0.5)
     assert "leg-1" in broker.sessions
+
+
+def test_disconnect_updates_session_expiry(broker):
+    """§3.14.2.2.2: DISCONNECT may carry a new Session Expiry Interval —
+    connect with 300, disconnect with 1, session gone ~1 s later."""
+    cli = _connect(broker, "du-1", expiry=300)
+    assert _wait(lambda: broker.sessions.get("du-1") is not None)
+    props = Properties()
+    props.SessionExpiryInterval = 1
+    cli.disconnect(properties=props)
+    assert _wait(lambda: "du-1" not in broker.sessions, timeout=10.0)
+
+
+def test_raising_zero_expiry_from_disconnect_is_protocol_error(broker):
+    """MQTT-3.1.2-30: CONNECT expiry 0 cannot be raised at DISCONNECT —
+    the broker answers DISCONNECT 0x82 and the session still ends with
+    the connection."""
+    import socket as _socket
+
+    from flink_emqx_connector_spark.sources.mqtt_wire import (
+        connect_packet,
+        disconnect_packet,
+        read_packet,
+    )
+
+    raw = _socket.create_connection(("127.0.0.1", broker.port), timeout=5)
+    raw.sendall(connect_packet("du-2", True, 30, 0))  # expiry 0
+    ptype, _f, _b = read_packet(raw)
+    assert ptype == 2
+    assert _wait(lambda: broker.sessions.get("du-2") is not None)
+    raw.sendall(disconnect_packet(0x00, session_expiry=60))
+    ptype, _f, body = read_packet(raw)
+    assert ptype == 14 and body[0] == 0x82  # Protocol Error back
+    assert _wait(lambda: "du-2" not in broker.sessions)
+    raw.close()
+
+
+def test_session_expiry_beats_longer_will_delay(broker):
+    """§3.1.2.5: a delayed will publishes at the EARLIER of will-delay
+    and session end — expiry 1 with delay 10 fires the will ~1 s after
+    the crash, and only once."""
+    import time as _t
+
+    got = []
+    mon = _connect(broker, "mon-w")
+    mon.on_message = lambda c, u, m: got.append(m)
+    assert _wait(lambda: broker.sessions.get("mon-w") is not None)
+    mon.subscribe("status/#", qos=1)
+
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="wexp", protocol=MQTTv5)
+    wprops = Properties()
+    wprops.WillDelayInterval = 10
+    cli.will_set("status/wexp", b"gone", qos=1, properties=wprops)
+    sprops = Properties()
+    sprops.SessionExpiryInterval = 1
+    cli.connect("127.0.0.1", broker.port, properties=sprops)
+    cli.loop_start()
+    assert _wait(lambda: broker.sessions.get("wexp") is not None)
+    crashed = _t.monotonic()
+    cli._running = False
+    cli._close_sock()
+    assert _wait(lambda: len(got) == 1, timeout=10.0)
+    took = _t.monotonic() - crashed
+    assert took < 5.0, took  # session end fired it, not the 10 s delay
+    assert got[0].payload == b"gone"
+    _t.sleep(0.5)
+    assert len(got) == 1  # the will timer no-ops on the consumed entry
+    mon.disconnect()
