@@ -75,7 +75,6 @@ _DRIVER_RECORDED = {
         "regression_per_segment": 4, "repetition_filter_docs": 4,
         "salted_user_activity": 4, "scan_orc_roundtrip": 4,
         "shard_assignment_docs": 4, "sliding_window_events": 4,
-        "sql_interface_revenue_by_nation_quarter": 4,
         "stratified_sample_docs": 4, "try_functions_safety": 4,
         "udtf_tokenize": 4, "variant_props_stats": 4,
         "zscore_per_priority": 4,
@@ -89,12 +88,10 @@ _DRIVER_RECORDED = {
         "mad_outlier_events": 5, "ngram_novelty_docs": 5,
         "prefix_truncation_dupes": 5, "q10_returned_revenue_topk": 5,
         "q11_important_stock": 5, "q12_priority_by_status": 5,
-        "q13_customer_order_distribution": 5, "q15_top_supplier": 5,
-        "q16_supplier_part_variety": 5, "q17_small_quantity_revenue": 5,
-        "q19_brand_quantity_disjunction": 5, "q20_part_share_suppliers": 5,
+        "q13_customer_order_distribution": 5, "q16_supplier_part_variety": 5, "q20_part_share_suppliers": 5,
         "q21_last_shipper_census": 5, "q22_idle_wealthy_customers": 5,
         "q2_min_cost_supplier": 5, "q4_late_shipment_priority": 5,
-        "q6_forecast_revenue": 5, "q7_volume_shipping": 5,
+        "q7_volume_shipping": 5,
         "q8_market_share": 5, "q9_product_profit": 5,
         "quality_model_score": 5, "retention_cohorts": 5,
         "source_token_kl": 5, "split_by_cluster": 5,
@@ -138,8 +135,7 @@ _DRIVER_RECORDED = {
         "events_rollup_reaggregate": 8, "fk_integrity_audit": 8,
         "hash_split_train_val_test": 8, "heavy_hitters_cms": 8,
         "hll_manual_registers": 8, "knn_label_agreement": 8,
-        "markov_stationary_events": 8, "q1_pricing_summary": 8,
-        "q3_top_revenue_orders": 8, "rolling_sum": 8, "rollup_lineitem": 8,
+        "markov_stationary_events": 8, "q3_top_revenue_orders": 8, "rolling_sum": 8, "rollup_lineitem": 8,
         "runtime_filter_join": 8, "scalar_functions_part": 8,
         "scan_jsonl_roundtrip": 8, "scd2_user_state_history": 8,
         "schema_evolution_scan": 8, "semi_join_customers_with_orders": 8,
@@ -161,8 +157,7 @@ _DRIVER_RECORDED = {
         "multimodal_frame_sample": 9, "multimodal_resize_plan": 9,
         "ohlc_per_user_hour": 9, "pareto_frontier_parts": 9,
         "percentiles_lineitem": 9, "q14_promo_share": 9,
-        "q18_large_orders": 9, "q5_local_supplier_volume": 9,
-        "range_frame_trailing_sum": 9, "resample_gapfill_events": 9,
+        "q18_large_orders": 9, "range_frame_trailing_sum": 9, "resample_gapfill_events": 9,
         "sequence_pack_contiguous": 9, "sequence_pack_docs": 9,
         "sql_above_average_orders": 9, "sql_buyer_viewer_setops": 9,
         "sql_docs_lang_profile": 9, "sql_events_daily_activity": 9,

@@ -66,11 +66,18 @@ def _midnight_ts(rng: np.random.Generator, n: int, start: str, days: int) -> pa.
     return pa.array(d.astype("datetime64[us]"), type=pa.timestamp("us"))
 
 
-def _event_ts_ns(rng: np.random.Generator, n: int) -> pa.Array:
+def _event_ts_ns(
+    rng: np.random.Generator, n: int, span_days: int = 30
+) -> pa.Array:
     # nanosecond physical type, micro-aligned values: the nanosAsLong read
-    # path is exercised, truncation edge cases are not data-dependent
+    # path is exercised, truncation edge cases are not data-dependent.
+    # span_days defaults to the original 30 (all recorded gates/oracles);
+    # a larger span answers the "density vs history" question — the
+    # events-family robustness gate runs the SAME oracles on a 365-day
+    # corpus (the windows see 12x more distinct days, gapfill a sparser
+    # grid, retention cohorts a longer horizon).
     base = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
-    span_us = 30 * 24 * 3600 * 10**6
+    span_us = span_days * 24 * 3600 * 10**6
     us = base + rng.integers(0, span_us, n)
     return pa.array((us * 1000).astype("datetime64[ns]"), type=pa.timestamp("ns"))
 
@@ -95,7 +102,11 @@ def _doc_text(rng: np.random.Generator, vocab: np.ndarray) -> str:
 
 
 def generate(
-    out_dir: str, sf: float, seed: int = 42, tables: set[str] | None = None
+    out_dir: str,
+    sf: float,
+    seed: int = 42,
+    tables: set[str] | None = None,
+    event_span_days: int = 30,
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
@@ -197,7 +208,7 @@ def generate(
         ks = rng.integers(0, 100, n_ev)
         return pa.table({
             "event_id": pa.array(range(1, n_ev + 1), pa.int64()),
-            "ts": _event_ts_ns(rng, n_ev),
+            "ts": _event_ts_ns(rng, n_ev, event_span_days),
             "user_id": pa.array(rng.integers(0, max(n_ev // 67, 10), n_ev), pa.int64()),
             "event_type": list(rng.choice(EVENT_TYPES, n_ev, p=[0.5, 0.3, 0.1, 0.05, 0.05])),
             "value": np.round(rng.exponential(50, n_ev) + 0.03, 2),
@@ -271,5 +282,10 @@ def generate(
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata/sf0.001"
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 0.001
-    subset = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    generate(out, sf, tables=subset)
+    subset = (
+        set(sys.argv[3].split(","))
+        if len(sys.argv) > 3 and sys.argv[3]
+        else None
+    )
+    span = int(sys.argv[4]) if len(sys.argv) > 4 else 30
+    generate(out, sf, tables=subset, event_span_days=span)

@@ -34,33 +34,82 @@ def _t(spark, sf_dir, name):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                    AS avg_qty,
-           round(avg(l_discount), 4)                                    AS avg_disc,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) / 1e2                                        AS sum_base_price,
+           CAST((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS BIGINT) + 50) // 100 AS BIGINT) / 1e2          AS sum_disc_price,
+           CAST((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                            * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                      AS BIGINT) + 5000) // 10000 AS BIGINT) / 1e2      AS sum_charge,
+           floor(CAST(sum(l_quantity) AS DOUBLE) / count(*) * 1e4 + 0.5)
+             / 1e4                                                      AS avg_qty,
+           floor(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                 * 100.0 / count(*) + 0.5) / 1e4                        AS avg_disc,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="Aggregation gauntlet (TPC-H Q1 shape). Filter pushes to the parquet "
-    "scan; partial agg before the single shuffle.",
+    "scan; partial agg before the single shuffle. Money sums are EXACT "
+    "fixed-point (price and discount/tax are 2-decimal, so price*(1-d) "
+    "is an exact 1e4-scaled int64 and price*(1-d)*(1+t) an exact "
+    "1e6-scaled one): identical VALUES to the float form wherever the "
+    "float summation was correctly rounded, exact where a summation-"
+    "order half-cent boundary would flip the 2nd decimal (the class "
+    "the 365-day-draw gate caught in sql_interface_revenue; int64 "
+    "headroom to ~8e7 rows/group at the 1e6 scale). Averages are "
+    "floor-form over exact integer numerators (the q2 round-half-repr "
+    "class).",
     tags=("agg",),
 )
 def q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    p100 = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    d100c = "(100 - CAST(round(l_discount * 100) AS BIGINT))"
+    t100c = "(100 + CAST(round(l_tax * 100) AS BIGINT))"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (F.expr(f"CAST(sum({p100}) AS BIGINT)") / 1e2).alias(
+                "sum_base_price"
+            ),
+            (
+                F.expr(
+                    f"(CAST(sum({p100} * {d100c}) AS BIGINT) + 50) div 100"
+                )
+                / 1e2
+            ).alias("sum_disc_price"),
+            (
+                F.expr(
+                    f"(CAST(sum({p100} * {d100c} * {t100c}) AS BIGINT)"
+                    " + 5000) div 10000"
+                )
+                / 1e2
+            ).alias("sum_charge"),
+            (
+                F.floor(
+                    F.sum("l_quantity").cast("double") / F.count("*") * 1e4
+                    + 0.5
+                )
+                / 1e4
+            ).alias("avg_qty"),
+            (
+                F.floor(
+                    F.expr(
+                        f"CAST(sum(CAST(round(l_discount * 100) AS BIGINT))"
+                        f" AS DOUBLE)"
+                    )
+                    * 100.0
+                    / F.count("*")
+                    + 0.5
+                )
+                / 1e4
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

@@ -104,7 +104,9 @@ def q18_large_orders(spark, sf_dir):
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS BIGINT) + 50) // 100 AS BIGINT) / 1e2 AS revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -148,8 +150,15 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(dims), supp.s_nationkey == dims.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact 1e4 fixed point: same value as the float sum wherever
+            # that was correctly rounded (q1 conversion rationale)
+            (
+                F.expr(
+                    "(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                    " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+                    " AS BIGINT) + 50) div 100"
+                )
+                / 1e2
             ).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
@@ -1083,7 +1092,8 @@ def gini_by_priority(spark, sf_dir):
     SELECT n_name,
            CAST(year(o_orderdate) AS BIGINT) AS yr,
            CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) / 1e2 AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -1099,7 +1109,11 @@ def gini_by_priority(spark, sf_dir):
     "path the reference would have inherited from Flink SQL. Catalyst "
     "produces the same physical plan as the equivalent DataFrame "
     "program — date filter pushed to the orders scan, nation broadcast, "
-    "partial aggregation — because both lower to the same logical plan.",
+    "partial aggregation — because both lower to the same logical plan. "
+"Revenue sums exact integer cents (the r9 money template): the raw "
+"double sum hit a 1-cent summation-order divergence on the 365-day "
+"generated corpus at sf0.1 — the gate catch that closed VERDICT r9 "
+"item 8 for the last remaining revenue-summing SQL text.",
     tags=("sql", "join", "agg", "tpch"),
 )
 def sql_interface_revenue_by_nation_quarter(spark, sf_dir):
@@ -1110,7 +1124,8 @@ def sql_interface_revenue_by_nation_quarter(spark, sf_dir):
         SELECT n_name,
                CAST(year(o_orderdate) AS BIGINT) AS yr,
                CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) / 1e2 AS revenue
         FROM v_lineitem
         JOIN v_orders   ON l_orderkey = o_orderkey
         JOIN v_customer ON o_custkey = c_custkey

@@ -48,6 +48,20 @@ and DuckDB SQL, collected from rounds 1-8 of cross-engine lessons):
   ``sql_monthly_ship_flow`` (crosses 1e11 at ~sf30). Per-row rounding
   before the sum is the same documented ≤0.5-cent/row tradeoff as
   ``bucketed_colocated_join``.
+- **the boundary is also DRAW-dependent, not only magnitude-dependent**
+  (round-10 continuation finding): ``round(sum(money), 2)`` diverged on
+  a fresh 365-day sf0.1 generated corpus at a ~4e7 group sum — any
+  data draw can land a group's true sum within summation-order error of
+  a half-cent boundary. For two-decimal inputs the EXACT escape costs
+  nothing semantically: ``price*(1-d)`` is an exact 1e4-scaled int64
+  (``CAST(round(price*100) AS BIGINT) * (100 - CAST(round(d*100) AS
+  BIGINT))``), so sum exactly, half-away to cents with ``(S+50) // 100``
+  (truncating div agrees across engines on positives), divide once —
+  values are identical to the float form wherever it was right, correct
+  where it wasn't. Applied to q1/q5/q6/q15/q17/q19 and
+  ``sql_interface_revenue_by_nation_quarter`` (verified value-identical
+  on driver data); q1's sum_charge uses the 1e6 three-factor scale
+  (int64 headroom to ~8e7 rows/group).
 
 Catalyst treats a parsed-SQL plan identically to the DataFrame API
 (same logical plan, same optimizer rules), so every scale property the

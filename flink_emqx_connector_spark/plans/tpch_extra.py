@@ -109,7 +109,9 @@ def q10_returned_revenue_topk(spark, sf_dir):
 @register(
     "q19_brand_quantity_disjunction",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT CAST((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS BIGINT) + 50) // 100 AS BIGINT) / 1e2 AS revenue,
            count(*) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
@@ -134,8 +136,14 @@ def q19_brand_quantity_disjunction(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
     )
     return j.filter(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        # exact 1e4 fixed point (q1 conversion rationale): one global group
+        (
+            F.expr(
+                "(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+                " AS BIGINT) + 50) div 100"
+            )
+            / 1e2
         ).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
@@ -192,7 +200,9 @@ def q22_idle_wealthy_customers(spark, sf_dir):
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT))
+                      AS BIGINT) + 50) // 100 AS BIGINT) / 1e2 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -217,9 +227,17 @@ def q6_forecast_revenue(spark, sf_dir):
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         ).agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
+            # exact 1e4 fixed point (q1 conversion rationale): the one
+            # global group sums every matching row — the largest-group
+            # member of the half-cent-boundary class
+            (
+                F.expr(
+                    "(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                    " * CAST(round(l_discount * 100) AS BIGINT))"
+                    " AS BIGINT) + 50) div 100"
+                )
+                / 1e2
+            ).alias("revenue")
         )
     )
 
@@ -548,7 +566,9 @@ def q13_customer_order_distribution(spark, sf_dir):
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) + 50) // 100 AS BIGINT) / 1e2 AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -577,8 +597,16 @@ def q15_top_supplier(spark, sf_dir):
     revenue = (
         li.groupBy("l_suppkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact 1e4 fixed point (q1 conversion rationale): the max/
+            # equality below compares exact values, so the top supplier
+            # cannot flip on summation order either
+            (
+                F.expr(
+                    "(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                    " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+                    " AS BIGINT) + 50) div 100"
+                )
+                / 1e2
             ).alias("total_revenue")
         )
         .localCheckpoint()
@@ -636,7 +664,8 @@ def q16_supplier_part_variety(spark, sf_dir):
       SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_cut
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE) / 7.0 + 0.5) / 1e2 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN pa   ON pk = l_partkey
@@ -661,7 +690,21 @@ def q17_small_quantity_revenue(spark, sf_dir):
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(pa, F.col("pk") == li.l_partkey)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            # exact cents sum, ONE identical double division, floor form
+            # (the q2 round-half-repr class + the q1 summation class)
+            (
+                F.floor(
+                    F.expr(
+                        "CAST(sum(CAST(round(l_extendedprice * 100)"
+                        " AS BIGINT)) AS DOUBLE)"
+                    )
+                    / 7.0
+                    + 0.5
+                )
+                / 1e2
+            ).alias("avg_yearly")
+        )
     )
 
 
