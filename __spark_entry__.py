@@ -92,7 +92,7 @@ _DRIVER_RECORDED = {
         "q21_last_shipper_census": 5, "q22_idle_wealthy_customers": 5,
         "q2_min_cost_supplier": 5, "q4_late_shipment_priority": 5,
         "q7_volume_shipping": 5,
-        "q8_market_share": 5, "q9_product_profit": 5,
+        "q9_product_profit": 5,
         "quality_model_score": 5, "retention_cohorts": 5,
         "source_token_kl": 5, "split_by_cluster": 5,
         "temperature_resample_sources": 5, "tfidf_top_terms": 5,
@@ -156,8 +156,7 @@ _DRIVER_RECORDED = {
         "left_outer_join_nulls": 9, "map_functions_events": 9,
         "multimodal_frame_sample": 9, "multimodal_resize_plan": 9,
         "ohlc_per_user_hour": 9, "pareto_frontier_parts": 9,
-        "percentiles_lineitem": 9, "q14_promo_share": 9,
-        "q18_large_orders": 9, "range_frame_trailing_sum": 9, "resample_gapfill_events": 9,
+        "percentiles_lineitem": 9, "q18_large_orders": 9, "range_frame_trailing_sum": 9, "resample_gapfill_events": 9,
         "sequence_pack_contiguous": 9, "sequence_pack_docs": 9,
         "sql_above_average_orders": 9, "sql_buyer_viewer_setops": 9,
         "sql_docs_lang_profile": 9, "sql_events_daily_activity": 9,

@@ -27,10 +27,15 @@ def _t(spark, sf_dir, name):
 @register(
     "q14_promo_share",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+    SELECT floor(100.0
+                 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                            ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS DOUBLE)
+                 * 1e4 + 0.5) / 1e4 AS promo_share,
            count(*) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
@@ -42,12 +47,27 @@ def _t(spark, sf_dir, name):
 def q14_promo_share(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    # exact 1e4-scaled integer revenue on BOTH legs of the ratio (the
+    # q1 conversion rationale), ONE identical IEEE division, floor-form
+    # rounding: the share can no longer flip on a summation-order draw
+    rev4 = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    )
+    promo4 = F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share"),
+            (
+                F.floor(
+                    100.0
+                    * F.sum(promo4).cast("double")
+                    / F.sum(rev4).cast("double")
+                    * 1e4
+                    + 0.5
+                )
+                / 1e4
+            ).alias("promo_share"),
             F.count("*").alias("n_lines"),
         )
     )

@@ -313,11 +313,14 @@ def q7_volume_shipping(spark, sf_dir):
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           floor(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE) * 1e4 + 0.5) / 1e4
+             AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume,
              n2.n_name AS nation
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
@@ -359,7 +362,12 @@ def q8_market_share(spark, sf_dir):
     n2 = nat.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact 1e4-scaled integer volume (q1 conversion rationale): both
+    # ratio legs sum exact ints, ONE identical IEEE division, floor form
+    vol = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
@@ -370,10 +378,16 @@ def q8_market_share(spark, sf_dir):
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(0.0))
-                / F.sum(vol),
-                4,
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("nation") == "NATION_5", vol).otherwise(0)
+                    ).cast("double")
+                    / F.sum(vol).cast("double")
+                    * 1e4
+                    + 0.5
+                )
+                / 1e4
             ).alias("mkt_share")
         )
         .orderBy("o_year")
