@@ -73,8 +73,7 @@ _DRIVER_RECORDED = {
         "pii_redact_docs": 4, "posexplode_doc_tokens": 4,
         "profile_documents": 4, "quality_drop_reasons": 4,
         "regression_per_segment": 4, "repetition_filter_docs": 4,
-        "salted_user_activity": 4, "scan_orc_roundtrip": 4,
-        "shard_assignment_docs": 4, "sliding_window_events": 4,
+        "salted_user_activity": 4, "shard_assignment_docs": 4, "sliding_window_events": 4,
         "stratified_sample_docs": 4, "try_functions_safety": 4,
         "udtf_tokenize": 4, "variant_props_stats": 4,
         "zscore_per_priority": 4,
@@ -91,8 +90,6 @@ _DRIVER_RECORDED = {
         "q13_customer_order_distribution": 5, "q16_supplier_part_variety": 5, "q20_part_share_suppliers": 5,
         "q21_last_shipper_census": 5, "q22_idle_wealthy_customers": 5,
         "q2_min_cost_supplier": 5, "q4_late_shipment_priority": 5,
-        "q7_volume_shipping": 5,
-        "q9_product_profit": 5,
         "quality_model_score": 5, "retention_cohorts": 5,
         "source_token_kl": 5, "split_by_cluster": 5,
         "temperature_resample_sources": 5, "tfidf_top_terms": 5,
@@ -137,18 +134,17 @@ _DRIVER_RECORDED = {
         "hll_manual_registers": 8, "knn_label_agreement": 8,
         "markov_stationary_events": 8, "q3_top_revenue_orders": 8, "rolling_sum": 8, "rollup_lineitem": 8,
         "runtime_filter_join": 8, "scalar_functions_part": 8,
-        "scan_jsonl_roundtrip": 8, "scd2_user_state_history": 8,
+        "scd2_user_state_history": 8,
         "schema_evolution_scan": 8, "semi_join_customers_with_orders": 8,
         "sessionization": 8, "set_except_users": 8, "set_intersect_users": 8,
         "star_join_supplier_region": 8, "topic_filter": 8,
-        "topk_global_lineitems": 8, "tumbling_window": 8,
-        "window_running_total": 8, "window_topk_orders_per_customer": 8,
+        "topk_global_lineitems": 8, "window_running_total": 8, "window_topk_orders_per_customer": 8,
         "wordcount": 8, "zorder_layout_stats": 8,
         # latest green driver record: round 9 (49 names)
         "approx_aggregates": 9, "array_agg_order_quantities": 9,
         "bucketed_colocated_join": 9, "codec_roundtrip_docs": 9,
         "correlated_subquery_agg": 9, "cross_join_grid": 9, "cube_orders": 9,
-        "decode_csv_payload": 9, "decode_dead_letter_split": 9,
+        "decode_dead_letter_split": 9,
         "dedup_method_agreement": 9, "dedup_simhash": 9,
         "dedup_simhash_hamming": 9, "doc_winnowing_fingerprints": 9,
         "embedding_drift_scores": 9, "full_outer_join_coverage": 9,

@@ -128,7 +128,7 @@ def q_rolling_sum(spark, sf_dir):
     SELECT date_trunc('hour', ts) AS hour,
            event_type,
            count(*) AS cnt,
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 1e2 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -146,7 +146,12 @@ def q_tumbling_window(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact cents: (hour, type) groups grow with event density —
+            # the unbounded-group money-sum class (q1 conversion rationale)
+            (
+                F.expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+                / 1e2
+            ).alias("total_value"),
         )
     )
 

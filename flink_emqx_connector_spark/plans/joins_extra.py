@@ -265,7 +265,8 @@ def approx_aggregates_bounded(spark, sf_dir):
     oracle="""
     SELECT CAST(string_split(csv, ',')[1] AS BIGINT) % 3 AS bucket,
            count(*) AS cnt,
-           round(sum(CAST(string_split(csv, ',')[2] AS DOUBLE)), 2) AS total
+           CAST(sum(CAST(round(CAST(string_split(csv, ',')[2] AS DOUBLE)
+                               * 100) AS BIGINT)) AS BIGINT) / 1e2 AS total
     FROM (SELECT CAST(user_id AS VARCHAR) || ',' || CAST(value AS VARCHAR) AS csv
           FROM events)
     GROUP BY 1
@@ -287,7 +288,11 @@ def decode_csv_payload(spark, sf_dir):
     )
     return dec.groupBy((F.col("d.user_id") % 3).alias("bucket")).agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("d.value"), 2).alias("total"),
+        # exact cents (q1 conversion rationale): n/3 rows per bucket
+        (
+            F.expr("CAST(sum(CAST(round(d.value * 100) AS BIGINT)) AS BIGINT)")
+            / 1e2
+        ).alias("total"),
     )
 
 

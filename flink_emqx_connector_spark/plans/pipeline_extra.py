@@ -226,7 +226,8 @@ def dedup_ngram_jaccard_dfcap(spark, sf_dir):
     "scan_orc_roundtrip",
     oracle="""
     SELECT p_brand, count(*) AS n_parts,
-           round(sum(p_retailprice), 2) AS total_price,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                AS BIGINT) / 1e2 AS total_price,
            CAST(max(p_size) AS BIGINT) AS max_size
     FROM part GROUP BY p_brand
     """,
@@ -247,7 +248,13 @@ def scan_orc_roundtrip(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+            (
+                F.expr(
+                    "CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))"
+                    " AS BIGINT)"
+                )
+                / 1e2
+            ).alias("total_price"),
             F.max("p_size").cast("bigint").alias("max_size"),
         )
     )
@@ -481,7 +488,8 @@ def merge_upsert_orders(spark, sf_dir):
     "scan_jsonl_roundtrip",
     oracle="""
     SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) / 1e2 AS total_price,
            CAST(max(o_custkey) AS BIGINT) AS max_cust
     FROM orders GROUP BY o_orderstatus
     """,
@@ -514,7 +522,13 @@ def scan_jsonl_roundtrip(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            (
+                F.expr(
+                    "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+                    " AS BIGINT)"
+                )
+                / 1e2
+            ).alias("total_price"),
             F.max("o_custkey").cast("bigint").alias("max_cust"),
         )
     )

@@ -245,11 +245,14 @@ def q6_forecast_revenue(spark, sf_dir):
 @register(
     "q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST((CAST(sum(volume) AS BIGINT) + 50) // 100 AS BIGINT) / 1e2
+             AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders   ON o_orderkey = l_orderkey
@@ -301,8 +304,14 @@ def q7_volume_shipping(spark, sf_dir):
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact 1e4 fixed point (q1 conversion rationale)
+            (
+                F.expr(
+                    "(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                    " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+                    " AS BIGINT) + 50) div 100"
+                )
+                / 1e2
             ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -397,11 +406,16 @@ def q8_market_share(spark, sf_dir):
 @register(
     "q9_product_profit",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(CASE WHEN sum(amount) >= 0 THEN 1 ELSE -1 END
+                * ((abs(CAST(sum(amount) AS BIGINT)) + 50) // 100)
+                AS BIGINT) / 1e2 AS sum_profit
     FROM (
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - 0.6 * p_retailprice * l_quantity AS amount
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+                    * CAST(round(l_quantity) AS BIGINT) AS amount
       FROM lineitem
       JOIN part     ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -427,18 +441,35 @@ def q9_product_profit(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     nat = _t(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # exact 1e4 fixed point (q1 conversion rationale): price*(1-d) is an
+    # exact 1e4-scaled int and 0.6*retail*qty*1e4 = 60*retail_cents*qty
+    # (qty is integer-valued); profit can be negative, so the cents
+    # rounding is the sign-safe half-away form
+    amount = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+        " - 60 * CAST(round(p_retailprice * 100) AS BIGINT)"
+        " * CAST(round(l_quantity) AS BIGINT)"
+    )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .withColumn("amount4", amount)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            (
+                F.expr(
+                    "CAST(CASE WHEN sum(amount4) >= 0 THEN 1 ELSE -1 END"
+                    " * ((abs(CAST(sum(amount4) AS BIGINT)) + 50) div 100)"
+                    " AS BIGINT)"
+                )
+                / 1e2
+            ).alias("sum_profit")
+        )
         .orderBy("nation", F.col("o_year").desc())
     )
 
