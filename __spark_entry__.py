@@ -66,15 +66,13 @@ _DRIVER_RECORDED = {
         # latest green driver record: round 4 (28 names)
         "balance_lang_sample": 4, "chunk_docs_overlap": 4,
         "cleaning_pipeline_counts": 4, "contamination_check_docs": 4,
-        "decode_avro_payload": 4, "decode_xml_payload": 4,
         "dedup_ngram_jaccard_dfcap": 4, "fuzzy_match_nations": 4,
         "gini_by_priority": 4, "global_shuffle_docs": 4,
         "multiset_ops_users": 4, "partitioned_layout_pruning": 4,
         "pii_redact_docs": 4, "posexplode_doc_tokens": 4,
         "profile_documents": 4, "quality_drop_reasons": 4,
         "regression_per_segment": 4, "repetition_filter_docs": 4,
-        "salted_user_activity": 4, "shard_assignment_docs": 4, "sliding_window_events": 4,
-        "stratified_sample_docs": 4, "try_functions_safety": 4,
+        "salted_user_activity": 4, "shard_assignment_docs": 4, "stratified_sample_docs": 4, "try_functions_safety": 4,
         "udtf_tokenize": 4, "variant_props_stats": 4,
         "zscore_per_priority": 4,
         # latest green driver record: round 5 (44 names)
@@ -88,8 +86,7 @@ _DRIVER_RECORDED = {
         "prefix_truncation_dupes": 5, "q10_returned_revenue_topk": 5,
         "q11_important_stock": 5, "q12_priority_by_status": 5,
         "q13_customer_order_distribution": 5, "q16_supplier_part_variety": 5, "q20_part_share_suppliers": 5,
-        "q21_last_shipper_census": 5, "q22_idle_wealthy_customers": 5,
-        "q2_min_cost_supplier": 5, "q4_late_shipment_priority": 5,
+        "q21_last_shipper_census": 5, "q2_min_cost_supplier": 5, "q4_late_shipment_priority": 5,
         "quality_model_score": 5, "retention_cohorts": 5,
         "source_token_kl": 5, "split_by_cluster": 5,
         "temperature_resample_sources": 5, "tfidf_top_terms": 5,
@@ -123,8 +120,7 @@ _DRIVER_RECORDED = {
         "ann_truncated_dim_recall": 8,
         "anti_join_customers_without_orders": 8, "bloom_membership_eval": 8,
         "bm25_search_topk": 8, "boilerplate_bigrams_by_source": 8,
-        "compaction_bins_by_source": 8, "date_functions_orders": 8,
-        "decode_json": 8, "dedup_common_substring": 8,
+        "compaction_bins_by_source": 8, "decode_json": 8, "dedup_common_substring": 8,
         "dedup_containment_pairs": 8, "dedup_exact_normalized": 8,
         "dedup_graph_walk_centrality": 8, "dedup_lsh_recall_eval": 8,
         "distinct_counts": 8, "dynamic_partition_overwrite": 8,
@@ -137,7 +133,7 @@ _DRIVER_RECORDED = {
         "scd2_user_state_history": 8,
         "schema_evolution_scan": 8, "semi_join_customers_with_orders": 8,
         "sessionization": 8, "set_except_users": 8, "set_intersect_users": 8,
-        "star_join_supplier_region": 8, "topic_filter": 8,
+        "topic_filter": 8,
         "topk_global_lineitems": 8, "window_running_total": 8, "window_topk_orders_per_customer": 8,
         "wordcount": 8, "zorder_layout_stats": 8,
         # latest green driver record: round 9 (49 names)

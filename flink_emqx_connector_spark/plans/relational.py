@@ -168,7 +168,8 @@ def q3_top_revenue_orders(spark, sf_dir):
     oracle="""
     SELECT r_name,
            count(*)                 AS n_suppliers,
-           round(sum(s_acctbal), 2) AS total_acctbal
+           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT))
+                AS BIGINT) / 1e2 AS total_acctbal
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -188,7 +189,13 @@ def star_join_supplier_region(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            (
+                F.expr(
+                    "CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT))"
+                    " AS BIGINT)"
+                )
+                / 1e2
+            ).alias("total_acctbal"),
         )
     )
 
@@ -467,7 +474,8 @@ def scalar_functions_part(spark, sf_dir):
     SELECT CAST(year(o_orderdate) AS BIGINT)  AS yr,
            CAST(month(o_orderdate) AS BIGINT) AS mth,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) / 1e2 AS total
     FROM orders
     GROUP BY 1, 2
     """,
@@ -479,7 +487,17 @@ def date_functions_orders(spark, sf_dir):
     return o.groupBy(
         F.year("o_orderdate").cast("bigint").alias("yr"),
         F.month("o_orderdate").cast("bigint").alias("mth"),
-    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    ).agg(
+        F.count("*").alias("n"),
+        # exact cents: calendar-month groups grow with data (q1 rationale)
+        (
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+                " AS BIGINT)"
+            )
+            / 1e2
+        ).alias("total"),
+    )
 
 
 # --------------------------------------------------------------------------

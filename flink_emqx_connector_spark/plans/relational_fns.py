@@ -967,7 +967,8 @@ def zscore_per_priority(spark, sf_dir):
              AS window_start,
            event_type,
            count(*) AS cnt,
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                AS BIGINT) / 1e2 AS total_value
     FROM events, (SELECT unnest([0, 1]) AS k) k
     GROUP BY 1, 2
     """,
@@ -985,7 +986,14 @@ def sliding_window_events(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact cents: window groups grow with event density (q1
+            # conversion rationale)
+            (
+                F.expr(
+                    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+                )
+                / 1e2
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -1005,7 +1013,9 @@ def sliding_window_events(spark, sf_dir):
 @register(
     "decode_avro_payload",
     oracle="""
-    SELECT event_type, count(*) AS cnt, round(sum("value"), 2) AS total_value
+    SELECT event_type, count(*) AS cnt,
+           CAST(sum(CAST(round("value" * 100) AS BIGINT))
+                AS BIGINT) / 1e2 AS total_value
     FROM events WHERE event_id < 5000
     GROUP BY event_type
     """,
@@ -1034,7 +1044,11 @@ def decode_avro_payload(spark, sf_dir):
     dec = enc.select(from_avro("payload", schema).alias("d"))
     return dec.groupBy(F.col("d.event_type").alias("event_type")).agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("d.value"), 2).alias("total_value"),
+        # exact cents: per-type groups are n/|types| (q1 rationale)
+        (
+            F.expr("CAST(sum(CAST(round(d.value * 100) AS BIGINT)) AS BIGINT)")
+            / 1e2
+        ).alias("total_value"),
     )
 
 
@@ -1267,7 +1281,8 @@ def try_functions_safety(spark, sf_dir):
     oracle="""
     SELECT user_id % 5 AS bucket,
            count(*) AS cnt,
-           round(sum(value), 2) AS total
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                AS BIGINT) / 1e2 AS total
     FROM events
     GROUP BY 1
     """,
@@ -1292,5 +1307,9 @@ def decode_xml_payload(spark, sf_dir):
     )
     return dec.groupBy((F.col("d.u") % 5).alias("bucket")).agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("d.v"), 2).alias("total"),
+        # exact cents: five buckets of n/5 rows (q1 rationale)
+        (
+            F.expr("CAST(sum(CAST(round(d.v * 100) AS BIGINT)) AS BIGINT)")
+            / 1e2
+        ).alias("total"),
     )

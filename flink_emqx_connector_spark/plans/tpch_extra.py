@@ -156,7 +156,8 @@ def q19_brand_quantity_disjunction(spark, sf_dir):
       SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
     )
     SELECT n_name, count(*) AS n_cust,
-           round(sum(c_acctbal), 2) AS total_bal
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                AS BIGINT) / 1e2 AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     CROSS JOIN avg_bal
@@ -192,7 +193,13 @@ def q22_idle_wealthy_customers(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_cust"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            (
+                F.expr(
+                    "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))"
+                    " AS BIGINT)"
+                )
+                / 1e2
+            ).alias("total_bal"),
         )
     )
 
