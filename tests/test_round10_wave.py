@@ -272,3 +272,35 @@ def test_kfold_disjoint_exhaustive_and_share_algebra(spark):
         # integer-floored shares sum to <= 1000 and within |langs| of it
         s = sum(r["lang_share_milli"] for r in rs)
         assert 1000 - len(rs) < s <= 1000, fold
+
+
+def test_inversions_match_python_recompute(spark):
+    """Per-bucket inversion counts equal a pure-Python recompute of the
+    arrival-vs-event-time discordance; rates are exact integer micro."""
+    rows = {r["bucket"]: r for r in QUERIES["event_order_inversions"].spark(
+        spark, SF_SMALL
+    ).collect()}
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id", "event_id", "ts")
+        .collect()
+    )
+    seqs = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append((r["event_id"], r["ts"]))
+    want = {}
+    for u, es in seqs.items():
+        es.sort()
+        b = u % 16
+        np_, ni = want.get(b, (0, 0))
+        for i in range(len(es)):
+            for j in range(i + 1, len(es)):
+                np_ += 1
+                if es[i][1] > es[j][1]:
+                    ni += 1
+        want[b] = (np_, ni)
+    assert set(rows) == set(want)
+    for b, (np_, ni) in want.items():
+        assert rows[b]["n_pairs"] == np_, b
+        assert rows[b]["n_inversions"] == ni, b
+        assert rows[b]["inv_micro"] == ni * 1_000_000 // np_, b
