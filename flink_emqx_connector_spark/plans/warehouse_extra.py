@@ -333,3 +333,77 @@ def events_rollup_reaggregate(spark, sf_dir):
             ).alias("avg_value"),
         )
     )
+
+
+@register(
+    "snapshot_diff_cdc",
+    oracle="""
+    WITH old_snap AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    new_snap AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 10 = 5 THEN 1000 ELSE 0 END AS v
+      FROM orders WHERE o_orderkey % 10 <> 7
+    ),
+    d AS (
+      SELECT COALESCE(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'insert'
+                  WHEN n.k IS NULL THEN 'delete'
+                  WHEN o.v <> n.v THEN 'update'
+                  ELSE 'unchanged' END AS op
+      FROM old_snap o FULL OUTER JOIN new_snap n ON n.k = o.k
+    )
+    SELECT op, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS key_checksum
+    FROM d GROUP BY op ORDER BY op
+    """,
+    doc="X126: snapshot diff / change-data-capture classification — the "
+    "table-maintenance third leg next to SCD2 history "
+    "(scd2_user_state_history) and MERGE apply (merge_upsert_orders): "
+    "given two snapshots of a keyed table, classify every key as "
+    "insert / delete / update / unchanged and emit the per-class census "
+    "+ key checksum a reconciliation job signs off on. Snapshots are "
+    "derived deterministically from orders (keys %10==3 arrive later, "
+    "%10==7 are deleted, %10==5 change value — values compared as exact "
+    "cents). Plan shape: ONE full-outer sort-merge join on the key and "
+    "a row-local CASE — at 100 TB this is the canonical two-sided "
+    "reconciliation scan, shuffling each snapshot once by key with no "
+    "skew hazard beyond the key distribution itself; the census "
+    "aggregate is map-side combined.",
+    tags=("warehouse", "cdc", "diff", "join"),
+)
+def snapshot_diff_cdc(spark, sf_dir):
+    from ..session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    old = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        F.col("o_orderkey").alias("k"), cents.alias("v")
+    )
+    new = orders.filter(F.col("o_orderkey") % 10 != 7).select(
+        F.col("o_orderkey").alias("k2"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 10 == 5, 1000).otherwise(0)
+        ).alias("v2"),
+    )
+    d = old.join(new, F.col("k2") == F.col("k"), "full_outer").select(
+        F.coalesce(F.col("k"), F.col("k2")).alias("key"),
+        F.when(F.col("k").isNull(), "insert")
+        .when(F.col("k2").isNull(), "delete")
+        .when(F.col("v") != F.col("v2"), "update")
+        .otherwise("unchanged")
+        .alias("op"),
+    )
+    return (
+        d.groupBy("op")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("key").cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("op")
+    )

@@ -304,3 +304,34 @@ def test_inversions_match_python_recompute(spark):
         assert rows[b]["n_pairs"] == np_, b
         assert rows[b]["n_inversions"] == ni, b
         assert rows[b]["inv_micro"] == ni * 1_000_000 // np_, b
+
+
+def test_cdc_diff_census_algebra(spark):
+    """Insert/delete/update/unchanged partition the key universe exactly:
+    counts recompute from the key-residue construction; checksums are
+    exact key sums per class."""
+    rows = {r["op"]: r for r in QUERIES["snapshot_diff_cdc"].spark(
+        spark, SF_SMALL
+    ).collect()}
+    keys = [r["o_orderkey"] for r in (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select("o_orderkey")
+        .collect()
+    )]
+    want = {"insert": [], "delete": [], "update": [], "unchanged": []}
+    for k in keys:
+        r = k % 10
+        if r == 3:
+            want["insert"].append(k)   # only in the new snapshot
+        elif r == 7:
+            want["delete"].append(k)   # only in the old snapshot
+        elif r == 5:
+            want["update"].append(k)   # value bumped in the new snapshot
+        else:
+            want["unchanged"].append(k)
+    assert set(rows) == {k for k, v in want.items() if v}
+    for op, ks in want.items():
+        if not ks:
+            continue
+        assert rows[op]["n_rows"] == len(ks), op
+        assert rows[op]["key_checksum"] == sum(ks), op
