@@ -268,7 +268,16 @@ class MqttSpoolBridge:
         status = getattr(cli, "_graft_status", None)
         if status:
             try:
-                cli.publish(status, b"offline", qos=1, retain=True)
+                info = cli.publish(status, b"offline", qos=1, retain=True)
+                # Wait for the PUBACK before the caller's clean
+                # DISCONNECT: with real paho the publish is queued to an
+                # async network loop, and disconnect() right behind it
+                # drops the frame — leaving a stale retained 'online' as
+                # the topic's last-known state with no will to correct
+                # it (clean disconnect discards the will). The embedded
+                # client only worked by accident (synchronous socket
+                # write). ADVICE r10 #2.
+                info.wait_for_publish(timeout=1.0)
             except Exception:
                 pass  # dead socket: the retained WILL tells the truth
 

@@ -753,6 +753,20 @@ class EmbeddedBroker:
                 _hard_close(existing.conn.sock)
             if existing is None or clean_start:
                 self.sessions[clientid] = _Session(clientid)
+                # clean start ENDS the prior session — §3.1.2.5: session
+                # end beats the Will Delay, so a pending delayed will
+                # publishes NOW rather than being cancelled
+                w = self._pending_wills.pop(clientid, None)
+                if w is not None and existing is not None:
+                    self._dispatch(w[0], w[1], w[2], w[3], [])
+            else:
+                # MQTT-3.1.3-9: a new network connection RESUMING this
+                # session inside the Will Delay window REMOVES the
+                # pending will from session state — eagerly, not lazily
+                # at timer fire. The lazy `conn is not None` check alone
+                # let a resume-then-clean-disconnect publish a stale
+                # will (ADVICE r10 #1).
+                self._pending_wills.pop(clientid, None)
             session = self.sessions[clientid]
             session.expiry = _props.get(0x11)  # latest CONNECT wins
             session.conn = conn
@@ -973,13 +987,19 @@ class EmbeddedBroker:
                     # without alarming every monitor subscribed to the
                     # status topic. Registered as pending so session
                     # expiry can publish it EARLIER (§3.1.2.5).
+                    # stamped like _expire_session's last_detach guard:
+                    # a SECOND abnormal disconnect within the delay
+                    # overwrites this entry — the first timer must then
+                    # no-op rather than fire the new will before its own
+                    # delay elapsed (ADVICE r10 #1, second leg)
+                    stamp = time.monotonic()
                     self._pending_wills[session.clientid] = (
-                        wtopic, wpayload, wqos, wretain,
+                        wtopic, wpayload, wqos, wretain, stamp,
                     )
                     t = threading.Timer(
                         wdelay,
                         self._fire_delayed_will,
-                        args=(session.clientid,),
+                        args=(session.clientid, stamp),
                     )
                     t.daemon = True
                     t.start()
@@ -1013,6 +1033,12 @@ class EmbeddedBroker:
                 # persistence — see _Session.expiry.
                 if session.expiry == 0:
                     self.sessions.pop(session.clientid, None)
+                    # the session ended WITH the connection — §3.1.2.5:
+                    # session end beats the Will Delay; publish the
+                    # just-registered delayed will now, its timer no-ops
+                    w = self._pending_wills.pop(session.clientid, None)
+                    if w is not None:
+                        self._dispatch(w[0], w[1], w[2], w[3], [])
                 elif session.expiry is not None:
                     session.last_detach = time.monotonic()
                     t = threading.Timer(
@@ -1033,18 +1059,21 @@ class EmbeddedBroker:
                 # on the consumed entry.
                 w = self._pending_wills.pop(clientid, None)
                 if w is not None:
-                    topic, payload, qos, retain = w
+                    topic, payload, qos, retain, _stamp = w
                     self._dispatch(topic, payload, qos, retain, [])
 
-    def _fire_delayed_will(self, clientid: str) -> None:
+    def _fire_delayed_will(self, clientid: str, stamp: float) -> None:
         with self._lock:
-            w = self._pending_wills.pop(clientid, None)
+            w = self._pending_wills.get(clientid)
             if w is None:
-                return  # already published at session expiry
-            s = self.sessions.get(clientid)
-            if s is not None and s.conn is not None:
-                return  # session resumed inside the delay window: cancelled
-            topic, payload, qos, retain = w
+                return  # published at session expiry, or cancelled by
+                #         a resume (MQTT-3.1.3-9 pop in _on_connect)
+            if w[4] != stamp:
+                return  # a newer disconnect re-armed the will — ITS
+                #         timer owns the entry; firing here would
+                #         publish the new will before its own delay
+            self._pending_wills.pop(clientid, None)
+            topic, payload, qos, retain, _stamp = w
             self._dispatch(topic, payload, qos, retain, [])
 
     def _redispatch_shared(
@@ -1211,6 +1240,16 @@ class Client:
         # unlimited here). Real EMQX advertises its quota; exceeding it
         # draws DISCONNECT 0x93 — validated by the trace suite.
         self._send_quota: int | None = None
+        # MQTT-3.3.4-9 closes only once the CONNACK is PROCESSED: until
+        # then the quota is UNKNOWN, not unlimited. connect() returns as
+        # soon as the CONNECT frame is written; the loop thread parses
+        # the CONNACK later — a publisher firing in that gap must wait
+        # for the quota to be known, or its whole burst bypasses flow
+        # control (real EMQX answers with DISCONNECT 0x93). False from
+        # CONNECT-sent until CONNACK-parsed; publishers gate on it only
+        # while a loop is running to parse the CONNACK (paho parallels:
+        # publish() before the network loop is MQTT_ERR_NO_CONN).
+        self._quota_known = False
         self._inflight_out = 0
         self._quota_cv = threading.Condition()
         self._sock: socket.socket | None = None
@@ -1298,6 +1337,11 @@ class Client:
 
     def loop_stop(self) -> None:
         self._running = False
+        # publishers waiting for the CONNACK-known gate re-check
+        # _running on wake — without this notify they'd sit out the
+        # full timeout after a stop
+        with self._quota_cv:
+            self._quota_cv.notify_all()
         self._close_sock()
         if self._thread is not None and self._thread is not threading.current_thread():
             self._thread.join(timeout=2)
@@ -1369,16 +1413,26 @@ class Client:
         if qos:
             # MQTT-3.3.4-9: block while un-acked QoS>=1 publishes sit at
             # the server's advertised Receive-Maximum (quota released on
-            # PUBACK/PUBCOMP, reset on reconnect). Unlimited until a
-            # CONNACK carries the property. NOTE: do not publish QoS>=1
-            # from on_message/on_connect under a tiny quota — the ack
-            # that frees it is read by the same loop thread.
+            # PUBACK/PUBCOMP, reset on reconnect). Also block until the
+            # CONNACK is PROCESSED (quota known) — connect() returns
+            # before the loop thread parses it, and a publisher firing
+            # in that gap would otherwise send its whole burst with zero
+            # flow control (real EMQX: DISCONNECT 0x93). The known-gate
+            # applies only while a loop runs to deliver the CONNACK.
+            # NOTE: do not publish QoS>=1 from on_message/on_connect
+            # under a tiny quota — the ack that frees it is read by the
+            # same loop thread.
             with self._quota_cv:
-                while (
-                    self._send_quota is not None
+                deadline = time.monotonic() + 30.0
+                while (self._running and not self._quota_known) or (
+                    self._quota_known
+                    and self._send_quota is not None
                     and self._inflight_out >= self._send_quota
                 ):
-                    if not self._quota_cv.wait(timeout=30.0):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or not self._quota_cv.wait(
+                        timeout=remaining
+                    ):
                         raise TimeoutError(
                             "send quota (server Receive-Maximum "
                             f"{self._send_quota}) exhausted for 30 s"
@@ -1431,6 +1485,7 @@ class Client:
         # ever release it now (the alternative is a 30 s timeout stall)
         with self._quota_cv:
             self._send_quota = None
+            self._quota_known = True
             self._quota_cv.notify_all()
         self._close_sock()
         self._sock = None
@@ -1447,6 +1502,10 @@ class Client:
         sock = socket.create_connection((self._host, self._port), timeout=5)
         sock.settimeout(None)
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        # quota is unknown from CONNECT-sent until this connection's
+        # CONNACK is parsed — publishers hold until then (MQTT-3.3.4-9)
+        with self._quota_cv:
+            self._quota_known = False
         sock.sendall(
             connect_packet(
                 self._cid, self._clean_start, self._keepalive,
@@ -1530,6 +1589,13 @@ class Client:
                 # app bugs, not protocol violations).
                 self._close_sock()
                 self._sock = None
+                # wake CONNACK-gated publishers: if a permanent refusal
+                # just stopped the loop they must re-check _running and
+                # bail instead of sleeping out their timeout; on a
+                # transient teardown they re-wait for the reconnect's
+                # CONNACK (which resets quota + inflight)
+                with self._quota_cv:
+                    self._quota_cv.notify_all()
                 if self._running:
                     # Pacing resets only after a connection that LIVED a
                     # while — not on a bare TCP connect, and not on a few
@@ -1592,6 +1658,7 @@ class Client:
                 # fresh connection → fresh quota (the old connection's
                 # un-acked publishes can never be acked now)
                 self._send_quota = props.get(0x21)  # Receive-Maximum
+                self._quota_known = True
                 self._inflight_out = 0
                 self._quota_cv.notify_all()
             self._rx_alias.clear()  # MQTT-3.3.2-7: aliases are per-connection

@@ -259,3 +259,104 @@ def test_bridge_status_wills_lifecycle(broker, tmp_path):
         mon.disconnect()
     finally:
         bridge.stop()
+
+
+def test_stale_will_not_published_after_resume_then_clean_disconnect(broker):
+    """ADVICE r10 #1: crash → resume within the delay → CLEAN disconnect.
+    The resume removes the will from session state (MQTT-3.1.3-9) — the
+    pre-fix lazy `conn is not None` check at timer fire let the stale
+    will publish after the clean disconnect ('dead' after an orderly
+    shutdown, the exact false alarm the delay window exists to avoid)."""
+    sub, got = _monitor(broker)
+    cli = _armed_client(broker, "reader-10", delay=1)
+    cli._running = False
+    cli._close_sock()  # crash: will armed, 1 s fuse
+    assert _wait(lambda: broker.sessions["reader-10"].conn is None)
+    # respawn resumes the session well inside the window...
+    cli2 = Client(CallbackAPIVersion.VERSION2, client_id="reader-10", protocol=MQTTv5)
+    cli2.connect("127.0.0.1", broker.port, clean_start=False)
+    cli2.loop_start()
+    assert _wait(lambda: broker.sessions["reader-10"].conn is not None)
+    # ...then shuts down CLEANLY before the fuse burns down
+    cli2.disconnect()
+    cli2.loop_stop()
+    assert _wait(lambda: broker.sessions["reader-10"].conn is None)
+    time.sleep(1.5)  # past the original fuse: the stale timer must no-op
+    assert got == [], [(m.topic, m.payload) for m in got]
+    sub.disconnect()
+
+
+def test_second_crash_rearms_will_with_fresh_delay(broker):
+    """ADVICE r10 #1 second leg: crash → resume → crash AGAIN inside the
+    first fuse. The second crash owns the pending will; the FIRST timer
+    firing at its original deadline must not publish the new will early
+    (stamp guard, like _expire_session's last_detach)."""
+    sub, got = _monitor(broker)
+    cli = _armed_client(broker, "reader-11", delay=1)
+    cli._running = False
+    cli._close_sock()  # first crash at t=0, fuse ends t=1.0
+    assert _wait(lambda: broker.sessions["reader-11"].conn is None)
+    # resume (clean_start=False — a clean start would END the session and
+    # correctly publish the pending will immediately) with a fresh will
+    cli2 = Client(CallbackAPIVersion.VERSION2, client_id="reader-11", protocol=MQTTv5)
+    props = Properties()
+    props.WillDelayInterval = 1
+    cli2.will_set("status/reader-11", b"dead", qos=1, properties=props)
+    cli2.connect("127.0.0.1", broker.port, clean_start=False)
+    cli2.loop_start()
+    assert _wait(lambda: broker.sessions["reader-11"].conn is not None)
+    second_crash = time.monotonic()
+    cli2._running = False
+    cli2._close_sock()  # second crash; its own fuse ends ≈ t=1.1
+    assert _wait(lambda: len(got) == 1, timeout=10.0)
+    held = time.monotonic() - second_crash
+    assert held >= 0.9, f"will fired {held:.2f}s after the second crash (early)"
+    assert got[0].topic == "status/reader-11"
+    time.sleep(0.5)
+    assert len(got) == 1, "will published twice"
+    sub.disconnect()
+
+
+def test_clean_start_reconnect_publishes_pending_will(broker):
+    """§3.1.2.5: session END beats the Will Delay. A clean-start CONNECT
+    with the same clientid discards (ends) the detached session, so its
+    pending delayed will publishes immediately — not cancelled, not
+    deferred to the fuse."""
+    sub, got = _monitor(broker)
+    cli = _armed_client(broker, "reader-12", delay=5)
+    cli._running = False
+    cli._close_sock()  # crash: 5 s fuse
+    assert _wait(lambda: broker.sessions["reader-12"].conn is None)
+    t0 = time.monotonic()
+    cli2 = Client(CallbackAPIVersion.VERSION2, client_id="reader-12", protocol=MQTTv5)
+    cli2.connect("127.0.0.1", broker.port, clean_start=True)  # ends old session
+    cli2.loop_start()
+    assert _wait(lambda: len(got) == 1, timeout=5.0), "will not published at session end"
+    assert time.monotonic() - t0 < 4.0  # long before the 5 s fuse
+    assert got[0].topic == "status/reader-12"
+    cli2.disconnect()
+    sub.disconnect()
+
+
+def test_expiry_zero_session_end_publishes_delayed_will_immediately(broker):
+    """§3.1.2.11 + §3.1.2.5: Session Expiry 0 means the session ends WITH
+    the network connection — so an abnormal close publishes the will at
+    once, ignoring a longer Will Delay (the session the delay belongs to
+    no longer exists)."""
+    sub, got = _monitor(broker)
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="reader-13", protocol=MQTTv5)
+    wprops = Properties()
+    wprops.WillDelayInterval = 5
+    cli.will_set("status/reader-13", b"dead", qos=1, properties=wprops)
+    cprops = Properties()
+    cprops.SessionExpiryInterval = 0
+    cli.connect("127.0.0.1", broker.port, properties=cprops)
+    cli.loop_start()
+    assert _wait(lambda: broker.sessions.get("reader-13") is not None)
+    t0 = time.monotonic()
+    cli._running = False
+    cli._close_sock()  # crash
+    assert _wait(lambda: len(got) == 1, timeout=5.0), "will not published"
+    assert time.monotonic() - t0 < 4.0  # immediately, not after the 5 s fuse
+    assert got[0].topic == "status/reader-13"
+    sub.disconnect()
