@@ -840,6 +840,18 @@ _SIMHASH_BITS = 64
 
 
 _TOKEN_HASH_CACHE: dict[str, int] = {}
+# Bound the process-lifetime memo (VERDICT r10 #3): a long-lived worker
+# scanning a 100 TB corpus can see GBs of unique tokens — at the cap the
+# cache clears wholesale (cheaper than LRU bookkeeping per token; the md5
+# recompute on a cold token is ~1 µs, so a rare full re-warm is noise).
+# 2^18 entries ≈ tens of MB — covers the Zipf head, which is where all
+# the hit-rate lives.
+_TOKEN_HASH_CACHE_MAX = 1 << 18
+
+
+def _token_hash_cache_trim() -> None:
+    if len(_TOKEN_HASH_CACHE) > _TOKEN_HASH_CACHE_MAX:
+        _TOKEN_HASH_CACHE.clear()
 
 
 def _simhash_one(text: str) -> int:
@@ -855,6 +867,7 @@ def _simhash_one(text: str) -> int:
             (h,) = struct.unpack(">Q", hashlib.md5(tok.encode()).digest()[:8])
             _TOKEN_HASH_CACHE[tok] = h
         hs.append(h)
+    _token_hash_cache_trim()
     arr = np.array(hs, dtype=np.uint64)
     # bit i set in fp iff more tokens have bit i set than unset (tie → 0),
     # identical to the per-bit ±1 accumulator formulation
@@ -890,6 +903,9 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
             (h,) = struct.unpack(">Q", hashlib.md5(tok.encode()).digest()[:8])
             _TOKEN_HASH_CACHE[tok] = h
         uh[i] = h
+    # trim AFTER the batch fill: in-batch memoization stays intact, the
+    # cross-batch memo just re-warms from empty past the cap
+    _token_hash_cache_trim()
     shifts = np.arange(64, dtype=np.uint64)[None, :]
     # expand bits for UNIQUE tokens only (vocab × 64), then gather per
     # token — int32 keeps the big (n_tokens × 64) array 8× smaller than

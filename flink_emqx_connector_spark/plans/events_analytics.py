@@ -627,41 +627,81 @@ def event_rate_cusum(spark, sf_dir):
     "metric that sizes watermark delay): per user, every pair where a "
     "later-INGESTED event (event_id order) carries an EARLIER event "
     "time is an inversion — Kendall-style discordance between arrival "
-    "and event order. Per-user sequences are bounded (~constant "
-    "events/user at any sf), so the within-user pair self-join is "
-    "linear in users, never quadratic in the corpus (the prefix-"
-    "truncation blocked-join argument); one shuffle on user_id serves "
-    "it. Reported per 16-way user bucket in exact micro-units — a "
-    "monitor thresholds inv_micro to pick the watermark delay. At "
-    "100 TB with a hot user the bound breaks down — the production "
-    "path caps pairs per user by sampling the sequence (same df-cap "
-    "idea as the dedup family).",
+    "and event order. The Spark plan never materializes pairs: each "
+    "user's sequence is merge-counted in O(k log k) inside an Arrow "
+    "batch (vectorized searchsorted per merge level), so a hot user "
+    "with 10^4+ events costs k log k, not k^2/2 rows of shuffle — the "
+    "oracle keeps the definitional pair join (fine at oracle scale). "
+    "Users are sharded 4096 ways (user_id % 4096, a refinement of the "
+    "16-way report bucket since 16 | 4096) so the single shuffle "
+    "spreads across the cluster and each task emits one pre-aggregated "
+    "partial row per shard. Reported per 16-way user bucket in exact "
+    "micro-units — a monitor thresholds inv_micro to pick the "
+    "watermark delay.",
     tags=("events", "quality", "streaming-equivalent", "analytics"),
 )
 def event_order_inversions(spark, sf_dir):
-    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
-    a = ev.select(
-        F.col("user_id").alias("u"),
-        F.col("event_id").alias("ida"),
-        F.col("ts").alias("tsa"),
+    import numpy as np
+    import pandas as pd
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("user_id") % 4096).alias("shard"),
     )
-    b = ev.select(
-        F.col("user_id").alias("u2"),
-        F.col("event_id").alias("idb"),
-        F.col("ts").alias("tsb"),
-    )
-    pairs = a.join(
-        b, (F.col("u2") == F.col("u")) & (F.col("ida") < F.col("idb"))
-    ).select(
-        (F.col("u") % 16).alias("bucket"),
-        F.when(F.col("tsa") > F.col("tsb"), 1).otherwise(0).alias("inv"),
+
+    def _merge_count(a: "np.ndarray") -> int:
+        """Pairs (i < j) with a[i] > a[j], O(k log k): classic merge
+        count, sorting ``a`` in place level by level. The cross term is
+        vectorized — with the left half sorted ascending, the number of
+        left elements strictly greater than each right element is
+        len(left) - searchsorted(left, right, 'right'); ties are not
+        inversions (strict >), which 'right' encodes exactly."""
+        n = len(a)
+        if n < 2:
+            return 0
+        mid = n // 2
+        c = _merge_count(a[:mid]) + _merge_count(a[mid:])
+        ls, rs = a[:mid], a[mid:]  # each sorted by its recursive call
+        c += int(np.sum(len(ls) - np.searchsorted(ls, rs, side="right")))
+        a.sort(kind="mergesort")  # merge the halves for the parent level
+        return c
+
+    def _shard_partials(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["event_id"].to_numpy()
+        ts = pdf["ts"].to_numpy()
+        if ts.dtype.kind == "M":  # datetime64 → comparable int64
+            ts = ts.astype("datetime64[ns]").astype("int64")
+        users = pdf["user_id"].to_numpy()
+        out: dict[int, list[int]] = {}
+        order = np.lexsort((ids, users))  # group by user, ingest order
+        users, ts = users[order], ts[order]
+        bounds = np.flatnonzero(np.r_[True, users[1:] != users[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            bucket = int(users[s]) % 16
+            inv = _merge_count(ts[s:e].astype("int64", copy=True))
+            acc = out.setdefault(bucket, [0, 0])
+            acc[0] += k * (k - 1) // 2
+            acc[1] += inv
+        return pd.DataFrame(
+            [(b, p, i) for b, (p, i) in sorted(out.items())],
+            columns=["bucket", "n_pairs", "n_inversions"],
+        )
+
+    partials = ev.groupBy("shard").applyInPandas(
+        _shard_partials,
+        schema="bucket bigint, n_pairs bigint, n_inversions bigint",
     )
     return (
-        pairs.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        partials.groupBy("bucket")
         .agg(
-            F.count("*").cast("bigint").alias("n_pairs"),
-            F.sum("inv").cast("bigint").alias("n_inversions"),
-            F.expr("sum(inv) * 1000000 div count(*)")
+            F.sum("n_pairs").cast("bigint").alias("n_pairs"),
+            F.sum("n_inversions").cast("bigint").alias("n_inversions"),
+            F.expr("sum(n_inversions) * 1000000 div sum(n_pairs)")
             .cast("bigint")
             .alias("inv_micro"),
         )
