@@ -648,3 +648,175 @@ def token_cooccurrence_pmi(spark, sf_dir):
             stable_round(F.col("pmi_raw"), 4).alias("pmi"),
         )
     )
+
+
+@register(
+    "benford_digit_audit",
+    # First-significant-digit census of order totals (integer cents, the
+    # repo money policy) against the Benford expectation — all integer
+    # milli units; expected shares are the nine log10(1+1/d) constants
+    # pre-rounded to milli so both engines compare identical literals.
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+      WHERE o_totalprice > 0
+    ), digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM cents
+    ), census AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM census),
+    expect(digit, exp_milli) AS (
+      VALUES (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+             (6, 67), (7, 58), (8, 51), (9, 46)
+    )
+    SELECT e.digit, coalesce(c.n, 0) AS n,
+           CAST(coalesce(c.n, 0) * 1000 // t AS BIGINT) AS obs_milli,
+           CAST(e.exp_milli AS BIGINT) AS exp_milli,
+           CAST(abs(coalesce(c.n, 0) * 1000 // t - e.exp_milli) AS BIGINT)
+             AS dev_milli
+    FROM expect e LEFT JOIN census c ON c.digit = e.digit CROSS JOIN tot
+    ORDER BY e.digit
+    """,
+    doc="X128: Benford first-digit audit of order totals — the "
+    "data-quality screen that catches synthetic, truncated, or "
+    "unit-mangled monetary columns before they poison a training mix "
+    "(a price column that fails Benford hard usually means a broken "
+    "decode or a capped generator, both of which ALSO corrupt "
+    "downstream aggregates silently). Exact integer milli shares vs "
+    "the nine pre-rounded log10(1+1/d) expectations with absolute "
+    "deviations. Scale shape: one map-side-combined 9-group aggregate "
+    "over a single column (the scan prunes to o_totalprice), a 9-row "
+    "broadcast of the expectation literals, and a 1-row total "
+    "broadcast — nothing in the plan grows with the corpus beyond the "
+    "scan itself.",
+    tags=("analysis", "quality", "audit"),
+)
+def benford_digit_audit(spark, sf_dir):
+    from ..session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    census = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    expect = spark.createDataFrame(
+        [(1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+         (6, 67), (7, 58), (8, 51), (9, 46)],
+        "digit bigint, exp_milli bigint",
+    )
+    tot = census.agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        expect.join(census, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.expr("coalesce(n, 0) * 1000 div t").cast("bigint").alias("obs_milli"),
+            F.col("exp_milli"),
+            F.abs(F.expr("coalesce(n, 0) * 1000 div t") - F.col("exp_milli"))
+            .cast("bigint")
+            .alias("dev_milli"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "basket_brand_lift",
+    # Market-basket mining over orders: which part brands co-occur in
+    # the same order more than independence predicts. Support counts
+    # are exact; lift is exact integer micro via the overflow-staged
+    # form (n_ab·10^6 div n_a)·T div n_b — every intermediate fits
+    # int64 at any sf (n·10^6 ≤ 1.5e13 at sf10), where the naive
+    # n_ab·T·10^6 product overflows ANSI int64 by round sf1.
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), brand_n AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n FROM basket GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(DISTINCT okey) AS BIGINT) AS t FROM basket
+    ), pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM basket a JOIN basket b
+        ON b.okey = a.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_ab,
+           na.n AS n_a, nb.n AS n_b,
+           CAST((n_ab * 1000000 // na.n) * t // nb.n AS BIGINT) AS lift_micro
+    FROM pairs
+    JOIN brand_n na ON na.brand = brand_a
+    JOIN brand_n nb ON nb.brand = brand_b
+    CROSS JOIN tot
+    ORDER BY n_ab DESC, brand_a, brand_b LIMIT 20
+    """,
+    doc="X130: within-order brand co-occurrence with exact integer "
+    "lift — the market-basket census (and, for a training-data mix, "
+    "the source-affinity signal: which corpus slices keep appearing "
+    "in the same upstream bundle). Baskets are DISTINCT (order, brand) "
+    "sets; the within-order pair join is bounded by basket size "
+    "(≤7 lineitems/order by construction), so pair generation is "
+    "LINEAR in orders — the same bounded-sequence argument as the "
+    "events family, never all-pairs over brands×orders. Lift = "
+    "P(ab)/(P(a)P(b)) in micro units via a staged integer form chosen "
+    "to fit int64 at every scale (documented in the oracle comment); "
+    "identical expression text on both engines makes truncation "
+    "semantics equal by construction. Scale shape: one partkey dim "
+    "join, one distinct on (order, brand), one self-join co-located "
+    "on okey, brand census broadcast (≤25 rows) — top-k is "
+    "TakeOrdered.",
+    tags=("analysis", "pipeline", "joins"),
+)
+def basket_brand_lift(spark, sf_dir):
+    from ..session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    brand_n = basket.groupBy("brand").agg(F.count("*").cast("bigint").alias("n"))
+    tot = basket.agg(F.count_distinct("okey").cast("bigint").alias("t"))
+    a = basket.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = basket.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    na = brand_n.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    nb = brand_n.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("(n_ab * 1000000 div n_a) * t div n_b")
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+        .orderBy(F.col("n_ab").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )

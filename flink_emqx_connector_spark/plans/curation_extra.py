@@ -606,3 +606,88 @@ def dedup_graph_walk_centrality(spark, sf_dir):
         .limit(20)
     )
     return ranked
+
+
+@register(
+    "dedup_graph_pagerank",
+    # Damped PageRank in EXACT milli-integer arithmetic: pr0 = 1000 for
+    # every graph node; each round, a node sends pr div degree along
+    # every incident edge and receives pr' = 150 + (850 · Σ inbound)
+    # div 1000 (damping 0.85 in milli units, truncating division at the
+    # two fixed points). Every intermediate is an int64, so Spark and
+    # DuckDB agree bit-for-bit — the same FP-order-hazard dodge as the
+    # walk-centrality entry, but with the full random-surfer semantics
+    # (degree normalization + teleport) that walk counting lacks.
+    oracle=_CLOSURE.replace("comps AS (", "_unused AS (")
+    + """
+    , deg AS (SELECT a AS doc, CAST(count(*) AS BIGINT) AS degree
+              FROM edges GROUP BY 1),
+    p0 AS (SELECT doc, CAST(1000 AS BIGINT) AS pr FROM deg),
+    p1 AS (SELECT e.b AS doc,
+                  CAST(150 + (850 * CAST(sum(p0.pr // d.degree) AS BIGINT))
+                       // 1000 AS BIGINT) AS pr
+           FROM edges e JOIN p0 ON p0.doc = e.a JOIN deg d ON d.doc = e.a
+           GROUP BY e.b),
+    p2 AS (SELECT e.b AS doc,
+                  CAST(150 + (850 * CAST(sum(p1.pr // d.degree) AS BIGINT))
+                       // 1000 AS BIGINT) AS pr
+           FROM edges e JOIN p1 ON p1.doc = e.a JOIN deg d ON d.doc = e.a
+           GROUP BY e.b),
+    p3 AS (SELECT e.b AS doc,
+                  CAST(150 + (850 * CAST(sum(p2.pr // d.degree) AS BIGINT))
+                       // 1000 AS BIGINT) AS pr
+           FROM edges e JOIN p2 ON p2.doc = e.a JOIN deg d ON d.doc = e.a
+           GROUP BY e.b)
+    SELECT p3.doc AS doc, p3.pr AS pr_milli, deg.degree
+    FROM p3 JOIN deg ON deg.doc = p3.doc
+    ORDER BY pr_milli DESC, doc LIMIT 20
+    """,
+    doc="X127: damped PageRank (3 rounds, teleport 0.15) over the "
+    "near-dup graph in exact milli-integer arithmetic — the curation "
+    "signal that separates a template HUB (many high-degree neighbors "
+    "feeding it rank) from a long chain of borderline overlaps, which "
+    "degree and raw walk counts conflate. Integer formulation: each "
+    "node sends pr div degree per edge and receives 150 + 850·Σ div "
+    "1000, so every intermediate is int64 and cross-engine parity is "
+    "exact by construction (no FP summation-order hazard). Scale "
+    "shape: pair-gen runs ONCE onto a checkpointed edge list; each of "
+    "the 3 rounds is one edges⋈rank shuffle on the same key (the "
+    "connected-components cost model with a fixed round bound); "
+    "the rank vector is never wider than (doc, int64); top-k is "
+    "TakeOrdered, never a global sort. At 100 TB the edge list is the "
+    "LSH-bucketed pair output — rank iteration cost is edges-bound, "
+    "independent of corpus text size.",
+    tags=("pipeline", "dedup", "graph", "iterative"),
+)
+def dedup_graph_pagerank(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        D.ngram_jaccard_pairs_auto(docs, threshold=0.5, n=2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # pair-gen runs once; 3 rounds + degree reuse it
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    deg = edges.groupBy("a").agg(F.count("*").cast("bigint").alias("degree"))
+    pr = deg.select(F.col("a").alias("doc"), F.lit(1000).cast("bigint").alias("pr"))
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                pr.join(deg.withColumnRenamed("a", "doc"), "doc")
+                .select(F.col("doc").alias("a"), F.expr("pr div degree").alias("c")),
+                "a",
+            )
+            .groupBy("b")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = contrib.select(
+            F.col("b").alias("doc"),
+            (F.lit(150) + F.expr("(850 * s) div 1000")).cast("bigint").alias("pr"),
+        )
+    return (
+        pr.select(F.col("doc"), F.col("pr").alias("pr_milli"))
+        .join(deg.select(F.col("a").alias("doc"), "degree"), "doc")
+        .orderBy(F.col("pr_milli").desc(), F.col("doc"))
+        .limit(20)
+    )

@@ -644,11 +644,18 @@ def event_order_inversions(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
+    # Shard count scales with the cluster, not a constant: every event
+    # of a user lands in one shard for ANY modulus (result-invariant),
+    # so pick ~8 groups per core — enough shards that a 1000-executor
+    # cluster fans out (8 × total-cores groups) without paying the
+    # per-group Arrow-slice overhead 4096 fixed shards cost on a laptop
+    # (measured 2.5 s vs 0.6 s at sf0.1 on local[32]).
+    n_shards = max(64, 8 * spark.sparkContext.defaultParallelism)
     ev = _events(spark, sf_dir).select(
         "user_id",
         "event_id",
         "ts",
-        (F.col("user_id") % 4096).alias("shard"),
+        (F.col("user_id") % n_shards).alias("shard"),
     )
 
     def _merge_count(a: "np.ndarray") -> int:

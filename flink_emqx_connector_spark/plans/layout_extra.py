@@ -539,3 +539,89 @@ def stratified_kfold_assignment(spark, sf_dir):
         .cast("bigint")
         .alias("lang_share_milli"),
     )
+
+
+@register(
+    "sample_apportionment_hamilton",
+    # Largest-remainder (Hamilton) apportionment of a fixed 10,000-slot
+    # sample budget across sources, proportional to doc counts — exact
+    # integer throughout: base = n·B div T, leftover slots go to the
+    # largest remainders (ties broken by source name), so quotas sum to
+    # B exactly, which floor- or round-based allocation cannot promise.
+    oracle="""
+    WITH census AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t,
+                      CAST(count(*) AS BIGINT) AS n_src FROM census),
+    base AS (
+      SELECT source, n_docs,
+             CAST(n_docs * 10000 // t AS BIGINT) AS base_quota,
+             CAST(n_docs * 10000 % t AS BIGINT) AS remainder
+      FROM census CROSS JOIN tot
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (
+                  ORDER BY remainder DESC, source) AS BIGINT) AS rem_rank,
+             CAST(10000 - sum(base_quota) OVER () AS BIGINT) AS leftover
+      FROM base
+    )
+    SELECT source, n_docs, base_quota, remainder, rem_rank,
+           CAST(base_quota + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked ORDER BY source
+    """,
+    doc="X129: Hamilton largest-remainder apportionment — allocate a "
+    "fixed sample/labeling budget (10,000 slots) across sources "
+    "exactly proportionally: floor quotas leave Σ short, rounding can "
+    "overshoot; Hamilton gives each source floor(n·B/T) and hands the "
+    "leftover slots to the largest remainders, so the quotas sum to "
+    "the budget EXACTLY — the apportionment a downstream sampler (the "
+    "stratified/weighted family) consumes as its per-source row "
+    "budget. All integer; remainder ranking fully tie-broken. Scale "
+    "shape: one map-side-combined census (groups = |sources|, "
+    "corpus-independent), a 1-row total broadcast, and an O(|sources|) "
+    "window — the corpus is scanned once for counting and never again.",
+    tags=("layout", "sampling", "pipeline"),
+)
+def sample_apportionment_hamilton(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    census = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    tot = census.agg(F.sum("n_docs").cast("bigint").alias("t"))
+    base = census.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr("n_docs * 10000 div t").cast("bigint").alias("base_quota"),
+        (F.col("n_docs") * 10000 % F.col("t")).cast("bigint").alias("remainder"),
+    )
+    # |sources| rows: the unpartitioned windows are a driver-sized frame
+    w_rank = Window.orderBy(F.col("remainder").desc(), F.col("source"))
+    w_all = Window.partitionBy()
+    ranked = base.select(
+        "source",
+        "n_docs",
+        "base_quota",
+        "remainder",
+        F.row_number().over(w_rank).cast("bigint").alias("rem_rank"),
+        (F.lit(10000) - F.sum("base_quota").over(w_all))
+        .cast("bigint")
+        .alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "base_quota",
+        "remainder",
+        "rem_rank",
+        (
+            F.col("base_quota")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    ).orderBy("source")
