@@ -65,15 +65,12 @@ _DRIVER_RECORDED = {
         # fixed plan — it fronts the window as never-recorded.
         # latest green driver record: round 4 (28 names)
         "balance_lang_sample": 4, "chunk_docs_overlap": 4,
-        "cleaning_pipeline_counts": 4, "contamination_check_docs": 4,
-        "dedup_ngram_jaccard_dfcap": 4, "fuzzy_match_nations": 4,
-        "gini_by_priority": 4, "global_shuffle_docs": 4,
-        "multiset_ops_users": 4, "partitioned_layout_pruning": 4,
-        "pii_redact_docs": 4, "posexplode_doc_tokens": 4,
-        "profile_documents": 4, "quality_drop_reasons": 4,
-        "regression_per_segment": 4, "repetition_filter_docs": 4,
-        "salted_user_activity": 4, "shard_assignment_docs": 4, "stratified_sample_docs": 4, "try_functions_safety": 4,
-        "udtf_tokenize": 4, "variant_props_stats": 4,
+        "contamination_check_docs": 4,
+        "dedup_ngram_jaccard_dfcap": 4, "gini_by_priority": 4, "global_shuffle_docs": 4,
+        "partitioned_layout_pruning": 4,
+        "pii_redact_docs": 4, "regression_per_segment": 4, "repetition_filter_docs": 4,
+        "shard_assignment_docs": 4, "try_functions_safety": 4,
+        "variant_props_stats": 4,
         "zscore_per_priority": 4,
         # latest green driver record: round 5 (44 names)
         "bigram_lm_topk": 5, "bpe_merge_candidates": 5,
@@ -157,6 +154,33 @@ _DRIVER_RECORDED = {
         "sql_top3_parts_per_brand": 9, "text_regex_tokens": 9,
         "union_all_counts": 9, "unpivot_part_measures": 9,
         "window_distribution_functions": 9, "window_functions_family": 9,
+        # latest green driver record: round 10 (50 names)
+        "cleaning_pipeline_counts": 10, "date_functions_orders": 10,
+        "decode_avro_payload": 10, "decode_csv_payload": 10,
+        "decode_xml_payload": 10, "embedding_covariance_exact": 10,
+        "embedding_pca_power_iteration": 10, "event_order_inversions": 10,
+        "event_rate_cusum": 10, "fuzzy_match_nations": 10,
+        "grouping_sets_orders": 10, "hybrid_rrf_search": 10,
+        "join_size_cms_estimate": 10, "knn_graph_lsh": 10,
+        "multimodal_audio_windows": 10, "multimodal_shot_boundaries": 10,
+        "multiset_ops_users": 10, "null_safe_join_segments": 10,
+        "posexplode_doc_tokens": 10, "profile_documents": 10,
+        "q14_promo_share": 10, "q15_top_supplier": 10,
+        "q17_small_quantity_revenue": 10, "q19_brand_quantity_disjunction": 10,
+        "q1_pricing_summary": 10, "q22_idle_wealthy_customers": 10,
+        "q5_local_supplier_volume": 10, "q6_forecast_revenue": 10,
+        "q7_volume_shipping": 10, "q8_market_share": 10,
+        "q9_product_profit": 10, "quality_drop_reasons": 10,
+        "salted_user_activity": 10, "scan_jsonl_roundtrip": 10,
+        "scan_orc_roundtrip": 10, "sketch_merge_cms": 10,
+        "sliding_window_events": 10, "snapshot_diff_cdc": 10,
+        "sql_except_all_order_bag": 10, "sql_grouping_flags": 10,
+        "sql_interface_revenue_by_nation_quarter": 10,
+        "sql_monthly_ship_flow": 10, "sql_returnflag_status_matrix": 10,
+        "sql_segment_revenue": 10, "star_join_supplier_region": 10,
+        "stratified_kfold_assignment": 10, "stratified_sample_docs": 10,
+        "token_budget_selection": 10, "tumbling_window": 10,
+        "udtf_tokenize": 10,
 }
 
 

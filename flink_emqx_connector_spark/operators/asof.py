@@ -90,3 +90,40 @@ def asof_join_merge(
         return out
 
     return tagged.groupBy(on).applyInPandas(merge, schema)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    left_key: str,
+    tie_break: str,
+    tolerance_us: int,
+) -> DataFrame:
+    """Nearest-match as-of join (pandas ``merge_asof(direction='nearest')``
+    / kdb ``aj`` nearest variant): one right row per left row, the match
+    with the smallest |time difference| within ``tolerance_us``, ties
+    preferring the earlier right row then ``tie_break`` ascending.
+
+    The tolerance predicate keeps the pre-dedup join bounded: only right
+    rows inside the ±tolerance band multiply, so the intermediate is
+    (left rows × band density), not (left rows × right history) — the
+    knob that makes the declarative form survive dense right sides.
+    """
+    gap = F.abs(
+        F.unix_micros(left[left_time].cast("timestamp"))
+        - F.unix_micros(right[right_time].cast("timestamp"))
+    )
+    cond = (left[left_on] == right[right_on]) & (gap <= F.lit(int(tolerance_us)))
+    joined = left.join(right, cond, "inner").withColumn("__gap_us", gap)
+    w = W.partitionBy(left_key).orderBy(
+        F.col("__gap_us").asc(), F.col(right_time).asc(), F.col(tie_break).asc()
+    )
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )

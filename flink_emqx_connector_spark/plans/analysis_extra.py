@@ -820,3 +820,80 @@ def basket_brand_lift(spark, sf_dir):
         .orderBy(F.col("n_ab").desc(), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+@register(
+    "weighted_median_price",
+    # Exact weighted median (lower weighted median: the smallest value
+    # whose cumulative weight reaches half the total) of lineitem price
+    # cents weighted by quantity, per return flag — all integer, fully
+    # tie-broken cumulative ordering so both engines walk the same
+    # prefix.
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l_quantity) AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), cum AS (
+      SELECT flag, cents, wt,
+             CAST(sum(wt) OVER (PARTITION BY flag
+                  ORDER BY cents, l_orderkey, l_linenumber
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+             CAST(sum(wt) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      FROM w
+    )
+    SELECT flag,
+           CAST(min(tot) AS BIGINT) AS total_weight,
+           CAST(min(cents) AS BIGINT) AS w_median_cents
+    FROM cum WHERE 2 * cumw >= tot
+    GROUP BY flag ORDER BY flag
+    """,
+    doc="X132: exact weighted median — the robust location statistic "
+    "percentile_approx cannot give exactly and an unweighted median "
+    "gets wrong whenever rows carry different mass (here: price cents "
+    "weighted by quantity, so the median reflects units shipped, not "
+    "order lines). Lower-median convention: smallest value whose "
+    "cumulative weight reaches half the total, with the cumulative "
+    "ordering fully tie-broken (cents, orderkey, linenumber) so the "
+    "prefix walk is identical cross-engine. Scale shape: one shuffle "
+    "on the 3-value flag partitions the sort; the filter+min collapses "
+    "each partition without materializing ranks — at 1000 executors "
+    "the per-flag sort is a range-partitioned sort-based window, "
+    "memory-bounded by Spark's window spilling.",
+    tags=("analysis", "robust-stats"),
+)
+def weighted_median_price(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("flag")
+    cum = li.select(
+        "flag",
+        "cents",
+        F.sum("wt").over(w_cum).cast("bigint").alias("cumw"),
+        F.sum("wt").over(w_tot).cast("bigint").alias("tot"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min("tot").cast("bigint").alias("total_weight"),
+            F.min("cents").cast("bigint").alias("w_median_cents"),
+        )
+        .orderBy("flag")
+    )

@@ -386,3 +386,80 @@ def null_safe_join_segments(spark, sf_dir):
         .select(c["seg"].alias("seg"), "n_customers", "n_orders")
         .orderBy(F.col("seg").asc_nulls_first())
     )
+
+
+@register(
+    "asof_nearest_purchase_view",
+    # Nearest-direction as-of with tolerance (merge_asof
+    # direction='nearest'): the closest view within ±30 min of each
+    # purchase, ties to the earlier view then lower id. Timestamps are
+    # compared as integer epoch micros on both engines (events ts is
+    # micro-grain; epoch_us ≡ unix_micros — pinned by the micros-parity
+    # check in load_table's docstring).
+    oracle="""
+    SELECT purchase_id, view_id, view_ts,
+           CAST(gap_us AS BIGINT) AS gap_us, direction
+    FROM (
+      SELECT p.event_id AS purchase_id, v.event_id AS view_id, v.ts AS view_ts,
+             abs(epoch_us(v.ts) - epoch_us(p.ts)) AS gap_us,
+             CASE WHEN v.ts <= p.ts THEN 'backward' ELSE 'forward' END
+               AS direction,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)) ASC,
+                        v.ts ASC, v.event_id ASC) AS rk
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON v.user_id = p.user_id
+       AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 1800000000
+    )
+    WHERE rk = 1
+    """,
+    doc="X131: nearest-match as-of join with tolerance — the attribution "
+    "variant the backward-only as-of (asof_join_purchase_view) cannot "
+    "express: a view logged moments AFTER the purchase (clock skew "
+    "between client and server pipelines) still attributes, and a view "
+    "hours before does not. One row per purchase: the view minimizing "
+    "|Δt| within ±30 min, ties to the earlier view (backward "
+    "preference) then id. Scale shape: the ±tolerance predicate bounds "
+    "the pre-dedup intermediate to the band density (never the full "
+    "per-user view history); equi-join on user_id shuffles once and "
+    "the row_number window reuses that partitioning. Exact integer "
+    "micro gaps; direction column audits skew symmetry.",
+    tags=("join", "asof", "events"),
+)
+def asof_nearest_purchase_view(spark, sf_dir):
+    from ..operators.asof import asof_join_nearest
+    from ..session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    out = asof_join_nearest(
+        left=purchases,
+        right=views,
+        left_on="user_id",
+        right_on="v_user_id",
+        left_time="purchase_ts",
+        right_time="view_ts",
+        left_key="purchase_id",
+        tie_break="view_id",
+        tolerance_us=1_800_000_000,
+    )
+    return out.select(
+        "purchase_id",
+        "view_id",
+        "view_ts",
+        F.col("__gap_us").cast("bigint").alias("gap_us"),
+        F.when(F.col("view_ts") <= F.col("purchase_ts"), "backward")
+        .otherwise("forward")
+        .alias("direction"),
+    )

@@ -802,3 +802,155 @@ def _install_pca_oracle() -> None:
 
 
 _install_pca_oracle()
+
+
+# ±1 Johnson-Lindenstrauss projection signs, md5-derived so both engines
+# embed the SAME literal sign vectors (no RNG, no seed drift): sign(i,j)
+# = +1 iff the first md5 byte of "jl:i:j" is even.
+_JL_K = 16
+
+
+def _jl_signs() -> list[list[int]]:
+    import hashlib as _h
+
+    return [
+        [
+            1 if _h.md5(f"jl:{i}:{j}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(_DIM)
+        ]
+        for j in range(_JL_K)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    proj_terms = ", ".join(
+        "list_sum(list_transform(range(1, %d), i -> q[i] * ([%s])[i])) AS p%d"
+        % (_DIM + 1, ", ".join(str(s) for s in sj), j)
+        for j, sj in enumerate(signs)
+    )
+    proj_sq = " + ".join(
+        f"(a.p{j} - b.p{j}) * (a.p{j} - b.p{j})" for j in range(_JL_K)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id, {_QUANT_SQL} AS q
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND vec_id % {_QUERY_MOD} = 0 AND vec_id <= {_QUERY_CAP}
+    ), p AS (
+      SELECT vec_id, q, {proj_terms} FROM q
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, {_DIM + 1}),
+                 i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS orig_sq,
+             {proj_sq} AS proj_sq
+      FROM p a JOIN p b ON a.vec_id < b.vec_id
+    ), dist AS (
+      SELECT CAST(proj_sq * 1000 // ({_JL_K} * orig_sq) AS BIGINT)
+               AS distortion_milli
+      FROM pairs WHERE orig_sq > 0
+    )
+    SELECT CAST(distortion_milli // 100 AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(distortion_milli) AS BIGINT) AS min_milli,
+           CAST(max(distortion_milli) AS BIGINT) AS max_milli
+    FROM dist GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "jl_projection_distortion",
+    oracle=_jl_oracle(),
+    doc="X134: Johnson-Lindenstrauss distance-preservation audit — "
+    "project the milli-quantized embeddings through a deterministic "
+    "±1 sign matrix (md5-derived literals, identical in both engines) "
+    "from 64 to 16 dims and census the squared-distance distortion "
+    "ratio proj²/(k·orig²) in milli units over the bounded eval pair "
+    "set (≤64 query vectors → ≤2016 pairs, the registry's standard "
+    "eval cap). The band histogram answers 'how many dims can the ANN "
+    "tier drop before neighbor ordering degrades' with evidence, "
+    "complementing ann_truncated_dim_recall's prefix-truncation probe "
+    "(prefix keeps trained dims; JL mixes ALL dims, so it survives "
+    "embeddings whose energy is not front-loaded). Scale shape: the "
+    "projection is a row-local zip_with/aggregate over plan-literal "
+    "sign arrays — zero shuffle, codegen'd, no UDF; the corpus scan "
+    "prunes to the eval sample by vec_id predicate pushdown; the pair "
+    "join is broadcast (≤64 rows).",
+    tags=("embeddings", "linalg", "ann", "eval"),
+)
+def jl_projection_distortion(spark, sf_dir):
+    signs = _jl_signs()
+    emb = (
+        _emb(spark, sf_dir)
+        .filter(
+            F.col("embedding").isNotNull()
+            & (F.col("vec_id") % _QUERY_MOD == 0)
+            & (F.col("vec_id") <= _QUERY_CAP)
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda e: F.floor(e * _Q_SCALE + 0.5).cast("long"),
+            ).alias("q"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(s).cast("long") for s in sj]),
+                lambda x, s: x * s,
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j, sj in enumerate(signs)
+    ]
+    p = emb.select("vec_id", "q", *proj_cols)
+    a = p.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("q").alias("qa"),
+        *[F.col(f"p{j}").alias(f"pa{j}") for j in range(_JL_K)],
+    )
+    b = p.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("q").alias("qb"),
+        *[F.col(f"p{j}").alias(f"pb{j}") for j in range(_JL_K)],
+    )
+    orig_sq = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    proj_sq = None
+    for j in range(_JL_K):
+        term = (F.col(f"pa{j}") - F.col(f"pb{j}")) * (
+            F.col(f"pa{j}") - F.col(f"pb{j}")
+        )
+        proj_sq = term if proj_sq is None else proj_sq + term
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(orig_sq.alias("orig_sq"), proj_sq.alias("proj_sq"))
+        .filter(F.col("orig_sq") > 0)
+        .select(
+            F.expr(f"proj_sq * 1000 div ({_JL_K} * orig_sq)")
+            .cast("bigint")
+            .alias("distortion_milli")
+        )
+    )
+    return (
+        pairs.select(
+            F.expr("distortion_milli div 100").cast("bigint").alias("band"),
+            "distortion_milli",
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("distortion_milli").cast("bigint").alias("min_milli"),
+            F.max("distortion_milli").cast("bigint").alias("max_milli"),
+        )
+        .orderBy("band")
+    )

@@ -502,3 +502,110 @@ def bpe_merge_candidates(spark, sf_dir):
         .orderBy(F.col("weight").desc(), "pair")
         .limit(_TOPK_BPE)
     )
+
+
+@register(
+    "quality_score_calibration",
+    # Calibration of the logistic quality model against exact-dup labels:
+    # value-bin the score (round(score·10⁴) — the SAME 4-decimal grain the
+    # quality_model_score entry already hash-matches at), label each doc
+    # dup/unique by md5(text) multiplicity, and report per-bin dup rates.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w,
+             length(text) AS n_char
+      FROM documents WHERE text IS NOT NULL
+    ), f AS (
+      SELECT doc_id, text,
+             CAST(len(w) AS DOUBLE) AS nt,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+             CAST(len(list_filter(w, x -> x IN
+                 ('the', 'of', 'and', 'to', 'in', 'is', 'a'))) AS DOUBLE)
+               / len(w) AS stop,
+             CAST(n_char - (len(w) - 1) AS DOUBLE) / len(w) AS awl
+      FROM t
+    ), z AS (
+      SELECT doc_id, text,
+             {_QM['b']} + {_QM['ttr']} * ttr + {_QM['stop']} * stop
+               + {_QM['awl']} * (awl - 4) + {_QM['nt']} * nt AS z
+      FROM f
+    ), s AS (
+      SELECT doc_id,
+             least(CAST(round(10000 / (1 + exp(-z))) AS BIGINT) // 1000, 9)
+               AS bin,
+             md5(text) AS fp
+      FROM z
+    ), fps AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN fps.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dups,
+           CAST(sum(CASE WHEN fps.n > 1 THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS dup_milli
+    FROM s JOIN fps ON fps.fp = s.fp
+    GROUP BY bin ORDER BY bin
+    """,
+    doc="X133: quality-model calibration curve — does the cheap logistic "
+    "quality score actually predict the expensive label (exact "
+    "duplication)? Docs are value-binned by score (10 bins on the same "
+    "4-decimal grain the score entry hash-matches at, so the binning "
+    "inherits its cross-engine parity), labeled dup/unique by md5(text) "
+    "multiplicity, and each bin reports its exact milli dup rate — the "
+    "monotonicity (or lack) of this curve is the go/no-go for using the "
+    "score as a pre-filter before the O(pairs) dedup passes. Scale "
+    "shape: score is a codegen'd scan projection; the label is one "
+    "16-byte-digest groupBy joined back on the digest (never text); "
+    "the final census is 10 groups, map-side combined.",
+    tags=("text", "quality", "eval", "pipeline"),
+)
+def quality_score_calibration(spark, sf_dir):
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "of", "and", "to", "in", "is", "a")])
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(F.encode("text", "UTF-8")).alias("fp"),
+            F.split("text", " ").alias("w"),
+            F.length("text").alias("n_char"),
+        )
+    )
+    nt = F.size("w").cast("double")
+    ttr = F.size(F.array_distinct("w")).cast("double") / F.size("w")
+    stop = (
+        F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / F.size("w")
+    )
+    awl = (F.col("n_char") - (F.size("w") - 1)).cast("double") / F.size("w")
+    z = (
+        F.lit(_QM["b"])
+        + F.lit(_QM["ttr"]) * ttr
+        + F.lit(_QM["stop"]) * stop
+        + F.lit(_QM["awl"]) * (awl - 4)
+        + F.lit(_QM["nt"]) * nt
+    )
+    s4 = F.round(F.lit(10000.0) / (F.lit(1.0) + F.exp(-z))).cast("bigint")
+    s = d.select(
+        "doc_id",
+        # s4 ≤ 10⁴ so the double division is exact; floor ≡ // for
+        # non-negative values
+        F.least(F.floor(s4 / F.lit(1000)).cast("bigint"), F.lit(9)).alias("bin"),
+        "fp",
+    )
+    fps = s.groupBy("fp").agg(F.count("*").cast("bigint").alias("n"))
+    joined = s.join(fps, "fp")
+    return (
+        joined.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dups"),
+            F.expr("sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1000 div count(*)")
+            .cast("bigint")
+            .alias("dup_milli"),
+        )
+        .orderBy("bin")
+    )
