@@ -120,3 +120,84 @@ def test_token_hash_cache_bounded():
     finally:
         D._TOKEN_HASH_CACHE_MAX = old_max
         D._TOKEN_HASH_CACHE.clear()
+
+
+def test_hamilton_quotas_sum_to_budget(spark):
+    """Apportionment correctness beyond parity: quotas sum EXACTLY to
+    the 10,000-slot budget, every quota is base or base+1, and the +1s
+    go to the largest remainders."""
+    rows = QUERIES["sample_apportionment_hamilton"].spark(
+        spark, SF_SMALL
+    ).collect()
+    assert sum(r["quota"] for r in rows) == 10_000
+    for r in rows:
+        assert r["quota"] in (r["base_quota"], r["base_quota"] + 1)
+    extras = sorted(r["rem_rank"] for r in rows if r["quota"] == r["base_quota"] + 1)
+    assert extras == list(range(1, len(extras) + 1)), extras
+
+
+def test_pagerank_values_in_feasible_band(spark):
+    """Each rank is >= the 150-milli teleport floor, and a graph node's
+    rank never exceeds teleport + damped mass of the whole graph."""
+    rows = QUERIES["dedup_graph_pagerank"].spark(spark, SF_SMALL).collect()
+    assert rows, "pagerank returned no rows"
+    for r in rows:
+        assert r["pr_milli"] >= 150
+        assert r["degree"] >= 1
+    # descending order with doc tie-break, as declared
+    prs = [(r["pr_milli"], -r["doc"]) for r in rows]
+    assert prs == sorted(prs, reverse=True)
+
+
+def test_weighted_median_is_a_weighted_median(spark):
+    """Recompute per flag from raw rows: the reported value is the
+    smallest cents value whose cumulative weight reaches half the
+    total."""
+    rows = {r["flag"]: r for r in QUERIES["weighted_median_price"].spark(
+        spark, SF_SMALL
+    ).collect()}
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .selectExpr(
+            "l_returnflag AS flag",
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+            "CAST(round(l_quantity) AS BIGINT) AS wt",
+        )
+        .collect()
+    )
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r["flag"], []).append((r["cents"], r["wt"]))
+    for flag, items in by_flag.items():
+        items.sort()
+        tot = sum(w for _, w in items)
+        cum = 0
+        med = None
+        for c, w in items:
+            cum += w
+            if 2 * cum >= tot:
+                med = c
+                break
+        assert rows[flag]["w_median_cents"] == med, flag
+        assert rows[flag]["total_weight"] == tot, flag
+
+
+def test_jl_distortion_concentrates_near_unity(spark):
+    """JL with k=16 ±1 signs: the distortion ratio must center near
+    1000 milli (E[proj²] = k·orig²) — all mass within a generous
+    [200, 3000] band and the pair count equals C(n_eval, 2) minus
+    nothing (no zero-distance pairs in the synthetic embeddings)."""
+    rows = QUERIES["jl_projection_distortion"].spark(spark, SF_SMALL).collect()
+    n_pairs = sum(r["n_pairs"] for r in rows)
+    n_eval = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .filter("vec_id % 100 = 0 AND vec_id <= 6400")
+        .count()
+    )
+    assert n_pairs == n_eval * (n_eval - 1) // 2
+    lo = min(r["min_milli"] for r in rows)
+    hi = max(r["max_milli"] for r in rows)
+    assert 200 <= lo and hi <= 3000, (lo, hi)
+    # the modal band should straddle 1000 milli
+    modal = max(rows, key=lambda r: r["n_pairs"])
+    assert 5 <= modal["band"] <= 15, modal
