@@ -691,3 +691,70 @@ def dedup_graph_pagerank(spark, sf_dir):
         .orderBy(F.col("pr_milli").desc(), F.col("doc"))
         .limit(20)
     )
+
+
+@register(
+    "cross_lang_neardup_census",
+    # Near-dup pairs grouped by (unordered) language pair: same-lang
+    # rows are ordinary duplication; cross-lang rows are the
+    # translation/transliteration contamination a lang-blocked dedup
+    # pass structurally cannot see (it never compares across the
+    # block key).
+    oracle=_CLOSURE.replace("comps AS (", "_unused AS (")
+    + """
+    , langs AS (
+      SELECT p.doc_a, p.doc_b, da.lang AS lang_a, db.lang AS lang_b
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT least(lang_a, lang_b) AS lang_lo,
+           greatest(lang_a, lang_b) AS lang_hi,
+           CASE WHEN lang_a = lang_b THEN 'same' ELSE 'cross' END AS kind,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(doc_a) AS BIGINT) AS sample_doc_a,
+           CAST(min(doc_b) AS BIGINT) AS sample_doc_b
+    FROM langs GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc="X137: cross-language near-duplication census — near-dup pairs "
+    "(exact bigram Jaccard ≥ 0.5, the certified pair plan) labeled by "
+    "their documents' language pair. Same-lang mass is ordinary "
+    "duplication; CROSS-lang mass is translated/transliterated "
+    "contamination, exactly the class a lang-blocked dedup pass (the "
+    "standard 100 TB blocking key) can never find — this census is the "
+    "estimate of what that blocking choice costs. Scale shape: pair "
+    "generation is the bucketed selector (runs once); the lang label "
+    "is two joins against a 2-column pruned scan of documents; the "
+    "census output is ≤ |langs|² rows.",
+    tags=("dedup", "curation", "eval", "pipeline"),
+)
+def cross_lang_neardup_census(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        D.ngram_jaccard_pairs_auto(docs, threshold=0.5, n=2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    langs = docs.select("doc_id", "lang")
+    la = langs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
+    )
+    lb = langs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
+    )
+    labeled = pairs.join(la, "doc_a").join(lb, "doc_b")
+    return (
+        labeled.groupBy(
+            F.least("lang_a", "lang_b").alias("lang_lo"),
+            F.greatest("lang_a", "lang_b").alias("lang_hi"),
+            F.when(F.col("lang_a") == F.col("lang_b"), "same")
+            .otherwise("cross")
+            .alias("kind"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("doc_a").cast("bigint").alias("sample_doc_a"),
+            F.min("doc_b").cast("bigint").alias("sample_doc_b"),
+        )
+        .orderBy("lang_lo", "lang_hi", "kind")
+    )

@@ -625,3 +625,134 @@ def sample_apportionment_hamilton(spark, sf_dir):
         .cast("bigint")
         .alias("quota"),
     ).orderBy("source")
+
+
+@register(
+    "mix_waterfill_allocation",
+    # Water-filling under caps: allocate a budget of half the corpus
+    # across (source, lang) cells — equal target share per cell, capped
+    # at cell size; freed capacity from exhausted cells redistributes
+    # equally among the survivors (one unrolled round), and the final
+    # sub-|U| remainder goes one slot each to the largest remaining
+    # capacities. All integer divisions, fully tie-broken — the
+    # fixed-point loop of the classic allocator unrolled to the two
+    # rounds that provably suffice here (leftover after round 2 is
+    # < |survivors|, so round 3 is the ±1 assignment).
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(n_docs) // 2 AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS k
+      FROM cells
+    ), r1 AS (
+      SELECT source, lang, n_docs, b,
+             least(n_docs, b // k) AS a1
+      FROM cells CROSS JOIN tot
+    ), r1s AS (
+      SELECT *, CAST(b - sum(a1) OVER () AS BIGINT) AS l1,
+             CAST(sum(CASE WHEN a1 < n_docs THEN 1 ELSE 0 END) OVER ()
+                  AS BIGINT) AS u1
+      FROM r1
+    ), r2 AS (
+      SELECT source, lang, n_docs, b, a1,
+             a1 + CASE WHEN a1 < n_docs AND u1 > 0
+                       THEN least(n_docs - a1, l1 // u1) ELSE 0 END AS a2
+      FROM r1s
+    ), r2s AS (
+      SELECT *, CAST(b - sum(a2) OVER () AS BIGINT) AS l2,
+             CAST(row_number() OVER (
+                 ORDER BY CASE WHEN a2 < n_docs THEN n_docs - a2 ELSE -1 END
+                          DESC, source, lang) AS BIGINT) AS cap_rank
+      FROM r2
+    )
+    SELECT source, lang, n_docs,
+           CAST(a1 AS BIGINT) AS a1, CAST(a2 AS BIGINT) AS a2,
+           CAST(a2 + CASE WHEN a2 < n_docs AND cap_rank <= l2
+                          THEN 1 ELSE 0 END AS BIGINT) AS quota,
+           CASE WHEN a2 >= n_docs THEN 'exhausted' ELSE 'open' END
+             AS cap_state
+    FROM r2s ORDER BY source, lang
+    """,
+    doc="X135: water-filling mix allocation — the data-mix primitive "
+    "Hamilton apportionment (X129) cannot express: per-cell CAPS. "
+    "Budget = half the corpus, target = equal share per (source, lang) "
+    "cell; a cell smaller than its share is exhausted and its unused "
+    "capacity redistributes equally among survivors, with the final "
+    "sub-|survivors| remainder assigned one slot each by remaining "
+    "capacity. Two unrolled rounds + a ±1 rank round — the allocator's "
+    "fixed point for this cap structure, every step integer and fully "
+    "tie-broken. Scale shape: one map-side census over the corpus "
+    "(cells = |sources|×|langs|, corpus-independent), then O(cells) "
+    "windows — the corpus is scanned exactly once.",
+    tags=("layout", "sampling", "pipeline"),
+)
+def mix_waterfill_allocation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..session import load_table
+
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    tot = cells.agg(
+        F.expr("sum(n_docs) div 2").cast("bigint").alias("b"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    r1 = cells.crossJoin(F.broadcast(tot)).select(
+        "source", "lang", "n_docs", "b",
+        F.least(F.col("n_docs"), F.expr("b div k")).alias("a1"),
+    )
+    w_all = Window.partitionBy()
+    r1s = r1.select(
+        "*",
+        (F.col("b") - F.sum("a1").over(w_all)).cast("bigint").alias("l1"),
+        F.sum(F.when(F.col("a1") < F.col("n_docs"), 1).otherwise(0))
+        .over(w_all)
+        .cast("bigint")
+        .alias("u1"),
+    )
+    r2 = r1s.select(
+        "source", "lang", "n_docs", "b", "a1",
+        (
+            F.col("a1")
+            + F.when(
+                (F.col("a1") < F.col("n_docs")) & (F.col("u1") > 0),
+                F.least(F.col("n_docs") - F.col("a1"), F.expr("l1 div u1")),
+            ).otherwise(0)
+        ).alias("a2"),
+    )
+    w_rank = Window.orderBy(
+        F.when(F.col("a2") < F.col("n_docs"), F.col("n_docs") - F.col("a2"))
+        .otherwise(-1)
+        .desc(),
+        "source",
+        "lang",
+    )
+    r2s = r2.select(
+        "*",
+        (F.col("b") - F.sum("a2").over(w_all)).cast("bigint").alias("l2"),
+        F.row_number().over(w_rank).cast("bigint").alias("cap_rank"),
+    )
+    return r2s.select(
+        "source",
+        "lang",
+        "n_docs",
+        F.col("a1").cast("bigint").alias("a1"),
+        F.col("a2").cast("bigint").alias("a2"),
+        (
+            F.col("a2")
+            + F.when(
+                (F.col("a2") < F.col("n_docs")) & (F.col("cap_rank") <= F.col("l2")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+        F.when(F.col("a2") >= F.col("n_docs"), "exhausted")
+        .otherwise("open")
+        .alias("cap_state"),
+    ).orderBy("source", "lang")
