@@ -691,3 +691,81 @@ def test_rrf_legs_are_topk_and_arrow_kernel(plans):
     p = plans("hybrid_rrf_search")
     assert "MapInPandas" in p
     assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", p)) == 3
+
+
+# --- round-11 entries -------------------------------------------------------
+
+
+def test_benford_prunes_to_price_column(plans):
+    """The scan must read o_totalprice only (plus nothing wider) and
+    push the positivity filter; the census is a partial-agg shuffle of
+    ≤9 groups."""
+    p = plans("benford_digit_audit")
+    assert "PushedFilters" in p
+    assert "GreaterThan(o_totalprice,0.0)" in p.replace(" ", ""), p
+    # ReadSchema carries only the price column
+    import re
+
+    m = re.search(r"ReadSchema: struct<[^\n]*", p)
+    assert m and "o_totalprice" in m.group(0), p
+    assert "o_orderdate" not in m.group(0), p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_hamilton_census_is_partial_aggregated(plans):
+    p = plans("sample_apportionment_hamilton")
+    assert p.count("HashAggregate") >= 2, p  # map-side combine on source
+
+
+def test_basket_lift_broadcasts_brand_census(plans):
+    """The ≤25-row brand censuses and the 1-row total must broadcast;
+    top-20 must be TakeOrdered, not a global sort."""
+    p = plans("basket_brand_lift")
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_pagerank_reuses_checkpointed_edges(plans):
+    """Pair-gen must NOT be re-planned per iteration: the plan reads
+    the localCheckpoint scan (ExistingRDD/LogicalRDD), and top-20 is
+    TakeOrdered."""
+    p = plans("dedup_graph_pagerank")
+    assert "ExistingRDD" in p or "Scan ExistingRDD" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_asof_nearest_pushes_type_filters(plans):
+    """Both event-type filters reach their scans; the join is an
+    equi-join on user (never a pure theta join over all users)."""
+    p = plans("asof_nearest_purchase_view")
+    flat = p.replace(" ", "")
+    assert "EqualTo(event_type,purchase)" in flat, p
+    assert "EqualTo(event_type,view)" in flat, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_jl_projection_has_no_python_udf_and_broadcasts_pairs(plans):
+    """The 64→16 projection must stay JVM-side (zip_with/aggregate —
+    no BatchEvalPython / ArrowEvalPython), the eval-sample predicate
+    must reach the scan, and the ≤64-row pair join must broadcast."""
+    p = plans("jl_projection_distortion")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "LessThanOrEqual(vec_id,6400)" in p.replace(" ", ""), p
+    assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_weighted_median_single_window_sort(plans):
+    """One per-flag window (sort-based, spill-safe) then partial-agg —
+    no self-join, no global sort before the window."""
+    p = plans("weighted_median_price")
+    assert "Window" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_inversions_is_pandas_grouped_map_not_pair_join(plans):
+    """The r11 plan must be the applyInPandas merge count (one
+    FlatMapGroupsInPandas over the shard key) and must NOT contain the
+    old within-user self-join."""
+    p = plans("event_order_inversions")
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "SortMergeJoin" not in p, p
