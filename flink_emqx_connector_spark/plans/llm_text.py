@@ -169,3 +169,75 @@ def doc_fingerprint_dupes(spark, sf_dir):
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "code_switch_docs",
+    # Within-document language consistency: stopword-vote each HALF of
+    # the token sequence separately and census the (first-half,
+    # second-half) prediction pairs — a 'cross' row is a document that
+    # switches language midstream (concatenation artifacts, scraped
+    # multilingual pages), which one whole-doc language label hides.
+    oracle=f"""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE text IS NOT NULL
+    ), halves AS (
+      SELECT w[1 : n // 2] AS w1, w[n // 2 + 1 : n] AS w2 FROM t
+    ), votes AS (
+      SELECT len(list_filter(w1, x -> x IN ({_sql_list(_EN_STOP)}))) AS en1,
+             len(list_filter(w1, x -> x IN ({_sql_list(_ES_STOP)}))) AS es1,
+             len(list_filter(w2, x -> x IN ({_sql_list(_EN_STOP)}))) AS en2,
+             len(list_filter(w2, x -> x IN ({_sql_list(_ES_STOP)}))) AS es2
+      FROM halves
+    )
+    SELECT CASE WHEN en1 > es1 THEN 'en' WHEN es1 > en1 THEN 'es'
+                ELSE 'und' END AS pred_first,
+           CASE WHEN en2 > es2 THEN 'en' WHEN es2 > en2 THEN 'es'
+                ELSE 'und' END AS pred_second,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM votes GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="X138: code-switch detection — language-ID each half of every "
+    "document independently (same stopword-vote heuristic as "
+    "lang_id_confusion; the production variant swaps in char-n-gram "
+    "profiles, same plan shape) and census the prediction pairs. "
+    "Off-diagonal mass = documents that switch language midstream: "
+    "concatenation artifacts and multilingual scrapes that a whole-doc "
+    "label hides and that poison monolingual training mixes. Scale "
+    "shape: pure row-local array expressions (split, slice, "
+    "list_filter votes) — no UDF, no per-doc shuffle; the only shuffle "
+    "is the ≤9-group census with map-side combine.",
+    tags=("text", "langid", "quality", "pipeline"),
+)
+def code_switch_docs(spark, sf_dir):
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.split(F.col("text"), " ").alias("w"))
+        .withColumn("n", F.size("w"))
+        .selectExpr("slice(w, 1, n div 2) AS w1",
+                    "slice(w, n div 2 + 1, n - n div 2) AS w2")
+    )
+    en_arr = F.array(*[F.lit(s) for s in _EN_STOP])
+    es_arr = F.array(*[F.lit(s) for s in _ES_STOP])
+
+    def pred(col):
+        en = F.size(F.filter(col, lambda x: F.array_contains(en_arr, x)))
+        es = F.size(F.filter(col, lambda x: F.array_contains(es_arr, x)))
+        return (
+            F.when(en > es, F.lit("en"))
+            .when(es > en, F.lit("es"))
+            .otherwise(F.lit("und"))
+        )
+
+    return (
+        d.select(
+            pred(F.col("w1")).alias("pred_first"),
+            pred(F.col("w2")).alias("pred_second"),
+        )
+        .groupBy("pred_first", "pred_second")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("pred_first", "pred_second")
+    )

@@ -680,3 +680,133 @@ def sketch_merge_cms(spark, sf_dir):
         )
         .orderBy("row_id")
     )
+
+
+@register(
+    "hll_rollup_merge",
+    # HLL mergeability over TIME (the X123 CMS-linearity claim, for the
+    # max-merge sketch family): per-day register tables max-merged
+    # across days must equal the whole-period register table — register
+    # for register. This is the property that lets a warehouse keep
+    # daily distinct-user sketches and answer any date-range distinct
+    # question by merging m-row tables instead of rescanning events.
+    oracle=f"""
+    WITH base AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), h AS (
+      SELECT day,
+             CAST(('0x' || substr(md5('hll:' || user_id), 1, 13))
+                  AS UBIGINT) AS hv
+      FROM base
+    ), reg AS (
+      SELECT day, CAST(hv % {_HLL_M} AS BIGINT) AS j,
+             CAST(hv // {_HLL_M} AS BIGINT) AS w
+      FROM h
+    ), rho AS (
+      SELECT day, j,
+             max(CASE WHEN w = 0 THEN {_HLL_W + 1}
+                 ELSE {_HLL_W} - length(bin(w)) + 1 END) AS m_j
+      FROM reg GROUP BY 1, 2
+    ), merged AS (
+      SELECT j, CAST(max(m_j) AS BIGINT) AS m_merged,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM rho GROUP BY 1
+    ), wh AS (
+      -- the whole-period side is computed INDEPENDENTLY from the
+      -- period's distinct ids (not from the daily rho), so the
+      -- equality is a genuine two-path check, not a tautology
+      SELECT CAST(('0x' || substr(md5('hll:' || user_id), 1, 13))
+                  AS UBIGINT) AS hv
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), whole AS (
+      SELECT CAST(hv % {_HLL_M} AS BIGINT) AS j,
+             CAST(max(CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_W + 1}
+                 ELSE {_HLL_W} - length(bin(CAST(hv // {_HLL_M} AS BIGINT)))
+                      + 1 END) AS BIGINT) AS m_whole
+      FROM wh GROUP BY 1
+    )
+    SELECT m.j, m.m_merged, w.m_whole, m.n_days,
+           m.m_merged = w.m_whole AS cells_equal
+    FROM merged m JOIN whole w ON w.j = m.j
+    ORDER BY m.j
+    """,
+    doc="X139: HLL register max-merge over time — daily register tables "
+    "merged across the period must equal the whole-period registers "
+    "cell-for-cell (max is associative and idempotent, so re-seen "
+    "users collapse for free — the property CMS linearity (X123) does "
+    "NOT have, which is why HLL handles re-activity and CMS handles "
+    "mass). Both sides derive from the same salted-md5 rho as "
+    "hll_manual_registers, so every register value is an integer the "
+    "oracle replays bit-identically. Scale shape: one (day, j) groupBy "
+    "with map-side max, then an m-row merge — the daily sketch table "
+    "is days × m rows no matter how many events were scanned; a "
+    "date-range rollup after this never touches the corpus again.",
+    tags=("sketch", "hll", "approx", "distinct", "warehouse"),
+)
+def hll_rollup_merge(spark, sf_dir):
+    base = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    reg = base.select(
+        "day",
+        F.pmod(hv, F.lit(_HLL_M)).alias("j"),
+        F.expr(
+            f"CAST(conv(substr(md5('hll:' || CAST(user_id AS STRING)),"
+            f" 1, 13), 16, 10) AS BIGINT) div {_HLL_M}"
+        ).alias("w"),
+    )
+    rho = reg.groupBy("day", "j").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(_HLL_W + 1)).otherwise(
+                F.lit(_HLL_W) - F.length(F.bin("w")) + 1
+            )
+        ).alias("m_j")
+    )
+    merged = rho.groupBy("j").agg(
+        F.max("m_j").cast("bigint").alias("m_merged"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    # independent whole-period path (two-path check, not a tautology)
+    whole_reg = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            F.pmod(hv, F.lit(_HLL_M)).alias("j"),
+            F.expr(
+                f"CAST(conv(substr(md5('hll:' || CAST(user_id AS STRING)),"
+                f" 1, 13), 16, 10) AS BIGINT) div {_HLL_M}"
+            ).alias("w"),
+        )
+    )
+    whole = whole_reg.groupBy("j").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(_HLL_W + 1)).otherwise(
+                F.lit(_HLL_W) - F.length(F.bin("w")) + 1
+            )
+        )
+        .cast("bigint")
+        .alias("m_whole")
+    )
+    return (
+        merged.join(whole, "j")
+        .select(
+            "j",
+            "m_merged",
+            "m_whole",
+            "n_days",
+            (F.col("m_merged") == F.col("m_whole")).alias("cells_equal"),
+        )
+        .orderBy("j")
+    )
