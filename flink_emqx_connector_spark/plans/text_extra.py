@@ -142,3 +142,95 @@ def token_hapax_ratio(spark, sf_dir):
             "hapax_ratio"
         ),
     )
+
+
+@register(
+    "typo_token_pairs",
+    # Edit-distance-1 token pairs WITHOUT an all-pairs comparison:
+    # deletion-neighborhood blocking (SymSpell's core idea) — two
+    # tokens are within one edit iff they share a deletion variant
+    # (the token itself, or the token with one character removed), so
+    # the candidate set is a self-join on an exploded ≤(len+1)-variant
+    # key; levenshtein runs only on candidates as the verify step.
+    oracle="""
+    WITH toks AS (
+      SELECT t AS tok, CAST(count(*) AS BIGINT) AS df
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE length(t) BETWEEN 3 AND 12
+      GROUP BY 1
+    ), vars AS (
+      SELECT tok, df, v
+      FROM toks, unnest(list_prepend(tok,
+             list_transform(range(1, length(tok) + 1),
+                 i -> substr(tok, 1, i - 1)
+                      || substr(tok, i + 1, length(tok) - i)))) AS u(v)
+    ), cand AS (
+      SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b,
+             a.df AS df_a, b.df AS df_b
+      FROM vars a JOIN vars b ON a.v = b.v AND a.tok < b.tok
+    )
+    SELECT tok_a, tok_b, df_a, df_b
+    FROM cand
+    WHERE levenshtein(tok_a, tok_b) = 1
+    ORDER BY df_a + df_b DESC, tok_a, tok_b
+    LIMIT 50
+    """,
+    doc="X141: spelling-variant pair discovery — edit-distance-1 token "
+    "pairs found by DELETION-NEIGHBORHOOD blocking (share a deletion "
+    "variant ⇒ within one edit), never an all-pairs comparison: each "
+    "token explodes into ≤ len+1 variant keys, the self-join runs on "
+    "the variant key, and levenshtein verifies candidates only — the "
+    "SymSpell decomposition, which is what makes typo clustering "
+    "feasible on a 100 TB corpus vocabulary (work is Σ per-variant "
+    "bucket², bounded by the hash blocking, vs |vocab|²). df counts "
+    "ride along so the census doubles as a fix-direction signal "
+    "(high-df token = the canonical form). Top-50 by combined df via "
+    "TakeOrdered.",
+    tags=("text", "dedup", "fuzzy", "pipeline"),
+)
+def typo_token_pairs(spark, sf_dir):
+    from ..session import load_table
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter((F.length("tok") >= 3) & (F.length("tok") <= 12))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    # token itself + one-char deletions: shared variant <=> edit dist <= 1
+    vars_ = toks.select(
+        "tok",
+        "df",
+        F.explode(
+            F.concat(
+                F.array(F.col("tok")),
+                F.expr(
+                    "transform(sequence(1, length(tok)),"
+                    " i -> concat(substr(tok, 1, i - 1),"
+                    " substr(tok, i + 1, length(tok) - i)))"
+                ),
+            )
+        ).alias("v"),
+    )
+    a = vars_.select(
+        F.col("v"),
+        F.col("tok").alias("tok_a"),
+        F.col("df").alias("df_a"),
+    )
+    b = vars_.select(
+        F.col("v"),
+        F.col("tok").alias("tok_b"),
+        F.col("df").alias("df_b"),
+    )
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b", "df_a", "df_b")
+        .distinct()
+    )
+    return (
+        cand.filter(F.levenshtein("tok_a", "tok_b") == 1)
+        .orderBy((F.col("df_a") + F.col("df_b")).desc(), "tok_a", "tok_b")
+        .limit(50)
+    )

@@ -498,3 +498,106 @@ def fd_violation_audit(spark, sf_dir):
         .unionAll(fd("c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"))
     )
     return out.orderBy("fd")
+
+
+@register(
+    "pit_join_purchase_state",
+    # Point-in-time join: each purchase is attributed to the SCD2 state
+    # run the user was in ONE HOUR BEFORE the purchase (the lag breaks
+    # the circularity of joining events to their own history and
+    # exercises the before-first-state NULL leg). Intervals are
+    # half-open [valid_from, valid_to) and partition each user's
+    # timeline, so the join multiplies nothing: exactly one state row
+    # per purchase that has history, zero for purchases within the
+    # first hour.
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ), s AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS state_no
+      FROM o
+    ), g AS (
+      SELECT user_id, state_no, event_type, min(ts) AS valid_from
+      FROM s GROUP BY 1, 2, 3
+    ), dim AS (
+      SELECT user_id, state_no, event_type AS state_type, valid_from,
+             lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY state_no) AS valid_to
+      FROM g
+    ), p AS (
+      SELECT user_id, ts - INTERVAL 1 HOUR AS pit
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT coalesce(d.state_type, 'no_history') AS state_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+    FROM p LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.valid_from <= p.pit
+     AND (d.valid_to > p.pit OR d.valid_to IS NULL)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="X140: point-in-time (temporal) join — the query SCD2 exists to "
+    "serve: attribute each purchase to the state run the user occupied "
+    "one hour earlier (half-open [from, to) semantics; purchases "
+    "inside the first hour of history land in 'no_history' via the "
+    "left join). Intervals partition each user's timeline, so the "
+    "range join returns EXACTLY one row per purchase — no fan-out, no "
+    "post-dedup, unlike a naive BETWEEN join against overlapping "
+    "snapshots. Scale shape: one user_id shuffle builds the dimension "
+    "(four window/agg stages reuse it) and the same key co-locates the "
+    "probe side; the interval predicate evaluates inside the joined "
+    "partition. Census output (states × 1 row).",
+    tags=("events", "warehouse", "scd", "join", "temporal"),
+)
+def pit_join_purchase_state(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    g = (
+        ev.withColumn("chg", chg)
+        .withColumn(
+            "state_no",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "state_no", "event_type")
+        .agg(F.min("ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("state_no")
+    dim = g.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("pit"),
+    )
+    joined = p.join(
+        dim,
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("pit"))
+        & ((F.col("valid_to") > F.col("pit")) | F.col("valid_to").isNull()),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("state_type"), F.lit("no_history")).alias(
+                "state_type"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("state_type")
+    )
