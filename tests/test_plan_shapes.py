@@ -769,3 +769,53 @@ def test_inversions_is_pandas_grouped_map_not_pair_join(plans):
     p = plans("event_order_inversions")
     assert "FlatMapGroupsInPandas" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_waterfill_census_partial_aggregated(plans):
+    p = plans("mix_waterfill_allocation")
+    assert p.count("HashAggregate") >= 2, p  # map-side combine on cells
+
+
+def test_fd_audit_no_cartesian(plans):
+    p = plans("fd_violation_audit")
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_cross_lang_census_reuses_checkpointed_pairs(plans):
+    """Pair-gen must run once (checkpoint scan), lang labels come from
+    a 2-column pruned documents scan."""
+    p = plans("cross_lang_neardup_census")
+    assert "ExistingRDD" in p, p
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<[^\n]*", p)
+    assert any("lang" in s and "text" not in s for s in schemas), schemas
+
+
+def test_code_switch_no_udf_single_census(plans):
+    p = plans("code_switch_docs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_hll_rollup_register_tables_only(plans):
+    """Both paths partial-aggregate before their shuffles (the daily
+    register table and the whole-period registers are sketch-sized)."""
+    p = plans("hll_rollup_merge")
+    assert p.count("HashAggregate") >= 4, p
+
+
+def test_pit_join_pushes_purchase_filter(plans):
+    p = plans("pit_join_purchase_state")
+    assert "EqualTo(event_type,purchase)" in p.replace(" ", ""), p
+    assert "CartesianProduct" not in p, p
+
+
+def test_typo_pairs_blocked_join_and_topk(plans):
+    """The candidate join runs on the deletion-variant key (an
+    equi-join, never a theta join over the vocabulary) and top-50 is
+    TakeOrdered."""
+    p = plans("typo_token_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, p
