@@ -153,10 +153,26 @@ def token_hapax_ratio(spark, sf_dir):
     # the candidate set is a self-join on an exploded ≤(len+1)-variant
     # key; levenshtein runs only on candidates as the verify step.
     oracle="""
-    WITH toks AS (
+    WITH real_toks AS (
       SELECT t AS tok, CAST(count(*) AS BIGINT) AS df
       FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
       WHERE length(t) BETWEEN 3 AND 12
+      GROUP BY 1
+    ), noisy AS (
+      -- deterministic typo channel (the pii_redact_docs seeding
+      -- precedent): the synthetic vocabulary has ZERO natural edit-1
+      -- pairs, so ~1/16 of tokens (md5 first hex '0') inject a
+      -- middle-char-deletion variant at df 1 — the operator provably
+      -- fires at every sf, and real pairs would surface identically
+      SELECT substr(tok, 1, length(tok) // 2)
+             || substr(tok, length(tok) // 2 + 2, length(tok)) AS tok,
+             CAST(1 AS BIGINT) AS df
+      FROM real_toks
+      WHERE substr(md5(tok), 1, 1) = '0' AND length(tok) >= 4
+    ), toks AS (
+      SELECT tok, CAST(sum(df) AS BIGINT) AS df
+      FROM (SELECT tok, df FROM real_toks
+            UNION ALL SELECT tok, df FROM noisy)
       GROUP BY 1
     ), vars AS (
       SELECT tok, df, v
@@ -184,19 +200,38 @@ def token_hapax_ratio(spark, sf_dir):
     "feasible on a 100 TB corpus vocabulary (work is Σ per-variant "
     "bucket², bounded by the hash blocking, vs |vocab|²). df counts "
     "ride along so the census doubles as a fix-direction signal "
-    "(high-df token = the canonical form). Top-50 by combined df via "
-    "TakeOrdered.",
+    "(high-df token = the canonical form). The generator's vocabulary "
+    "contains no natural edit-1 pairs, so a deterministic typo channel "
+    "(md5-selected ~1/16 of tokens get a middle-char-deletion variant "
+    "at df 1 — the pii_redact_docs seeding precedent) makes the "
+    "operator provably fire at every sf; real pairs would surface "
+    "through the identical path. Top-50 by combined df via TakeOrdered.",
     tags=("text", "dedup", "fuzzy", "pipeline"),
 )
 def typo_token_pairs(spark, sf_dir):
     from ..session import load_table
 
-    toks = (
+    real_toks = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .filter((F.length("tok") >= 3) & (F.length("tok") <= 12))
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    # deterministic typo channel — see oracle comment
+    noisy = real_toks.filter(
+        (F.substring(F.md5("tok"), 1, 1) == "0") & (F.length("tok") >= 4)
+    ).select(
+        F.expr(
+            "concat(substr(tok, 1, length(tok) div 2),"
+            " substr(tok, length(tok) div 2 + 2, length(tok)))"
+        ).alias("tok"),
+        F.lit(1).cast("bigint").alias("df"),
+    )
+    toks = (
+        real_toks.unionAll(noisy)
+        .groupBy("tok")
+        .agg(F.sum("df").cast("bigint").alias("df"))
     )
     # token itself + one-char deletions: shared variant <=> edit dist <= 1
     vars_ = toks.select(
