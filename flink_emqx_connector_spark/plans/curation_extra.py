@@ -758,3 +758,90 @@ def cross_lang_neardup_census(spark, sf_dir):
         )
         .orderBy("lang_lo", "lang_hi", "kind")
     )
+
+
+@register(
+    "cluster_weighted_sample",
+    # Soft dedup: instead of dropping near-duplicates, sample each
+    # near-dup CLUSTER at rate 1/|cluster| (expected one survivor per
+    # cluster) with a deterministic md5 draw — keep doc iff
+    # md5_int(doc_id) % size == 0. Unique docs (size 1) always survive;
+    # a 6-copy template survives ~1/6 per copy. Census by size band.
+    oracle=_CLOSURE
+    + """
+    , grouped AS (
+      SELECT d.doc_id, CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS grp
+      FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc
+    ), sized AS (
+      SELECT doc_id, grp,
+             CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS size
+      FROM grouped
+    ), drawn AS (
+      SELECT doc_id, grp, size,
+             CASE WHEN CAST(('0x' || substr(md5('cws:' || CAST(doc_id
+                       AS VARCHAR)), 1, 8)) AS UBIGINT) % size = 0
+                  THEN 1 ELSE 0 END AS kept
+      FROM sized
+    )
+    SELECT least(size, 8) AS size_band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT grp) AS BIGINT) AS n_clusters,
+           CAST(sum(kept) AS BIGINT) AS n_kept
+    FROM drawn GROUP BY 1 ORDER BY 1
+    """,
+    doc="X142: cluster-weighted (soft) dedup sampling — the middle "
+    "ground between keep-all (duplication bias) and keep-one (loses "
+    "natural frequency signal entirely): each doc survives with "
+    "probability 1/|its near-dup cluster| via a deterministic salted-"
+    "md5 draw (keep iff digest % size == 0), so every cluster "
+    "contributes ~one expected survivor and the engine-reproducible "
+    "draw needs no RNG state. Downstream loss-weighting and the "
+    "SemDeDup-style soft-dedup recipes are this exact shape. Scale "
+    "shape: clusters come from the certified connected-components "
+    "plan; sizing is one window over the grp key; the draw is "
+    "row-local; census output ≤ 8 bands.",
+    tags=("dedup", "sampling", "curation", "pipeline"),
+)
+def cluster_weighted_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs_auto(docs, threshold=0.5, n=2).select(
+        "doc_a", "doc_b"
+    )
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    grouped = docs.select("doc_id").join(
+        comps.select(F.col("doc").alias("doc_id"), "comp"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).cast("bigint").alias("grp"),
+    )
+    sized = grouped.select(
+        "doc_id",
+        "grp",
+        F.count("*").over(Window.partitionBy("grp")).cast("bigint").alias("size"),
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cws:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    drawn = sized.select(
+        "doc_id",
+        "grp",
+        "size",
+        F.when(draw % F.col("size") == 0, 1).otherwise(0).alias("kept"),
+    )
+    return (
+        drawn.groupBy(F.least("size", F.lit(8)).alias("size_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("grp").cast("bigint").alias("n_clusters"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+        )
+        .orderBy("size_band")
+    )
