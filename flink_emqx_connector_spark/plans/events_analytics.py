@@ -714,3 +714,104 @@ def event_order_inversions(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "event_periodicity_acf",
+    # Weekly-periodicity probe: Pearson autocorrelation of the daily
+    # event-count series at lags 1..7, per event type. The lag pairing
+    # is a calendar self-join (day, day+L) — gap-safe, unlike a
+    # row-offset lag — and the correlation's integer core
+    # (m·Σxy − Σx·Σy and the two variance terms) is computed in exact
+    # int64; only the final normalization touches doubles (identical
+    # expression text both engines, round-4 like the repo's other
+    # double outputs).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), lags AS (
+      SELECT CAST(l.range AS BIGINT) AS lag FROM range(1, 8) l
+    ), paired AS (
+      SELECT a.event_type, lags.lag, a.n AS x, b.n AS y
+      FROM daily a
+      CROSS JOIN lags
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day + CAST(lags.lag AS INTEGER)
+    ), stats AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS num,
+             CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS vx,
+             CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS vy
+      FROM paired GROUP BY 1, 2
+    )
+    SELECT event_type, lag, m, num, vx, vy,
+           round(CAST(num AS DOUBLE)
+                 / nullif(sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 0),
+                 4) AS acf
+    FROM stats ORDER BY event_type, lag
+    """,
+    doc="X143: daily-count autocorrelation at lags 1..7 per event type — "
+    "the periodicity screen that tells a capacity planner (and a "
+    "training-data sampler drawing by time window) whether the stream "
+    "has a weekly pulse: acf(7) ≫ acf(1..6) means day-of-week "
+    "stratification is load-bearing. Calendar self-join pairing is "
+    "gap-safe (a missing day pairs with nothing rather than silently "
+    "shifting the series, the row-offset-lag bug). The integer core "
+    "(m·Σxy − Σx·Σy, variance terms) is exact int64 — cross-engine "
+    "equality of the interesting part is by construction; only the "
+    "final normalization is a round-4 double with identical expression "
+    "text. Scale shape: the corpus collapses to |types|×|days| daily "
+    "rows in one map-side-combined aggregate; everything after is "
+    "censu-sized (≤ types×7 output rows).",
+    tags=("events", "analytics", "timeseries"),
+)
+def event_periodicity_acf(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
+    a = daily.select(
+        "event_type", F.col("day").alias("day_a"), F.col("n").alias("x")
+    ).crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("day_b"),
+        F.col("n").alias("y"),
+    )
+    paired = a.join(
+        b,
+        (F.col("et_b") == F.col("event_type"))
+        & (F.col("day_b") == F.expr("date_add(day_a, CAST(lag AS INT))")),
+    )
+    stats = paired.groupBy("event_type", "lag").agg(
+        F.count("*").cast("bigint").alias("m"),
+        (F.count("*") * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+        .cast("bigint")
+        .alias("num"),
+        (F.count("*") * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        .cast("bigint")
+        .alias("vx"),
+        (F.count("*") * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+        .cast("bigint")
+        .alias("vy"),
+    )
+    return stats.select(
+        "event_type",
+        "lag",
+        "m",
+        "num",
+        "vx",
+        "vy",
+        F.round(
+            F.col("num").cast("double")
+            / F.nullif(
+                F.sqrt(F.col("vx").cast("double") * F.col("vy").cast("double")),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("acf"),
+    ).orderBy("event_type", "lag")
