@@ -201,3 +201,40 @@ def test_jl_distortion_concentrates_near_unity(spark):
     # the modal band should straddle 1000 milli
     modal = max(rows, key=lambda r: r["n_pairs"])
     assert 5 <= modal["band"] <= 15, modal
+
+
+def test_cluster_weighted_sample_keeps_all_uniques(spark):
+    """Band 1 (singleton clusters): draw % 1 == 0 always, so every
+    unique doc survives; every band keeps at most its doc count and at
+    least 0; cluster counts are consistent with doc counts."""
+    rows = {r["size_band"]: r for r in QUERIES["cluster_weighted_sample"].spark(
+        spark, SF_SMALL
+    ).collect()}
+    assert rows[1]["n_kept"] == rows[1]["n_docs"]
+    assert rows[1]["n_clusters"] == rows[1]["n_docs"]
+    for b, r in rows.items():
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        if b > 1:
+            # a band-b cluster holds >= b docs (band 8 = 8-or-more)
+            assert r["n_docs"] >= b * r["n_clusters"] or b == 8
+
+
+def test_periodicity_acf_bounds_and_pair_counts(spark):
+    """|acf| <= 1 (Cauchy-Schwarz on the exact integer core), pair
+    count decreases (weakly) with lag inside each type, and the
+    variance terms are non-negative."""
+    rows = QUERIES["event_periodicity_acf"].spark(spark, SF_SMALL).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        assert r["vx"] >= 0 and r["vy"] >= 0
+        if r["acf"] is not None:
+            assert -1.0001 <= r["acf"] <= 1.0001, r
+            # the rounded double must match the exact integer core
+            import math
+            want = round(r["num"] / math.sqrt(float(r["vx"]) * float(r["vy"])), 4)
+            assert abs(r["acf"] - want) < 1e-9, r
+        by_type.setdefault(r["event_type"], []).append((r["lag"], r["m"]))
+    for t, ms in by_type.items():
+        ms.sort()
+        assert all(m1 >= m2 for (_, m1), (_, m2) in zip(ms, ms[1:])), (t, ms)
