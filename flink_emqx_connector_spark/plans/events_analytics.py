@@ -273,10 +273,11 @@ def daily_anomaly_events(spark, sf_dir):
     "user_ltv_deciles",
     oracle=f"""
     WITH ltv AS (
-      SELECT user_id, round(CAST(sum(value) AS DOUBLE), 2) AS v
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     ), b AS (
-      SELECT quantile_cont(v, {_LTV_Q}) AS qs FROM ltv
+      SELECT quantile_cont(CAST(v AS DOUBLE), {_LTV_Q}) AS qs FROM ltv
     ), assigned AS (
       SELECT ltv.v,
              ({" + ".join(f"CASE WHEN ltv.v > b.qs[{i + 1}] THEN 1 ELSE 0 END" for i in range(9))})
@@ -285,9 +286,9 @@ def daily_anomaly_events(spark, sf_dir):
     )
     SELECT CAST(decile AS BIGINT) AS decile,
            CAST(count(*) AS BIGINT) AS n_users,
-           round(min(v), 2) AS min_ltv,
-           round(max(v), 2) AS max_ltv,
-           round(avg(v), 4) AS avg_ltv
+           CAST(min(v) AS BIGINT) AS min_ltv_cents,
+           CAST(max(v) AS BIGINT) AS max_ltv_cents,
+           CAST(sum(v) * 10000 // count(*) AS BIGINT) AS avg_ltv_micro
     FROM assigned GROUP BY 1
     """,
     doc="Customer-lifetime-value decile bands over per-user purchase "
@@ -296,8 +297,12 @@ def daily_anomaly_events(spark, sf_dir):
     "pattern) broadcast back as 9 scalars, and users bucket via "
     "comparisons — no global ntile/percent_rank window, whose "
     "single-partition sort is exactly the plan the vocab-coverage fix "
-    "removed. LTVs are rounded to cents BEFORE bucketing so summation-"
-    "order drift cannot flip a user across an engine-identical boundary.",
+    "removed. Round 11: per-user LTV is an EXACT integer cents sum "
+    "(per-row round(value·100)) and the per-decile average is exact "
+    "micro-dollars (Σcents·10⁴ div n) — the seed-7 sf10 gate caught "
+    "the old round-then-avg double drifting in the 4th decimal at 10M "
+    "events (the money-sum class, reappearing through an avg; its "
+    "policy exemption was WRONG and is removed).",
     tags=("events", "ltv", "quantile", "analytics"),
 )
 def user_ltv_deciles(spark, sf_dir):
@@ -305,9 +310,13 @@ def user_ltv_deciles(spark, sf_dir):
         _events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.round(F.sum("value").cast("double"), 2).alias("v"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
     )
-    b = ltv.agg(F.percentile("v", F.lit(_LTV_Q)).alias("qs"))
+    b = ltv.agg(F.percentile(F.col("v").cast("double"), F.lit(_LTV_Q)).alias("qs"))
     decile = sum(
         F.when(F.col("v") > F.col("qs")[i], 1).otherwise(0) for i in range(9)
     )
@@ -316,9 +325,11 @@ def user_ltv_deciles(spark, sf_dir):
         .groupBy(decile.cast("bigint").alias("decile"))
         .agg(
             F.count("*").cast("bigint").alias("n_users"),
-            F.round(F.min("v"), 2).alias("min_ltv"),
-            F.round(F.max("v"), 2).alias("max_ltv"),
-            F.round(F.avg("v"), 4).alias("avg_ltv"),
+            F.min("v").cast("bigint").alias("min_ltv_cents"),
+            F.max("v").cast("bigint").alias("max_ltv_cents"),
+            F.expr("sum(v) * 10000 div count(*)")
+            .cast("bigint")
+            .alias("avg_ltv_micro"),
         )
     )
 

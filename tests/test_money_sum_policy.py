@@ -34,7 +34,11 @@ _EXEMPT = {
     "rolling_sum": "bounded-group (~67 events/user, constant in sf)",
     "salted_user_activity": "bounded-group (per-user)",
     "resample_gapfill_events": "bounded-group (per user x interval)",
-    "user_ltv_deciles": "bounded-group (per-user purchases)",
+    # user_ltv_deciles was exempted here as bounded-group until round 11:
+    # the seed-7 sf10 gate caught its per-DECILE avg of the rounded
+    # per-user doubles drifting in the 4th decimal at 10M events — the
+    # bounded-group argument covers the per-user sum, NOT an average
+    # over ~15k such values. Converted to exact integer cents/micro.
     # ordered windows: both engines sum in the SAME pinned order, so
     # there is no summation-ORDER divergence to hit
     "window_running_total": "ordered-window (pinned summation order)",
