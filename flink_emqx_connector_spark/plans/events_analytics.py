@@ -2,7 +2,8 @@
 operators over the event stream — Markov transition matrix, weekly
 retention cohorts, a strictly-sequential conversion funnel, daily
 anomaly flags (median/MAD over the per-type daily series), LTV decile
-bands (broadcast percentile boundaries, no global rank window), and a
+bands (broadcast DISCRETE order-statistic boundaries — integer prefix
+sums, no interpolated quantile, no global rank window), and a
 nearest-centroid confusion matrix over the embeddings. These are
 the workloads the reference's own domain (event streams into Flink)
 exists to serve; the reference delegates them wholesale to Flink's API
@@ -213,7 +214,6 @@ def funnel_stage_conversion(spark, sf_dir):
     )
 
 
-_LTV_Q = [i / 10 for i in range(1, 10)]  # decile boundaries
 
 
 @register(
@@ -271,17 +271,46 @@ def daily_anomaly_events(spark, sf_dir):
 
 @register(
     "user_ltv_deciles",
-    oracle=f"""
+    oracle="""
     WITH ltv AS (
       SELECT user_id,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
       FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), vc AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS c FROM ltv GROUP BY 1
+    ), cum AS (
+      SELECT v, CAST(sum(c) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM vc
     ), b AS (
-      SELECT quantile_cont(CAST(v AS DOUBLE), {_LTV_Q}) AS qs FROM ltv
+      -- type-1 discrete order statistics: boundary_i = smallest v with
+      -- rank >= ceil(i*n/10). Pure integer — NO interpolated quantile:
+      -- quantile_cont's a+(b-a)*f arithmetic differs across engines by
+      -- one ulp, and the cents-quantized v values sit EXACTLY on such
+      -- boundaries (the seed-7 sf10 finding: duck 122.19999999999999
+      -- vs spark 122.2 flipped the users tied at 122.20).
+      SELECT min(CASE WHEN cw * 10 >= 1 * n THEN v END) AS q1,
+             min(CASE WHEN cw * 10 >= 2 * n THEN v END) AS q2,
+             min(CASE WHEN cw * 10 >= 3 * n THEN v END) AS q3,
+             min(CASE WHEN cw * 10 >= 4 * n THEN v END) AS q4,
+             min(CASE WHEN cw * 10 >= 5 * n THEN v END) AS q5,
+             min(CASE WHEN cw * 10 >= 6 * n THEN v END) AS q6,
+             min(CASE WHEN cw * 10 >= 7 * n THEN v END) AS q7,
+             min(CASE WHEN cw * 10 >= 8 * n THEN v END) AS q8,
+             min(CASE WHEN cw * 10 >= 9 * n THEN v END) AS q9
+      FROM cum
     ), assigned AS (
       SELECT ltv.v,
-             ({" + ".join(f"CASE WHEN ltv.v > b.qs[{i + 1}] THEN 1 ELSE 0 END" for i in range(9))})
-               AS decile
+             (CASE WHEN ltv.v > b.q1 THEN 1 ELSE 0 END
+              + CASE WHEN ltv.v > b.q2 THEN 1 ELSE 0 END
+              + CASE WHEN ltv.v > b.q3 THEN 1 ELSE 0 END
+              + CASE WHEN ltv.v > b.q4 THEN 1 ELSE 0 END
+              + CASE WHEN ltv.v > b.q5 THEN 1 ELSE 0 END
+              + CASE WHEN ltv.v > b.q6 THEN 1 ELSE 0 END
+              + CASE WHEN ltv.v > b.q7 THEN 1 ELSE 0 END
+              + CASE WHEN ltv.v > b.q8 THEN 1 ELSE 0 END
+              + CASE WHEN ltv.v > b.q9 THEN 1 ELSE 0 END) AS decile
       FROM ltv CROSS JOIN b
     )
     SELECT CAST(decile AS BIGINT) AS decile,
@@ -292,20 +321,23 @@ def daily_anomaly_events(spark, sf_dir):
     FROM assigned GROUP BY 1
     """,
     doc="Customer-lifetime-value decile bands over per-user purchase "
-    "totals. The SCALE-SOUND form: decile BOUNDARIES come from one "
-    "single-buffer percentile aggregate (the percentiles_lineitem "
-    "pattern) broadcast back as 9 scalars, and users bucket via "
-    "comparisons — no global ntile/percent_rank window, whose "
-    "single-partition sort is exactly the plan the vocab-coverage fix "
-    "removed. Round 11: per-user LTV is an EXACT integer cents sum "
-    "(per-row round(value·100)) and the per-decile average is exact "
-    "micro-dollars (Σcents·10⁴ div n) — the seed-7 sf10 gate caught "
-    "the old round-then-avg double drifting in the 4th decimal at 10M "
-    "events (the money-sum class, reappearing through an avg; its "
-    "policy exemption was WRONG and is removed).",
+    "totals, END-TO-END INTEGER. Round 11 (seed-7 sf10 finding): the "
+    "interpolated quantile boundary differed across engines by one ulp "
+    "(122.19999999999999 vs 122.2) exactly where cents-quantized LTVs "
+    "sit, flipping tied users across deciles — so boundaries are now "
+    "TYPE-1 DISCRETE order statistics (smallest v with rank ≥ "
+    "ceil(i·n/10)), computed by integer prefix sums over the distinct-"
+    "value census: no quantile interpolation, no doubles anywhere in "
+    "the plan. Per-user LTV is an exact integer cents sum; per-decile "
+    "averages exact micro-dollars. Scale shape: the census window runs "
+    "over DISTINCT cent values (bounded by the value domain, not the "
+    "user count); boundaries broadcast back as 9 scalars; no global "
+    "ntile/percent_rank sort of the fact table.",
     tags=("events", "ltv", "quantile", "analytics"),
 )
 def user_ltv_deciles(spark, sf_dir):
+    from pyspark.sql import Window
+
     ltv = (
         _events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -316,9 +348,24 @@ def user_ltv_deciles(spark, sf_dir):
             .alias("v")
         )
     )
-    b = ltv.agg(F.percentile(F.col("v").cast("double"), F.lit(_LTV_Q)).alias("qs"))
+    vc = ltv.groupBy("v").agg(F.count("*").cast("bigint").alias("c"))
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = vc.select(
+        "v",
+        F.sum("c").over(w_cum).cast("bigint").alias("cw"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+    b = cum.agg(
+        *[
+            F.min(
+                F.when(F.col("cw") * 10 >= i * F.col("n"), F.col("v"))
+            ).alias(f"q{i}")
+            for i in range(1, 10)
+        ]
+    )
     decile = sum(
-        F.when(F.col("v") > F.col("qs")[i], 1).otherwise(0) for i in range(9)
+        F.when(F.col("v") > F.col(f"q{i}"), 1).otherwise(0) for i in range(1, 10)
     )
     return (
         ltv.crossJoin(F.broadcast(b))
