@@ -248,11 +248,24 @@ def zipf_fit_docs(spark, sf_dir):
     WITH lens AS (
       SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents
     ),
+    vc AS (
+      SELECT n_words AS v, CAST(count(*) AS BIGINT) AS c FROM lens GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, CAST(sum(c) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM vc
+    ),
     qs AS (
-      SELECT quantile_cont(n_words, 0.25) AS q1,
-             quantile_cont(n_words, 0.50) AS q2,
-             quantile_cont(n_words, 0.75) AS q3
-      FROM lens
+      -- type-1 discrete order statistics (the user_ltv_deciles class
+      -- fix): bucketing integer lengths by an INTERPOLATED quantile is
+      -- ulp-fragile exactly where the data sits — boundaries are the
+      -- smallest length with rank >= ceil(q*n), pure integer
+      SELECT min(CASE WHEN cw * 4 >= 1 * n THEN v END) AS q1,
+             min(CASE WHEN cw * 4 >= 2 * n THEN v END) AS q2,
+             min(CASE WHEN cw * 4 >= 3 * n THEN v END) AS q3
+      FROM cum
     )
     SELECT CASE WHEN n_words <= q1 THEN 'p00-p25'
                 WHEN n_words <= q2 THEN 'p25-p50'
@@ -265,20 +278,38 @@ def zipf_fit_docs(spark, sf_dir):
     GROUP BY 1
     """,
     doc="X70: document-length quartile bands — the curriculum/packing "
-    "planner's length histogram. Three exact quantiles from ONE "
-    "aggregate buffer (array-form percentile ≡ quantile_cont), broadcast "
-    "to the band assignment; swap approx_percentile at 100 TB "
-    "(percentiles_lineitem's documented route).",
+    "planner's length histogram. Boundaries are TYPE-1 DISCRETE order "
+    "statistics via integer prefix sums over the distinct-length census "
+    "(r11 hardening: interpolated quantiles of integer data differ "
+    "across engines by ulps exactly AT the integers being bucketed — "
+    "the user_ltv_deciles seed-7 sf10 finding), broadcast to the band "
+    "assignment. The census window runs over DISTINCT lengths (domain-"
+    "bounded), never the corpus.",
     tags=("text", "stats", "sampling", "pipeline"),
 )
 def doc_length_percentile_bands(spark, sf_dir):
+    from pyspark.sql import Window
+
     lens = _docs(spark, sf_dir).select(
         "doc_id", F.size(F.split("text", " ")).alias("n_words")
     )
-    qs = lens.agg(
-        F.expr("percentile(n_words, array(0.25D, 0.5D, 0.75D))").alias("q")
-    ).select(
-        F.col("q")[0].alias("q1"), F.col("q")[1].alias("q2"), F.col("q")[2].alias("q3")
+    vc = lens.groupBy(F.col("n_words").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = vc.select(
+        "v",
+        F.sum("c").over(w_cum).cast("bigint").alias("cw"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+    qs = cum.agg(
+        *[
+            F.min(
+                F.when(F.col("cw") * 4 >= i * F.col("n"), F.col("v"))
+            ).alias(f"q{i}")
+            for i in (1, 2, 3)
+        ]
     )
     band = (
         F.when(F.col("n_words") <= F.col("q1"), "p00-p25")
