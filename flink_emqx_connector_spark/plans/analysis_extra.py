@@ -293,23 +293,12 @@ def doc_length_percentile_bands(spark, sf_dir):
     lens = _docs(spark, sf_dir).select(
         "doc_id", F.size(F.split("text", " ")).alias("n_words")
     )
-    vc = lens.groupBy(F.col("n_words").alias("v")).agg(
-        F.count("*").cast("bigint").alias("c")
-    )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = vc.select(
-        "v",
-        F.sum("c").over(w_cum).cast("bigint").alias("cw"),
-        F.sum("c").over(w_all).cast("bigint").alias("n"),
-    )
-    qs = cum.agg(
-        *[
-            F.min(
-                F.when(F.col("cw") * 4 >= i * F.col("n"), F.col("v"))
-            ).alias(f"q{i}")
-            for i in (1, 2, 3)
-        ]
+    from fractions import Fraction
+
+    from ..operators.quantiles import discrete_quantile_bounds
+
+    qs = discrete_quantile_bounds(
+        lens, "n_words", [Fraction(i, 4) for i in (1, 2, 3)]
     )
     band = (
         F.when(F.col("n_words") <= F.col("q1"), "p00-p25")

@@ -348,21 +348,12 @@ def user_ltv_deciles(spark, sf_dir):
             .alias("v")
         )
     )
-    vc = ltv.groupBy("v").agg(F.count("*").cast("bigint").alias("c"))
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = vc.select(
-        "v",
-        F.sum("c").over(w_cum).cast("bigint").alias("cw"),
-        F.sum("c").over(w_all).cast("bigint").alias("n"),
-    )
-    b = cum.agg(
-        *[
-            F.min(
-                F.when(F.col("cw") * 10 >= i * F.col("n"), F.col("v"))
-            ).alias(f"q{i}")
-            for i in range(1, 10)
-        ]
+    from fractions import Fraction
+
+    from ..operators.quantiles import discrete_quantile_bounds
+
+    b = discrete_quantile_bounds(
+        ltv, "v", [Fraction(i, 10) for i in range(1, 10)]
     )
     decile = sum(
         F.when(F.col("v") > F.col(f"q{i}"), 1).otherwise(0) for i in range(1, 10)

@@ -238,3 +238,26 @@ def test_periodicity_acf_bounds_and_pair_counts(spark):
     for t, ms in by_type.items():
         ms.sort()
         assert all(m1 >= m2 for (_, m1), (_, m2) in zip(ms, ms[1:])), (t, ms)
+
+
+def test_discrete_quantile_bounds_exact_semantics(spark):
+    """Type-1 order statistic: smallest v with cumulative count >=
+    ceil(q*n) — verified against a tiny hand-computable frame including
+    heavy ties (the case interpolated quantiles get ulp-wrong)."""
+    from fractions import Fraction
+
+    from flink_emqx_connector_spark.operators.quantiles import (
+        discrete_quantile_bounds,
+    )
+
+    # 10 values: 1,2,2,2,3,3,7,7,7,9
+    df = spark.createDataFrame(
+        [(v,) for v in [1, 2, 2, 2, 3, 3, 7, 7, 7, 9]], "v long"
+    )
+    row = discrete_quantile_bounds(
+        df, "v", [Fraction(1, 4), Fraction(1, 2), Fraction(3, 4), Fraction(9, 10)]
+    ).collect()[0]
+    # ceil(.25*10)=3 -> 3rd smallest = 2; ceil(.5*10)=5 -> 3;
+    # ceil(.75*10)=8 -> 7 (wait: ranks 7..9 are 7s, 8th = 7); ceil(.9*10)=9 -> 7
+    assert row["q1"] == 2 and row["q2"] == 3
+    assert row["q3"] == 7 and row["q4"] == 7
