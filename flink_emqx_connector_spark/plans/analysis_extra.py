@@ -917,3 +917,118 @@ def weighted_median_price(spark, sf_dir):
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "ks_distance_sources",
+    # Two-sample Kolmogorov-Smirnov distance between every source
+    # pair's doc-length distributions — EXACT INTEGER: at every global
+    # distinct length, per-source cumulative counts come from a grid ×
+    # forward-filled prefix sum, and the KS statistic is
+    # max |cw_a·n_b − cw_b·n_a| (cross-multiplied to avoid division),
+    # reported with its milli normalization.
+    oracle="""
+    WITH lens AS (
+      SELECT source, len(string_split(text, ' ')) AS v FROM documents
+    ), census AS (
+      SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+      FROM lens GROUP BY 1, 2
+    ), grid AS (
+      SELECT s.source, g.v
+      FROM (SELECT DISTINCT source FROM census) s
+      CROSS JOIN (SELECT DISTINCT v FROM census) g
+    ), cum AS (
+      SELECT grid.source, grid.v,
+             CAST(sum(coalesce(census.cnt, 0)) OVER (
+                 PARTITION BY grid.source ORDER BY grid.v
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+      FROM grid LEFT JOIN census
+        ON census.source = grid.source AND census.v = grid.v
+    ), tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM lens GROUP BY 1
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           ta.n AS n_a, tb.n AS n_b,
+           CAST(max(abs(a.cw * tb.n - b.cw * ta.n)) AS BIGINT) AS ks_num,
+           CAST(max(abs(a.cw * tb.n - b.cw * ta.n)) * 1000
+                // (ta.n * tb.n) AS BIGINT) AS ks_milli
+    FROM cum a
+    JOIN cum b ON b.v = a.v AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+    GROUP BY 1, 2, ta.n, tb.n
+    ORDER BY 1, 2
+    """,
+    doc="X144: exact two-sample Kolmogorov-Smirnov distance between "
+    "every source pair's document-length distributions — the "
+    "distribution-drift primitive that complements token KL (X38, "
+    "needs a shared vocab) and embedding drift (X79, needs vectors): "
+    "KS works on ANY ordered scalar and is what a mix monitor "
+    "thresholds to catch a source whose length profile shifted. Exact "
+    "integer throughout: per-source CDFs materialize as forward-filled "
+    "prefix sums on the shared distinct-length grid, and the sup "
+    "statistic cross-multiplies (|cw_a·n_b − cw_b·n_a|) instead of "
+    "dividing — engines agree bit-for-bit. Scale shape: the corpus "
+    "collapses to a (source × distinct-length) census in one map-side "
+    "aggregate; the grid is |sources|·|lengths| rows (domain-bounded); "
+    "pair joins run on that census, never the corpus.",
+    tags=("analysis", "stats", "drift", "pipeline"),
+)
+def ks_distance_sources(spark, sf_dir):
+    from pyspark.sql import Window
+
+    lens = _docs(spark, sf_dir).select(
+        "source", F.size(F.split("text", " ")).alias("v")
+    )
+    census = lens.groupBy("source", "v").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    sources = census.select("source").distinct()
+    vs = census.select("v").distinct()
+    grid = sources.crossJoin(vs)
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        grid.join(census, ["source", "v"], "left")
+        .select(
+            "source",
+            "v",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+        .select(
+            "source",
+            "v",
+            F.sum("cnt").over(w_cum).cast("bigint").alias("cw"),
+        )
+    )
+    tot = lens.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = cum.select(
+        F.col("source").alias("source_a"), "v", F.col("cw").alias("cw_a")
+    )
+    b = cum.select(
+        F.col("source").alias("source_b"),
+        F.col("v").alias("v_b"),
+        F.col("cw").alias("cw_b"),
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        a.join(b, (F.col("v_b") == F.col("v")) & (F.col("source_a") < F.col("source_b")))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(
+            F.max(F.abs(F.col("cw_a") * F.col("n_b") - F.col("cw_b") * F.col("n_a")))
+            .cast("bigint")
+            .alias("ks_num"),
+            F.expr(
+                "CAST(max(abs(cw_a * n_b - cw_b * n_a)) * 1000"
+                " div (n_a * n_b) AS BIGINT)"
+            ).alias("ks_milli"),
+        )
+        .select("source_a", "source_b", "n_a", "n_b", "ks_num", "ks_milli")
+        .orderBy("source_a", "source_b")
+    )
