@@ -947,31 +947,45 @@ def weighted_median_price(spark, sf_dir):
     ), tot AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n FROM lens GROUP BY 1
     )
+    , gaps AS (
+      SELECT source, v, cw,
+             coalesce(lead(v) OVER (PARTITION BY source ORDER BY v) - v, 0)
+               AS gap
+      FROM cum
+    )
     SELECT a.source AS source_a, b.source AS source_b,
            ta.n AS n_a, tb.n AS n_b,
            CAST(max(abs(a.cw * tb.n - b.cw * ta.n)) AS BIGINT) AS ks_num,
            CAST(max(abs(a.cw * tb.n - b.cw * ta.n)) * 1000
-                // (ta.n * tb.n) AS BIGINT) AS ks_milli
-    FROM cum a
-    JOIN cum b ON b.v = a.v AND a.source < b.source
+                // (ta.n * tb.n) AS BIGINT) AS ks_milli,
+           CAST(sum(abs(a.cw * tb.n - b.cw * ta.n) * a.gap) * 1000
+                // (ta.n * tb.n) AS BIGINT) AS emd_milli
+    FROM gaps a
+    JOIN gaps b ON b.v = a.v AND a.source < b.source
     JOIN tot ta ON ta.source = a.source
     JOIN tot tb ON tb.source = b.source
     GROUP BY 1, 2, ta.n, tb.n
     ORDER BY 1, 2
     """,
-    doc="X144: exact two-sample Kolmogorov-Smirnov distance between "
-    "every source pair's document-length distributions — the "
-    "distribution-drift primitive that complements token KL (X38, "
-    "needs a shared vocab) and embedding drift (X79, needs vectors): "
-    "KS works on ANY ordered scalar and is what a mix monitor "
-    "thresholds to catch a source whose length profile shifted. Exact "
-    "integer throughout: per-source CDFs materialize as forward-filled "
-    "prefix sums on the shared distinct-length grid, and the sup "
-    "statistic cross-multiplies (|cw_a·n_b − cw_b·n_a|) instead of "
-    "dividing — engines agree bit-for-bit. Scale shape: the corpus "
-    "collapses to a (source × distinct-length) census in one map-side "
-    "aggregate; the grid is |sources|·|lengths| rows (domain-bounded); "
-    "pair joins run on that census, never the corpus.",
+    doc="X144: exact two-sample Kolmogorov-Smirnov AND 1-D earth-mover "
+    "distances between every source pair's document-length "
+    "distributions — the drift primitives that complement token KL "
+    "(X38, needs a shared vocab) and embedding drift (X79, needs "
+    "vectors): they work on ANY ordered scalar. KS (sup |CDF diff|) "
+    "catches a localized shift; EMD (gap-weighted INTEGRAL of "
+    "|CDF diff|) catches diffuse drift KS under-weighs — one census "
+    "serves both. Exact integer throughout: per-source CDFs are "
+    "forward-filled prefix sums on the shared distinct-length grid; "
+    "the sup and the integral both cross-multiply (|cw_a·n_b − "
+    "cw_b·n_a|, × the inter-value gap for EMD) instead of dividing — "
+    "engines agree bit-for-bit. Scale shape: the corpus collapses to "
+    "a (source × distinct-length) census in one map-side aggregate; "
+    "the grid is |sources|·|lengths| rows (domain-bounded); pair "
+    "joins run on that census, never the corpus. Integer headroom: "
+    "cross-multiplied terms are bounded by n_a·n_b (·gap·|grid| for "
+    "the EMD sum) — int64-safe to ~10⁸ docs per source; beyond that, "
+    "divide the prefix counts by a common 10^k first (same expression "
+    "both engines).",
     tags=("analysis", "stats", "drift", "pipeline"),
 )
 def ks_distance_sources(spark, sf_dir):
@@ -1005,10 +1019,20 @@ def ks_distance_sources(spark, sf_dir):
         )
     )
     tot = lens.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
-    a = cum.select(
-        F.col("source").alias("source_a"), "v", F.col("cw").alias("cw_a")
+    w_lead = Window.partitionBy("source").orderBy("v")
+    gaps = cum.select(
+        "source",
+        "v",
+        "cw",
+        F.coalesce(F.lead("v").over(w_lead) - F.col("v"), F.lit(0)).alias(
+            "gap"
+        ),
     )
-    b = cum.select(
+    a = gaps.select(
+        F.col("source").alias("source_a"), "v", F.col("cw").alias("cw_a"),
+        F.col("gap").alias("gap_a"),
+    )
+    b = gaps.select(
         F.col("source").alias("source_b"),
         F.col("v").alias("v_b"),
         F.col("cw").alias("cw_b"),
@@ -1028,7 +1052,12 @@ def ks_distance_sources(spark, sf_dir):
                 "CAST(max(abs(cw_a * n_b - cw_b * n_a)) * 1000"
                 " div (n_a * n_b) AS BIGINT)"
             ).alias("ks_milli"),
+            F.expr(
+                "CAST(sum(abs(cw_a * n_b - cw_b * n_a) * gap_a) * 1000"
+                " div (n_a * n_b) AS BIGINT)"
+            ).alias("emd_milli"),
         )
-        .select("source_a", "source_b", "n_a", "n_b", "ks_num", "ks_milli")
+        .select("source_a", "source_b", "n_a", "n_b", "ks_num", "ks_milli",
+                "emd_milli")
         .orderBy("source_a", "source_b")
     )
