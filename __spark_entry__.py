@@ -57,99 +57,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_survey_consistency.py asserts the literal is duplicate-free
 # and registry-known (the 40596e4 bug class).
 _DRIVER_RECORDED = {
-        # round 10 deletions (re-record-on-change): sql_segment_revenue /
-        # sql_monthly_ship_flow / sql_returnflag_status_matrix (integer-
-        # cents rewrite), knn_graph_lsh (occupancy-targeted planes), and
-        # grouping_sets_orders DELETED (100.0D decimal-literal
-        # fix, plans/relational_fns.py) so the driver re-verifies the
-        # fixed plan — it fronts the window as never-recorded.
-        # latest green driver record: round 4 (28 names)
-        "balance_lang_sample": 4, "chunk_docs_overlap": 4,
-        "contamination_check_docs": 4,
-        "dedup_ngram_jaccard_dfcap": 4, "gini_by_priority": 4, "global_shuffle_docs": 4,
-        "partitioned_layout_pruning": 4,
-        "pii_redact_docs": 4, "regression_per_segment": 4, "repetition_filter_docs": 4,
-        "shard_assignment_docs": 4, "try_functions_safety": 4,
-        "variant_props_stats": 4,
-        "zscore_per_priority": 4,
-        # latest green driver record: round 5 (44 names)
-        "bigram_lm_topk": 5, "bpe_merge_candidates": 5,
-        "cross_source_duplication": 5, "daily_anomaly_events": 5,
-        "dedup_graph_triangles": 5, "dedup_incremental": 5,
-        "event_transition_matrix": 5, "funnel_stage_conversion": 5,
-        "histogram_events": 5, "intra_label_cosine": 5, "label_centroids": 5,
-        "line_dedup_docs": 5, "lm_perplexity_docs": 5,
+        # round 11 deletions (re-record-on-change): user_ltv_deciles
+        # (integer-cents + discrete-order-statistic rewrite, new schema)
+        # and doc_length_percentile_bands (discrete quantile bounds) so
+        # the driver re-verifies the rewritten plans.
+        # latest green driver record: round 5 (17 names)
+        "daily_anomaly_events": 5, "event_transition_matrix": 5,
+        "funnel_stage_conversion": 5, "histogram_events": 5,
+        "intra_label_cosine": 5, "label_centroids": 5,
         "mad_outlier_events": 5, "ngram_novelty_docs": 5,
-        "prefix_truncation_dupes": 5, "q10_returned_revenue_topk": 5,
-        "q11_important_stock": 5, "q12_priority_by_status": 5,
-        "q13_customer_order_distribution": 5, "q16_supplier_part_variety": 5, "q20_part_share_suppliers": 5,
-        "q21_last_shipper_census": 5, "q2_min_cost_supplier": 5, "q4_late_shipment_priority": 5,
-        "quality_model_score": 5, "retention_cohorts": 5,
-        "source_token_kl": 5, "split_by_cluster": 5,
-        "temperature_resample_sources": 5, "tfidf_top_terms": 5,
-        "time_decay_user_scores": 5, "token_entropy_docs": 5,
-        "token_vocab_coverage": 5, "user_ltv_deciles": 5,
-        "weighted_sample_docs": 5,
-        # latest green driver record: round 6 (14 names)
-        "doc_length_percentile_bands": 6, "dup_inflation_by_source": 6,
-        "event_type_cooccurrence": 6, "events_weekday_enrichment": 6,
-        "late_arrival_accounting": 6, "latest_state_per_user": 6,
-        "ngram_coverage_curve": 6, "pairwise_centroid_distances": 6,
-        "reservoir_sample_per_source": 6, "session_gap_stats": 6,
-        "token_cooccurrence_pmi": 6, "tokenizer_fertility_by_lang": 6,
-        "top_token_coverage_by_lang": 6, "zipf_fit_docs": 6,
-        # latest green driver record: round 7 (26 names)
+        "prefix_truncation_dupes": 5, "q16_supplier_part_variety": 5,
+        "q20_part_share_suppliers": 5, "q21_last_shipper_census": 5,
+        "q2_min_cost_supplier": 5, "retention_cohorts": 5,
+        "source_token_kl": 5, "time_decay_user_scores": 5,
+        "token_entropy_docs": 5,
+        # latest green driver record: round 6 (13 names)
+        "dup_inflation_by_source": 6, "event_type_cooccurrence": 6,
+        "events_weekday_enrichment": 6, "late_arrival_accounting": 6,
+        "latest_state_per_user": 6, "ngram_coverage_curve": 6,
+        "pairwise_centroid_distances": 6, "reservoir_sample_per_source": 6,
+        "session_gap_stats": 6, "token_cooccurrence_pmi": 6,
+        "tokenizer_fertility_by_lang": 6, "top_token_coverage_by_lang": 6,
+        "zipf_fit_docs": 6,
+        # latest green driver record: round 7 (25 names)
         "ann_ivf_topk": 7, "ann_lsh_topk": 7, "ann_topk_cosine": 7,
         "approx_aggregates_bounded": 7, "asof_join_purchase_view": 7,
         "dedup_clusters": 7, "dedup_embedding_cosine": 7, "dedup_exact": 7,
         "dedup_keep_list": 7, "dedup_minhash_lsh": 7,
         "dedup_ngram_jaccard": 7, "dedup_pipeline_report": 7,
         "doc_fingerprint_dupes": 7, "embedding_clusters": 7,
-        # round 10: knn_graph_lsh DELETED (occupancy-targeted plane count —
-        # plan changed; driver re-verifies)
-        "embedding_quantization_stats": 7,
-        "knn_join_topk": 7, "lang_id_confusion": 7, "merge_upsert_orders": 7,
+        "embedding_quantization_stats": 7, "knn_join_topk": 7,
+        "lang_id_confusion": 7, "merge_upsert_orders": 7,
         "multimodal_features": 7, "nearest_centroid_confusion": 7,
         "pivot_lineitem_status": 7, "text_quality_scores": 7,
         "text_token_stats": 7, "token_hapax_ratio": 7,
         "vector_norm_outliers": 7,
-        # latest green driver record: round 8 (45 names)
+        # latest green driver record: round 8 (40 names)
         "ann_truncated_dim_recall": 8,
         "anti_join_customers_without_orders": 8, "bloom_membership_eval": 8,
         "bm25_search_topk": 8, "boilerplate_bigrams_by_source": 8,
-        "compaction_bins_by_source": 8, "decode_json": 8, "dedup_common_substring": 8,
-        "dedup_containment_pairs": 8, "dedup_exact_normalized": 8,
-        "dedup_graph_walk_centrality": 8, "dedup_lsh_recall_eval": 8,
-        "distinct_counts": 8, "dynamic_partition_overwrite": 8,
-        "embedding_gram_matrix": 8, "event_trigrams_top": 8,
-        "events_rollup_reaggregate": 8, "fk_integrity_audit": 8,
-        "hash_split_train_val_test": 8, "heavy_hitters_cms": 8,
-        "hll_manual_registers": 8, "knn_label_agreement": 8,
-        "markov_stationary_events": 8, "q3_top_revenue_orders": 8, "rolling_sum": 8, "rollup_lineitem": 8,
+        "compaction_bins_by_source": 8, "decode_json": 8,
+        "dedup_common_substring": 8, "dedup_containment_pairs": 8,
+        "dedup_exact_normalized": 8, "dedup_graph_walk_centrality": 8,
+        "dedup_lsh_recall_eval": 8, "distinct_counts": 8,
+        "dynamic_partition_overwrite": 8, "embedding_gram_matrix": 8,
+        "event_trigrams_top": 8, "events_rollup_reaggregate": 8,
+        "fk_integrity_audit": 8, "hash_split_train_val_test": 8,
+        "heavy_hitters_cms": 8, "hll_manual_registers": 8,
+        "knn_label_agreement": 8, "markov_stationary_events": 8,
+        "q3_top_revenue_orders": 8, "rolling_sum": 8, "rollup_lineitem": 8,
         "runtime_filter_join": 8, "scalar_functions_part": 8,
-        "scd2_user_state_history": 8,
-        "schema_evolution_scan": 8, "semi_join_customers_with_orders": 8,
-        "sessionization": 8, "set_except_users": 8, "set_intersect_users": 8,
-        "topic_filter": 8,
-        "topk_global_lineitems": 8, "window_running_total": 8, "window_topk_orders_per_customer": 8,
-        "wordcount": 8, "zorder_layout_stats": 8,
-        # latest green driver record: round 9 (49 names)
+        "scd2_user_state_history": 8, "schema_evolution_scan": 8,
+        "semi_join_customers_with_orders": 8, "sessionization": 8,
+        "set_except_users": 8, "set_intersect_users": 8, "topic_filter": 8,
+        "topk_global_lineitems": 8, "window_running_total": 8,
+        "window_topk_orders_per_customer": 8, "wordcount": 8,
+        "zorder_layout_stats": 8,
+        # latest green driver record: round 9 (43 names)
         "approx_aggregates": 9, "array_agg_order_quantities": 9,
         "bucketed_colocated_join": 9, "codec_roundtrip_docs": 9,
         "correlated_subquery_agg": 9, "cross_join_grid": 9, "cube_orders": 9,
-        "decode_dead_letter_split": 9,
-        "dedup_method_agreement": 9, "dedup_simhash": 9,
-        "dedup_simhash_hamming": 9, "doc_winnowing_fingerprints": 9,
-        "embedding_drift_scores": 9, "full_outer_join_coverage": 9,
-        "interval_join_event_pairs": 9, "json_functions_events": 9,
-        "left_outer_join_nulls": 9, "map_functions_events": 9,
-        "multimodal_frame_sample": 9, "multimodal_resize_plan": 9,
-        "ohlc_per_user_hour": 9, "pareto_frontier_parts": 9,
-        "percentiles_lineitem": 9, "q18_large_orders": 9, "range_frame_trailing_sum": 9, "resample_gapfill_events": 9,
-        "sequence_pack_contiguous": 9, "sequence_pack_docs": 9,
-        "sql_above_average_orders": 9, "sql_buyer_viewer_setops": 9,
-        "sql_docs_lang_profile": 9, "sql_events_daily_activity": 9,
-        "sql_exists_repeat_purchasers": 9, "sql_nation_region_rollup": 9, "sql_order_value_deciles": 9,
+        "decode_dead_letter_split": 9, "dedup_method_agreement": 9,
+        "dedup_simhash": 9, "dedup_simhash_hamming": 9,
+        "doc_winnowing_fingerprints": 9, "embedding_drift_scores": 9,
+        "full_outer_join_coverage": 9, "interval_join_event_pairs": 9,
+        "json_functions_events": 9, "left_outer_join_nulls": 9,
+        "map_functions_events": 9, "multimodal_frame_sample": 9,
+        "multimodal_resize_plan": 9, "ohlc_per_user_hour": 9,
+        "pareto_frontier_parts": 9, "percentiles_lineitem": 9,
+        "q18_large_orders": 9, "range_frame_trailing_sum": 9,
+        "resample_gapfill_events": 9, "sequence_pack_contiguous": 9,
+        "sequence_pack_docs": 9, "sql_above_average_orders": 9,
+        "sql_buyer_viewer_setops": 9, "sql_docs_lang_profile": 9,
+        "sql_events_daily_activity": 9, "sql_exists_repeat_purchasers": 9,
+        "sql_nation_region_rollup": 9, "sql_order_value_deciles": 9,
         "sql_priority_share_by_year": 9, "sql_supplier_part_coverage": 9,
         "sql_top3_parts_per_brand": 9, "text_regex_tokens": 9,
         "union_all_counts": 9, "unpivot_part_measures": 9,
@@ -166,21 +147,51 @@ _DRIVER_RECORDED = {
         "multiset_ops_users": 10, "null_safe_join_segments": 10,
         "posexplode_doc_tokens": 10, "profile_documents": 10,
         "q14_promo_share": 10, "q15_top_supplier": 10,
-        "q17_small_quantity_revenue": 10, "q19_brand_quantity_disjunction": 10,
-        "q1_pricing_summary": 10, "q22_idle_wealthy_customers": 10,
-        "q5_local_supplier_volume": 10, "q6_forecast_revenue": 10,
-        "q7_volume_shipping": 10, "q8_market_share": 10,
-        "q9_product_profit": 10, "quality_drop_reasons": 10,
-        "salted_user_activity": 10, "scan_jsonl_roundtrip": 10,
-        "scan_orc_roundtrip": 10, "sketch_merge_cms": 10,
-        "sliding_window_events": 10, "snapshot_diff_cdc": 10,
-        "sql_except_all_order_bag": 10, "sql_grouping_flags": 10,
+        "q17_small_quantity_revenue": 10,
+        "q19_brand_quantity_disjunction": 10, "q1_pricing_summary": 10,
+        "q22_idle_wealthy_customers": 10, "q5_local_supplier_volume": 10,
+        "q6_forecast_revenue": 10, "q7_volume_shipping": 10,
+        "q8_market_share": 10, "q9_product_profit": 10,
+        "quality_drop_reasons": 10, "salted_user_activity": 10,
+        "scan_jsonl_roundtrip": 10, "scan_orc_roundtrip": 10,
+        "sketch_merge_cms": 10, "sliding_window_events": 10,
+        "snapshot_diff_cdc": 10, "sql_except_all_order_bag": 10,
+        "sql_grouping_flags": 10,
         "sql_interface_revenue_by_nation_quarter": 10,
         "sql_monthly_ship_flow": 10, "sql_returnflag_status_matrix": 10,
         "sql_segment_revenue": 10, "star_join_supplier_region": 10,
         "stratified_kfold_assignment": 10, "stratified_sample_docs": 10,
         "token_budget_selection": 10, "tumbling_window": 10,
         "udtf_tokenize": 10,
+        # latest green driver record: round 11 (50 names)
+        "asof_nearest_purchase_view": 11, "balance_lang_sample": 11,
+        "basket_brand_lift": 11, "benford_digit_audit": 11,
+        "bigram_lm_topk": 11, "bpe_merge_candidates": 11,
+        "chunk_docs_overlap": 11, "cluster_weighted_sample": 11,
+        "code_switch_docs": 11, "contamination_check_docs": 11,
+        "cross_lang_neardup_census": 11, "cross_source_duplication": 11,
+        "dedup_graph_pagerank": 11, "dedup_graph_triangles": 11,
+        "dedup_incremental": 11, "dedup_ngram_jaccard_dfcap": 11,
+        "event_periodicity_acf": 11, "fd_violation_audit": 11,
+        "gini_by_priority": 11, "global_shuffle_docs": 11,
+        "hll_rollup_merge": 11, "jl_projection_distortion": 11,
+        "ks_distance_sources": 11, "line_dedup_docs": 11,
+        # round 12 deletion (re-record-on-change): mix_waterfill_allocation
+        # (exact closed-form water level, new schema) re-verifies fresh.
+        "lm_perplexity_docs": 11,
+        "partitioned_layout_pruning": 11, "pii_redact_docs": 11,
+        "pit_join_purchase_state": 11, "q10_returned_revenue_topk": 11,
+        "q11_important_stock": 11, "q12_priority_by_status": 11,
+        "q13_customer_order_distribution": 11,
+        "q4_late_shipment_priority": 11, "quality_model_score": 11,
+        "quality_score_calibration": 11, "regression_per_segment": 11,
+        "repetition_filter_docs": 11, "sample_apportionment_hamilton": 11,
+        "shard_assignment_docs": 11, "split_by_cluster": 11,
+        "temperature_resample_sources": 11, "tfidf_top_terms": 11,
+        "token_vocab_coverage": 11, "try_functions_safety": 11,
+        "typo_token_pairs": 11, "variant_props_stats": 11,
+        "weighted_median_price": 11, "weighted_sample_docs": 11,
+        "zscore_per_priority": 11,
 }
 
 

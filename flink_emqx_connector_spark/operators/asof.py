@@ -103,10 +103,14 @@ def asof_join_nearest(
     tie_break: str,
     tolerance_us: int,
 ) -> DataFrame:
-    """Nearest-match as-of join (pandas ``merge_asof(direction='nearest')``
-    / kdb ``aj`` nearest variant): one right row per left row, the match
-    with the smallest |time difference| within ``tolerance_us``, ties
-    preferring the earlier right row then ``tie_break`` ascending.
+    """Nearest-match as-of join (kdb ``aj`` nearest variant): for each
+    left row that HAS a right row within ``tolerance_us``, keep exactly
+    one match — the smallest |time difference|, ties preferring the
+    earlier right row then ``tie_break`` ascending. INNER semantics:
+    left rows with no right row inside the tolerance band are DROPPED
+    (unlike pandas ``merge_asof(direction='nearest')``, which keeps
+    them with null match columns — filter-then-left-join if you need
+    that shape).
 
     The tolerance predicate keeps the pre-dedup join bounded: only right
     rows inside the ±tolerance band multiply, so the intermediate is

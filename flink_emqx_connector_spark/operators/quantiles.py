@@ -36,16 +36,31 @@ def discrete_quantile_bounds(
 ) -> DataFrame:
     """1-row frame of ``q1..qk``: type-1 order statistics of ``value_col``.
 
-    ``fractions`` are exact rationals (``fractions.Fraction`` or
-    ``(num, den)`` tuples or floats that convert exactly, e.g. 0.25);
-    the rank test ``cw·den ≥ num·n`` is pure integer.
+    ``fractions`` are exact rationals (``fractions.Fraction``,
+    ``(num, den)`` tuples, ints, or floats whose binary value IS an
+    exact small rational, e.g. 0.25/0.5 — a float like 0.1 whose exact
+    binary value is not the intended rational raises, pass
+    ``Fraction(1, 10)`` instead); the rank test ``cw·den ≥ num·n`` is
+    pure integer.
     """
-    fracs = [
-        f if isinstance(f, Fraction) else (
-            Fraction(*f) if isinstance(f, tuple) else Fraction(f).limit_denominator(1000)
-        )
-        for f in fractions
-    ]
+
+    def _to_fraction(f):
+        if isinstance(f, Fraction):
+            return f
+        if isinstance(f, tuple):
+            return Fraction(*f)
+        if isinstance(f, int):
+            return Fraction(f)
+        fr = Fraction(f)  # exact binary value of the float
+        if fr.limit_denominator(1000) != fr:
+            raise ValueError(
+                f"float {f!r} is not an exact small rational "
+                "(its binary value differs from the intended fraction); "
+                "pass a fractions.Fraction or (num, den) tuple"
+            )
+        return fr
+
+    fracs = [_to_fraction(f) for f in fractions]
     vc = df.groupBy(F.col(value_col).alias("v")).agg(
         F.count("*").cast("bigint").alias("c")
     )

@@ -629,15 +629,19 @@ def sample_apportionment_hamilton(spark, sf_dir):
 
 @register(
     "mix_waterfill_allocation",
-    # Water-filling under caps: allocate a budget of half the corpus
-    # across (source, lang) cells — equal target share per cell, capped
-    # at cell size; freed capacity from exhausted cells redistributes
-    # equally among the survivors (one unrolled round), and the final
-    # sub-|U| remainder goes one slot each to the largest remaining
-    # capacities. All integer divisions, fully tie-broken — the
-    # fixed-point loop of the classic allocator unrolled to the two
-    # rounds that provably suffice here (leftover after round 2 is
-    # < |survivors|, so round 3 is the ±1 assignment).
+    # Water-filling under caps, EXACT closed form: allocate a budget of
+    # half the corpus across (source, lang) cells — equal share per
+    # cell capped at cell size, exhausted cells' capacity redistributed
+    # to survivors. Instead of unrolling redistribution rounds (which
+    # can under-allocate when cells exhaust mid-round — round-11 ADVICE)
+    # compute the water level directly: sort cells by capacity asc, and
+    # the level is L = (b − pfx_i) div (k − i + 1) at the FIRST sorted
+    # index i where that candidate drops below the cell's own capacity.
+    # Invariants (all integer): rows before i are fully capped within
+    # budget (invalid at j ⇒ b ≥ pfx_{j+1}, by induction), open cells
+    # all have n_docs ≥ L+1, and leftover = (b − pfx_i) mod (k − i + 1)
+    # < |open| — so the final ±1 rank round ALWAYS completes the budget
+    # exactly: sum(quota) = b, provable, no silent slot drops.
     oracle="""
     WITH cells AS (
       SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
@@ -646,46 +650,60 @@ def sample_apportionment_hamilton(spark, sf_dir):
       SELECT CAST(sum(n_docs) // 2 AS BIGINT) AS b,
              CAST(count(*) AS BIGINT) AS k
       FROM cells
-    ), r1 AS (
-      SELECT source, lang, n_docs, b,
-             least(n_docs, b // k) AS a1
+    ), srt AS (
+      SELECT source, lang, n_docs, b, k,
+             CAST(row_number() OVER (ORDER BY n_docs, source, lang)
+                  AS BIGINT) AS idx,
+             CAST(coalesce(sum(n_docs) OVER (
+                  ORDER BY n_docs, source, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS pfx
       FROM cells CROSS JOIN tot
-    ), r1s AS (
-      SELECT *, CAST(b - sum(a1) OVER () AS BIGINT) AS l1,
-             CAST(sum(CASE WHEN a1 < n_docs THEN 1 ELSE 0 END) OVER ()
-                  AS BIGINT) AS u1
-      FROM r1
-    ), r2 AS (
-      SELECT source, lang, n_docs, b, a1,
-             a1 + CASE WHEN a1 < n_docs AND u1 > 0
-                       THEN least(n_docs - a1, l1 // u1) ELSE 0 END AS a2
-      FROM r1s
-    ), r2s AS (
-      SELECT *, CAST(b - sum(a2) OVER () AS BIGINT) AS l2,
+    ), cand AS (
+      SELECT *,
+             CAST((b - pfx) // (k - idx + 1) AS BIGINT) AS lvl_cand,
+             CASE WHEN CAST((b - pfx) // (k - idx + 1) AS BIGINT) < n_docs
+                  THEN idx END AS vidx
+      FROM srt
+    ), lev AS (
+      SELECT source, lang, n_docs, b,
+             CAST(max(CASE WHEN idx = mvi THEN lvl_cand END) OVER ()
+                  AS BIGINT) AS lvl
+      FROM (SELECT *, min(vidx) OVER () AS mvi FROM cand)
+    ), alloc AS (
+      SELECT source, lang, n_docs, b, lvl,
+             least(n_docs, coalesce(lvl, n_docs)) AS base
+      FROM lev
+    ), fin AS (
+      SELECT *, CAST(b - sum(base) OVER () AS BIGINT) AS leftover,
              CAST(row_number() OVER (
-                 ORDER BY CASE WHEN a2 < n_docs THEN n_docs - a2 ELSE -1 END
-                          DESC, source, lang) AS BIGINT) AS cap_rank
-      FROM r2
+                 ORDER BY CASE WHEN base < n_docs THEN n_docs - base
+                               ELSE -1 END DESC, source, lang)
+                  AS BIGINT) AS cap_rank
+      FROM alloc
     )
     SELECT source, lang, n_docs,
-           CAST(a1 AS BIGINT) AS a1, CAST(a2 AS BIGINT) AS a2,
-           CAST(a2 + CASE WHEN a2 < n_docs AND cap_rank <= l2
-                          THEN 1 ELSE 0 END AS BIGINT) AS quota,
-           CASE WHEN a2 >= n_docs THEN 'exhausted' ELSE 'open' END
+           CAST(lvl AS BIGINT) AS water_level,
+           CAST(base AS BIGINT) AS base_alloc,
+           CAST(base + CASE WHEN base < n_docs AND cap_rank <= leftover
+                            THEN 1 ELSE 0 END AS BIGINT) AS quota,
+           CASE WHEN base >= n_docs THEN 'exhausted' ELSE 'open' END
              AS cap_state
-    FROM r2s ORDER BY source, lang
+    FROM fin ORDER BY source, lang
     """,
     doc="X135: water-filling mix allocation — the data-mix primitive "
     "Hamilton apportionment (X129) cannot express: per-cell CAPS. "
     "Budget = half the corpus, target = equal share per (source, lang) "
     "cell; a cell smaller than its share is exhausted and its unused "
-    "capacity redistributes equally among survivors, with the final "
-    "sub-|survivors| remainder assigned one slot each by remaining "
-    "capacity. Two unrolled rounds + a ±1 rank round — the allocator's "
-    "fixed point for this cap structure, every step integer and fully "
-    "tie-broken. Scale shape: one map-side census over the corpus "
-    "(cells = |sources|×|langs|, corpus-independent), then O(cells) "
-    "windows — the corpus is scanned exactly once.",
+    "capacity goes to the survivors. Round 12 rewrote the unrolled-"
+    "rounds heuristic (which could under-allocate when cells exhaust "
+    "mid-round) as the EXACT closed-form water level via sorted prefix "
+    "sums — L at the first sorted index where the candidate level "
+    "drops below the cell cap — so sum(quota) = budget provably, every "
+    "step integer and fully tie-broken. Scale shape: one map-side "
+    "census over the corpus (cells = |sources|×|langs|, corpus-"
+    "independent), then O(cells) windows — the corpus is scanned "
+    "exactly once.",
     tags=("layout", "sampling", "pipeline"),
 )
 def mix_waterfill_allocation(spark, sf_dir):
@@ -702,57 +720,76 @@ def mix_waterfill_allocation(spark, sf_dir):
         F.expr("sum(n_docs) div 2").cast("bigint").alias("b"),
         F.count("*").cast("bigint").alias("k"),
     )
-    r1 = cells.crossJoin(F.broadcast(tot)).select(
-        "source", "lang", "n_docs", "b",
-        F.least(F.col("n_docs"), F.expr("b div k")).alias("a1"),
+    # sorted-prefix closed form: cells are |sources|×|langs| rows
+    # (corpus-independent), so the unpartitioned windows are a
+    # driver-sized frame over the census, never the corpus
+    w_srt = Window.orderBy("n_docs", "source", "lang")
+    srt = cells.crossJoin(F.broadcast(tot)).select(
+        "source", "lang", "n_docs", "b", "k",
+        F.row_number().over(w_srt).cast("bigint").alias("idx"),
+        F.coalesce(
+            F.sum("n_docs").over(w_srt.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("pfx"),
+    )
+    # candidate level at each sorted index; the first index where it
+    # drops below the cell's own capacity carries the true water level
+    # (rows before it are provably fully capped within budget, so the
+    # selected numerator is non-negative: `div` trunc == floor)
+    cand = srt.select(
+        "*",
+        F.expr("(b - pfx) div (k - idx + 1)").cast("bigint").alias("lvl_cand"),
+    ).select(
+        "*",
+        F.when(F.col("lvl_cand") < F.col("n_docs"), F.col("idx")).alias("vidx"),
     )
     w_all = Window.partitionBy()
-    r1s = r1.select(
-        "*",
-        (F.col("b") - F.sum("a1").over(w_all)).cast("bigint").alias("l1"),
-        F.sum(F.when(F.col("a1") < F.col("n_docs"), 1).otherwise(0))
+    lev = cand.select(
+        "*", F.min("vidx").over(w_all).alias("mvi")
+    ).select(
+        "source", "lang", "n_docs", "b",
+        F.max(F.when(F.col("idx") == F.col("mvi"), F.col("lvl_cand")))
         .over(w_all)
         .cast("bigint")
-        .alias("u1"),
+        .alias("lvl"),
     )
-    r2 = r1s.select(
-        "source", "lang", "n_docs", "b", "a1",
-        (
-            F.col("a1")
-            + F.when(
-                (F.col("a1") < F.col("n_docs")) & (F.col("u1") > 0),
-                F.least(F.col("n_docs") - F.col("a1"), F.expr("l1 div u1")),
-            ).otherwise(0)
-        ).alias("a2"),
+    alloc = lev.select(
+        "*",
+        F.least(F.col("n_docs"), F.coalesce(F.col("lvl"), F.col("n_docs"))).alias(
+            "base"
+        ),
     )
     w_rank = Window.orderBy(
-        F.when(F.col("a2") < F.col("n_docs"), F.col("n_docs") - F.col("a2"))
+        F.when(F.col("base") < F.col("n_docs"), F.col("n_docs") - F.col("base"))
         .otherwise(-1)
         .desc(),
         "source",
         "lang",
     )
-    r2s = r2.select(
+    fin = alloc.select(
         "*",
-        (F.col("b") - F.sum("a2").over(w_all)).cast("bigint").alias("l2"),
+        (F.col("b") - F.sum("base").over(w_all)).cast("bigint").alias("leftover"),
         F.row_number().over(w_rank).cast("bigint").alias("cap_rank"),
     )
-    return r2s.select(
+    return fin.select(
         "source",
         "lang",
         "n_docs",
-        F.col("a1").cast("bigint").alias("a1"),
-        F.col("a2").cast("bigint").alias("a2"),
+        F.col("lvl").cast("bigint").alias("water_level"),
+        F.col("base").cast("bigint").alias("base_alloc"),
         (
-            F.col("a2")
+            F.col("base")
             + F.when(
-                (F.col("a2") < F.col("n_docs")) & (F.col("cap_rank") <= F.col("l2")),
+                (F.col("base") < F.col("n_docs"))
+                & (F.col("cap_rank") <= F.col("leftover")),
                 1,
             ).otherwise(0)
         )
         .cast("bigint")
         .alias("quota"),
-        F.when(F.col("a2") >= F.col("n_docs"), "exhausted")
+        F.when(F.col("base") >= F.col("n_docs"), "exhausted")
         .otherwise("open")
         .alias("cap_state"),
     ).orderBy("source", "lang")

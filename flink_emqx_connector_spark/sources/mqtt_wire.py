@@ -1433,6 +1433,15 @@ class Client:
                     if remaining <= 0 or not self._quota_cv.wait(
                         timeout=remaining
                     ):
+                        if not self._quota_known:
+                            # the 30 s went to waiting for a CONNACK the
+                            # loop never parsed — a connection failure,
+                            # not flow-control exhaustion
+                            raise TimeoutError(
+                                "CONNACK not received/processed within "
+                                "30 s (connection not established; send "
+                                "quota still unknown)"
+                            )
                         raise TimeoutError(
                             "send quota (server Receive-Maximum "
                             f"{self._send_quota}) exhausted for 30 s"
