@@ -1,0 +1,1098 @@
+"""Round-12 wave of analytics operators (SURVEY.md §2.5 X145-X155):
+exact rank statistics, integer apportionment/partition planners, and
+deterministic resampling — the distribution-shift, layout-planning and
+uncertainty-quantification primitives a 100 TB curation pipeline runs
+between ingestion and training. Absent from the reference by design
+scope (it is a connector — SURVEY §0). All deterministic; every entry
+DuckDB-oracle-checked.
+
+Determinism posture (the round-11 lessons applied from the start):
+- rank statistics (Mann-Whitney, quantile normalization, trimmed/
+  winsorized means) use DISCRETE type-1 order statistics and integer
+  rank sums — zero FP in any boundary decision (operators/quantiles.py
+  policy);
+- ratios that must be float (AUC, chi-square contributions) are
+  single per-row expressions over identical integer operands — bit-
+  identical across engines (no FP SUM feeds a boundary) — and pass
+  through stable_round;
+- randomized operators (Poisson bootstrap) derive weights from md5 of
+  the row key, the registry's seeded-hash idiom — exactly reproducible
+  on both engines.
+
+Scale posture, per operator:
+- mannwhitney_auc_sources: one value census (|distinct n_chars| rows,
+  value-bounded) + one per-(source, value) census; the global-rank
+  window runs over the value census, never the corpus.
+- apportionment_dhondt_vs_hamilton: census → |sources|×16 quotient
+  rows; all integer (LCM-scaled quotients make divisor comparison
+  exact, no FP ranking).
+- range_partition_plan: the terasort planner — a value census +
+  16 broadcast range rows; per-range row counts are computed
+  ARITHMETICALLY from census prefix sums (no global row_number over
+  the corpus — the plan that survives 100 TB).
+- skew_salt_planner: one map-side key census; the planner output is
+  a 10-row top-k + an integer salt factor.
+- curriculum_token_phases: distributed prefix-sum — census-level
+  cumulative weight (|values| rows) + a PER-VALUE partitioned
+  row_number; no corpus-wide single-partition window.
+- quantile_normalize_doclen: per-source and global censuses, decile
+  boundaries via the prev-cum/cum straddle join (9 rows per group).
+- chi2_lang_source_residuals: one contingency census; per-cell FP is
+  a single expression over exact integers.
+- poisson_bootstrap_mean_ci: explode ×32 replicates map-side, partial
+  agg per (source, replicate); CI bounds are integer order statistics
+  over the 32 replicate means.
+- trimmed_winsorized_order_stats: per-priority windows (partitioned,
+  5 groups); every mean is an integer-division milli value.
+- dedup_graph_bfs_reach: multi-source BFS over the certified near-dup
+  edge set; 6 bounded frontier joins, each anti-joined against the
+  visited set (localCheckpoint-truncated lineage).
+- twap_user_value: per-user lead() window + exact split-division
+  (q*1000 + r*1000 div den) so the interval-weighted mean stays
+  int64-exact at any event-value magnitude.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .curation_extra import _CLOSURE
+from .registry import register
+from .rounding import stable_round, stable_round_sql
+
+
+def _t(spark, sf_dir, name):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# X145: exact Mann-Whitney U / AUC of each source vs the rest
+# ---------------------------------------------------------------------------
+
+@register(
+    "mannwhitney_auc_sources",
+    # Exact rank-sum: tied values get average ranks; 2·avgrank of a row
+    # in a tie block of size t starting after L smaller rows is
+    # 2L + t + 1 (integer), so 2·ranksum and 2U stay integer end to end.
+    # AUC = U / (n_s·m_s) is ONE double division over exact int64
+    # operands (< 2^53), bit-identical across engines.
+    oracle=f"""
+    WITH g AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1
+    ), cum AS (
+      SELECT v, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS lt,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM g
+    ), s AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cs
+      FROM documents GROUP BY 1, 2
+    ), r AS (
+      SELECT s.source,
+             CAST(sum(s.cs * (2 * cum.lt + cum.c + 1)) AS BIGINT) AS r2,
+             CAST(sum(s.cs) AS BIGINT) AS ns,
+             CAST(max(cum.n) AS BIGINT) AS n
+      FROM s JOIN cum ON s.v = cum.v
+      GROUP BY 1
+    )
+    SELECT source, ns AS n_docs,
+           CAST(r2 - ns * (ns + 1) AS BIGINT) AS u2_vs_rest,
+           {stable_round_sql(
+               "CAST(r2 - ns * (ns + 1) AS DOUBLE)"
+               " / (2.0 * ns * (n - ns))", 6)} AS auc_vs_rest
+    FROM r ORDER BY source
+    """,
+    doc="X145: exact Mann-Whitney U / AUC of each source's doc-length "
+    "distribution vs the rest of the corpus — the rank-based drift "
+    "test that complements KS (X144): KS sees the worst single gap, "
+    "U/AUC sees stochastic dominance (AUC 0.5 = exchangeable, 1.0 = "
+    "source strictly longer). Ties handled exactly via integer "
+    "average-rank sums (2R = Σ c·(2L+t+1)); 2U stays int64; AUC is a "
+    "single double division over exact operands. Scale shape: one "
+    "value census + one (source, value) census, both map-side "
+    "combinable; the rank window runs over |distinct lengths| rows, "
+    "never the corpus.",
+    tags=("stats", "drift", "eval"),
+)
+def mannwhitney_auc_sources(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_lt = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    cum = g.select(
+        "v", "c",
+        F.coalesce(F.sum("c").over(w_lt), F.lit(0)).cast("bigint").alias("lt"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+    s = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("cs")
+    )
+    r = (
+        s.join(cum, "v")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("cs") * (2 * F.col("lt") + F.col("c") + 1))
+            .cast("bigint")
+            .alias("r2"),
+            F.sum("cs").cast("bigint").alias("ns"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+    u2 = F.col("r2") - F.col("ns") * (F.col("ns") + 1)
+    return r.select(
+        "source",
+        F.col("ns").alias("n_docs"),
+        u2.cast("bigint").alias("u2_vs_rest"),
+        stable_round(
+            u2.cast("double") / (2.0 * F.col("ns") * (F.col("n") - F.col("ns"))),
+            6,
+        ).alias("auc_vs_rest"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# X146: D'Hondt divisor apportionment vs Hamilton, exact integer
+# ---------------------------------------------------------------------------
+
+_LCM16 = 720720  # lcm(1..16): quotient n/d scaled by LCM16 is exact integer
+
+@register(
+    "apportionment_dhondt_vs_hamilton",
+    # D'Hondt: 16 seats to the 16 largest quotients n/d (d=1..16).
+    # Comparing n_a/d_a vs n_b/d_b in FP risks ulp ties; scaling by
+    # lcm(1..16)=720720 makes every quotient an EXACT integer
+    # (720720 % d = 0), so the ranking is pure int64. Hamilton: floor
+    # quotas + largest remainders (the X129 formula at B=16).
+    oracle=f"""
+    WITH census AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM census
+    ), quot AS (
+      SELECT source, n_docs, d,
+             n_docs * ({_LCM16} // d) AS q
+      FROM census CROSS JOIN (SELECT unnest(range(1, 17)) AS d)
+    ), seat AS (
+      SELECT source, row_number() OVER (ORDER BY q DESC, source, d) AS rk
+      FROM quot
+    ), dh AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS seats_dhondt
+      FROM seat WHERE rk <= 16 GROUP BY 1
+    ), ham AS (
+      SELECT source,
+             CAST(n_docs * 16 // t AS BIGINT) AS base,
+             CAST(n_docs * 16 % t AS BIGINT) AS rem,
+             CAST(16 - sum(n_docs * 16 // t) OVER () AS BIGINT) AS leftover
+      FROM census CROSS JOIN tot
+    ), hamr AS (
+      SELECT source, base, leftover,
+             CAST(row_number() OVER (ORDER BY rem DESC, source)
+                  AS BIGINT) AS rrk
+      FROM ham
+    )
+    SELECT c.source, c.n_docs,
+           CAST(coalesce(dh.seats_dhondt, 0) AS BIGINT) AS seats_dhondt,
+           CAST(h.base + CASE WHEN h.rrk <= h.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS seats_hamilton
+    FROM census c
+    LEFT JOIN dh ON dh.source = c.source
+    JOIN hamr h ON h.source = c.source
+    ORDER BY c.source
+    """,
+    doc="X146: divisor (D'Hondt) vs largest-remainder (Hamilton) "
+    "apportionment of 16 writer shards across sources — the two "
+    "classical integer allocators side by side, exposing their known "
+    "bias (D'Hondt favors large sources, Hamilton is quota-exact). "
+    "D'Hondt quotients are scaled by lcm(1..16)=720720 so the top-16 "
+    "ranking is EXACT int64, no FP quotient comparison anywhere. "
+    "Scale shape: one map-side census; 16·|sources| quotient rows; "
+    "both allocators are O(|sources|) windows.",
+    tags=("layout", "sampling", "stats"),
+)
+def apportionment_dhondt_vs_hamilton(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    census = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    tot = census.agg(F.sum("n_docs").cast("bigint").alias("t"))
+    divisors = spark.range(1, 17).select(F.col("id").alias("d"))
+    quot = census.crossJoin(F.broadcast(divisors)).select(
+        "source", "n_docs", "d",
+        (F.col("n_docs") * F.expr(f"{_LCM16} div d")).alias("q"),
+    )
+    seat = quot.select(
+        "source",
+        F.row_number()
+        .over(Window.orderBy(F.col("q").desc(), "source", "d"))
+        .alias("rk"),
+    )
+    dh = (
+        seat.filter(F.col("rk") <= 16)
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("seats_dhondt"))
+    )
+    w_all = Window.partitionBy()
+    ham = census.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr("n_docs * 16 div t").cast("bigint").alias("base"),
+        (F.col("n_docs") * 16 % F.col("t")).cast("bigint").alias("rem"),
+    )
+    hamr = ham.select(
+        "source", "base",
+        (F.lit(16) - F.sum("base").over(w_all)).cast("bigint").alias("leftover"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "source"))
+        .cast("bigint")
+        .alias("rrk"),
+    )
+    return (
+        census.join(dh, "source", "left")
+        .join(hamr, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("seats_dhondt"), F.lit(0))
+            .cast("bigint")
+            .alias("seats_dhondt"),
+            (
+                F.col("base")
+                + F.when(F.col("rrk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("seats_hamilton"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X147: terasort range-partition planner from a value census
+# ---------------------------------------------------------------------------
+
+@register(
+    "range_partition_plan",
+    # Balanced global-sort ranges WITHOUT a corpus-wide row_number:
+    # range r covers sorted positions [ceil(rn/16), ceil((r+1)n/16)) —
+    # a value with prefix-count L and count c overlaps r iff
+    # L < hi(r) and L+c > lo(r), contributing min(L+c,hi)-max(L,lo)
+    # rows. Census prefix sums + 16 broadcast range rows = the exact
+    # per-range row counts and value bounds, all integer.
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT cents, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS l,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM v
+    ), rng AS (
+      SELECT CAST(unnest(range(16)) AS BIGINT) AS range_id
+    ), ov AS (
+      SELECT r.range_id, cum.cents,
+             least(cum.l + cum.c, ((r.range_id + 1) * cum.n + 15) // 16)
+             - greatest(cum.l, (r.range_id * cum.n + 15) // 16) AS nr
+      FROM cum JOIN rng r
+        ON cum.l < ((r.range_id + 1) * cum.n + 15) // 16
+       AND cum.l + cum.c > (r.range_id * cum.n + 15) // 16
+    )
+    SELECT range_id,
+           CAST(sum(nr) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM ov GROUP BY 1 ORDER BY 1
+    """,
+    doc="X147: range-partition planner (the terasort shape) — split "
+    "orders by o_totalprice into 16 globally-sorted ranges balanced "
+    "to ±1 row, computing per-range row counts and value bounds "
+    "ARITHMETICALLY from a value census + prefix sums instead of a "
+    "corpus-wide row_number (a single-partition window would be the "
+    "100 TB bottleneck; the census window is |distinct values| rows). "
+    "This is the boundary table a balanced range-partitioned write "
+    "(df.repartitionByRange) consumes. All integer: ceil-division "
+    "position bounds, exact overlap counts.",
+    tags=("layout", "pipeline", "stats"),
+)
+def range_partition_plan(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    v = orders.groupBy(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_l = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    cum = v.select(
+        "cents", "c",
+        F.coalesce(F.sum("c").over(w_l), F.lit(0)).cast("bigint").alias("l"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+    rng = spark.range(16).select(F.col("id").cast("bigint").alias("range_id"))
+    lo = F.expr("(range_id * n + 15) div 16")
+    hi = F.expr("((range_id + 1) * n + 15) div 16")
+    ov = cum.join(
+        F.broadcast(rng),
+        (F.col("l") < hi) & (F.col("l") + F.col("c") > lo),
+    ).select(
+        "range_id", "cents",
+        (
+            F.least(F.col("l") + F.col("c"), hi) - F.greatest(F.col("l"), lo)
+        ).alias("nr"),
+    )
+    return (
+        ov.groupBy("range_id")
+        .agg(
+            F.sum("nr").cast("bigint").alias("n_rows"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+        )
+        .orderBy("range_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X148: join-skew diagnosis + salt-factor recommendation
+# ---------------------------------------------------------------------------
+
+@register(
+    "skew_salt_planner",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS nkeys,
+             CAST(max(cnt) AS BIGINT) AS maxc
+      FROM k
+    ), top AS (
+      SELECT user_id, cnt,
+             row_number() OVER (ORDER BY cnt DESC, user_id) AS rk
+      FROM k
+    )
+    SELECT t.user_id, t.cnt,
+           CAST(t.cnt * 1000000 // x.total AS BIGINT) AS share_ppm,
+           CAST((x.maxc * x.nkeys + x.total - 1) // x.total AS BIGINT)
+             AS salt_factor
+    FROM top t CROSS JOIN tot x
+    WHERE t.rk <= 10
+    ORDER BY t.cnt DESC, t.user_id
+    """,
+    doc="X148: join-skew diagnosis — the planner a 100 TB shuffle join "
+    "runs BEFORE the join: per-key census of events.user_id, top-10 "
+    "hottest keys with ppm share, and the recommended salt factor "
+    "ceil(max_key_rows / avg_key_rows) — the replication count that "
+    "levels the hottest reducer to the average (AQE skew-join does "
+    "this at runtime; a static salt does it when the key census is "
+    "known ahead, e.g. from yesterday's run). All integer. Scale "
+    "shape: one map-side-combined key census; the planner output is "
+    "10 rows + 3 broadcast scalars.",
+    tags=("layout", "joins", "stats"),
+)
+def skew_salt_planner(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    k = events.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt"))
+    tot = k.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("nkeys"),
+        F.max("cnt").cast("bigint").alias("maxc"),
+    )
+    top = k.select(
+        "user_id", "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "user_id"))
+        .alias("rk"),
+    ).filter(F.col("rk") <= 10)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("cnt * 1000000 div total").cast("bigint").alias("share_ppm"),
+            F.expr("(maxc * nkeys + total - 1) div total")
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X149: curriculum phases balanced by token mass (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+@register(
+    "curriculum_token_phases",
+    # Cumulative token mass before each doc = W(v) + (j-1)·v where W is
+    # the census-level cumulative weight below value v and j the doc's
+    # rank within its value — a two-level distributed prefix sum (census
+    # window over |values| rows + a PARTITIONED per-value window), never
+    # a corpus-wide single-partition cumulative.
+    oracle="""
+    WITH g AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1
+    ), cum AS (
+      SELECT v,
+             CAST(coalesce(sum(v * c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS w,
+             CAST(sum(v * c) OVER () AS BIGINT) AS t
+      FROM g
+    ), d AS (
+      SELECT doc_id, n_chars AS v,
+             CAST(row_number() OVER (PARTITION BY n_chars ORDER BY doc_id)
+                  AS BIGINT) AS j
+      FROM documents
+    ), ph AS (
+      SELECT d.doc_id, d.v,
+             CAST((cum.w + (d.j - 1) * d.v) * 4 // cum.t AS BIGINT) AS phase
+      FROM d JOIN cum ON d.v = cum.v
+    )
+    SELECT phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(v) AS BIGINT) AS token_mass,
+           CAST(min(v) AS BIGINT) AS min_chars,
+           CAST(max(v) AS BIGINT) AS max_chars
+    FROM ph GROUP BY 1 ORDER BY 1
+    """,
+    doc="X149: curriculum phases balanced by TOKEN mass, not doc count "
+    "— order the corpus by difficulty proxy (n_chars asc, doc_id "
+    "tiebreak) and cut into 4 phases so each holds ~a quarter of the "
+    "total token mass (phase = cum_mass_before·4 div total). The "
+    "cumulative is a two-level distributed prefix sum: census-level "
+    "window over |distinct lengths| rows + a per-value PARTITIONED "
+    "row_number — the corpus-wide running total that would "
+    "single-partition at 100 TB never materializes. All integer.",
+    tags=("training", "sampling", "layout"),
+)
+def curriculum_token_phases(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    cum = g.select(
+        "v",
+        F.coalesce(F.sum(F.col("v") * F.col("c")).over(w_w), F.lit(0))
+        .cast("bigint")
+        .alias("w"),
+        F.sum(F.col("v") * F.col("c")).over(w_all).cast("bigint").alias("t"),
+    )
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("v"),
+        F.row_number()
+        .over(Window.partitionBy("n_chars").orderBy("doc_id"))
+        .cast("bigint")
+        .alias("j"),
+    )
+    ph = d.join(F.broadcast(cum), "v").select(
+        "doc_id", "v",
+        F.expr("(w + (j - 1) * v) * 4 div t").cast("bigint").alias("phase"),
+    )
+    return (
+        ph.groupBy("phase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("v").cast("bigint").alias("token_mass"),
+            F.min("v").cast("bigint").alias("min_chars"),
+            F.max("v").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("phase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X150: quantile normalization of per-source length distributions
+# ---------------------------------------------------------------------------
+
+@register(
+    "quantile_normalize_doclen",
+    # Type-1 decile boundaries via the straddle join: value v is the
+    # d-th decile iff prev_cum·10 < d·n ≤ cum·10 — pure integer, the
+    # operators/quantiles.py policy (interpolated quantiles of
+    # quantized values are the round-11 cross-engine bug class).
+    oracle="""
+    WITH dec AS (SELECT unnest(range(1, 10)) AS d),
+    sg AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ), scum AS (
+      SELECT source, v, c,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM sg
+    ), sq AS (
+      SELECT s.source, dec.d, CAST(s.v AS BIGINT) AS src_q
+      FROM scum s JOIN dec
+        ON s.cw * 10 >= dec.d * s.n AND (s.cw - s.c) * 10 < dec.d * s.n
+    ), gg AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1
+    ), gcum AS (
+      SELECT v, c,
+             CAST(sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM gg
+    ), gq AS (
+      SELECT dec.d, CAST(g.v AS BIGINT) AS global_q
+      FROM gcum g JOIN dec
+        ON g.cw * 10 >= dec.d * g.n AND (g.cw - g.c) * 10 < dec.d * g.n
+    )
+    SELECT sq.source, CAST(sq.d AS BIGINT) AS decile, sq.src_q, gq.global_q,
+           CAST(sq.src_q - gq.global_q AS BIGINT) AS shift
+    FROM sq JOIN gq ON sq.d = gq.d
+    ORDER BY sq.source, decile
+    """,
+    doc="X150: quantile normalization table — each source's type-1 "
+    "length deciles aligned against the global deciles (the mapping "
+    "quantile normalization applies to level per-source length "
+    "distributions before mixing; `shift` is the per-decile "
+    "correction). Boundaries are DISCRETE order statistics via the "
+    "prev-cum/cum straddle join — zero FP in any boundary "
+    "(operators/quantiles.py policy). Scale shape: per-source census "
+    "windows are PARTITIONED by source; the global census window is "
+    "|distinct lengths| rows; output is 9·|sources| rows.",
+    tags=("stats", "sampling", "training"),
+)
+def quantile_normalize_doclen(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    dec = spark.range(1, 10).select(F.col("id").alias("d"))
+    sg = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_sn = Window.partitionBy("source")
+    scum = sg.select(
+        "source", "v", "c",
+        F.sum("c").over(w_s).cast("bigint").alias("cw"),
+        F.sum("c").over(w_sn).cast("bigint").alias("n"),
+    )
+    sq = scum.join(
+        F.broadcast(dec),
+        (F.col("cw") * 10 >= F.col("d") * F.col("n"))
+        & ((F.col("cw") - F.col("c")) * 10 < F.col("d") * F.col("n")),
+    ).select("source", "d", F.col("v").cast("bigint").alias("src_q"))
+    gg = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_g = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    gcum = gg.select(
+        "v", "c",
+        F.sum("c").over(w_g).cast("bigint").alias("cw"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+    gq = gcum.join(
+        F.broadcast(dec),
+        (F.col("cw") * 10 >= F.col("d") * F.col("n"))
+        & ((F.col("cw") - F.col("c")) * 10 < F.col("d") * F.col("n")),
+    ).select("d", F.col("v").cast("bigint").alias("global_q"))
+    return (
+        sq.join(gq, "d")
+        .select(
+            "source",
+            F.col("d").cast("bigint").alias("decile"),
+            "src_q",
+            "global_q",
+            (F.col("src_q") - F.col("global_q")).cast("bigint").alias("shift"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X151: chi-square contingency residuals, lang × source
+# ---------------------------------------------------------------------------
+
+@register(
+    "chi2_lang_source_residuals",
+    # Per-cell FP is a single expression over exact int64 operands
+    # (R·C ≤ n² fits; the (O−E)²/E form never squares an int64
+    # product), so both engines run the identical IEEE steps — no FP
+    # summation feeds any output.
+    oracle=f"""
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o_count
+      FROM documents GROUP BY 1, 2
+    ), m AS (
+      SELECT o.lang, o.source, o.o_count,
+             CAST(sum(o.o_count) OVER (PARTITION BY o.lang) AS BIGINT) AS r,
+             CAST(sum(o.o_count) OVER (PARTITION BY o.source) AS BIGINT) AS c,
+             CAST(sum(o.o_count) OVER () AS BIGINT) AS t
+      FROM o
+    )
+    SELECT lang, source, o_count, r AS row_total, c AS col_total,
+           CAST(r * c * 1000 // t AS BIGINT) AS expected_milli,
+           CAST(CASE WHEN o_count * t > r * c THEN 1
+                     WHEN o_count * t < r * c THEN -1 ELSE 0 END
+                AS BIGINT) AS resid_sign,
+           {stable_round_sql(
+               "pow(o_count - CAST(r AS DOUBLE) * c / t, 2)"
+               " / (CAST(r AS DOUBLE) * c / t)", 6)} AS chi2_contrib
+    FROM m ORDER BY lang, source
+    """,
+    doc="X151: chi-square contingency residuals for lang × source — "
+    "the independence audit of the corpus mix (is language "
+    "distribution uniform across sources, or does some source skew "
+    "toward a language?). Per cell: observed count, exact integer "
+    "margins, milli-scaled expected count, the EXACT integer residual "
+    "sign (O·T vs R·C — no FP in the direction call), and the "
+    "per-cell chi² contribution as one stable-rounded double "
+    "expression over exact integers (identical IEEE steps both "
+    "engines; no FP sum anywhere). Scale shape: one contingency "
+    "census (|langs|·|sources| rows), margins via partitioned windows "
+    "over the census.",
+    tags=("stats", "drift", "eval"),
+)
+def chi2_lang_source_residuals(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("o_count")
+    )
+    m = o.select(
+        "lang", "source", "o_count",
+        F.sum("o_count").over(Window.partitionBy("lang")).cast("bigint").alias("r"),
+        F.sum("o_count")
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum("o_count").over(Window.partitionBy()).cast("bigint").alias("t"),
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("t")
+    return m.select(
+        "lang",
+        "source",
+        "o_count",
+        F.col("r").alias("row_total"),
+        F.col("c").alias("col_total"),
+        F.expr("r * c * 1000 div t").cast("bigint").alias("expected_milli"),
+        F.when(F.col("o_count") * F.col("t") > F.col("r") * F.col("c"), 1)
+        .when(F.col("o_count") * F.col("t") < F.col("r") * F.col("c"), -1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("resid_sign"),
+        stable_round(F.pow(F.col("o_count") - e, F.lit(2)) / e, 6).alias(
+            "chi2_contrib"
+        ),
+    ).orderBy("lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# X152: deterministic Poisson bootstrap CI for mean doc length
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF in micro, floored: w(u) = #{k: u >= cum_k} for uniform
+# integer u in [0, 1e6)
+_POIS_CUM = (
+    367879, 735758, 919698, 981011, 996340,
+    999405, 999916, 999989, 999998, 999999,
+)
+
+@register(
+    "poisson_bootstrap_mean_ci",
+    # The Poisson bootstrap (Chamandy et al.: each replicate weights
+    # every row by an independent Poisson(1) draw) is THE bootstrap
+    # that runs in one pass on a distributed corpus — no resampling
+    # shuffle, weights are a pure row expression. Weights derive from
+    # md5(doc_id, b) → uniform micro-int → inverse Poisson CDF (exact
+    # integer thresholds), so both engines draw identical weights.
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(32)) AS b),
+    w AS (
+      SELECT d.source, d.n_chars, reps.b,
+             {" + ".join(
+                 f"CASE WHEN ('0x' || substr(md5('pb12:' || CAST(d.doc_id AS VARCHAR)"
+                 " || ':' || CAST(reps.b AS VARCHAR)), 1, 13))::UBIGINT"
+                 f" % 1000000 >= {t} THEN 1 ELSE 0 END"
+                 for t in _POIS_CUM)} AS wt
+      FROM documents d CROSS JOIN reps
+    ), rep_means AS (
+      SELECT source, b,
+             CAST(sum(wt * n_chars) * 1000000 // nullif(sum(wt), 0)
+                  AS BIGINT) AS mean_micro
+      FROM w GROUP BY 1, 2
+    ), ranked AS (
+      SELECT source, mean_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY mean_micro, b) AS rk
+      FROM rep_means WHERE mean_micro IS NOT NULL
+    ), ci AS (
+      SELECT source,
+             max(CASE WHEN rk = 2 THEN mean_micro END) AS ci_lo_micro,
+             max(CASE WHEN rk = 31 THEN mean_micro END) AS ci_hi_micro
+      FROM ranked GROUP BY 1
+    ), pt AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT)
+               AS point_mean_micro
+      FROM documents GROUP BY 1
+    )
+    SELECT pt.source, pt.n_docs, pt.point_mean_micro,
+           CAST(ci.ci_lo_micro AS BIGINT) AS ci_lo_micro,
+           CAST(ci.ci_hi_micro AS BIGINT) AS ci_hi_micro
+    FROM pt JOIN ci ON ci.source = pt.source
+    ORDER BY pt.source
+    """,
+    doc="X152: Poisson-bootstrap confidence interval for per-source "
+    "mean doc length — the one-pass distributed bootstrap (Poisson(1) "
+    "weights per (row, replicate), no resampling shuffle). Weights "
+    "come from the registry's seeded-md5 idiom through the exact "
+    "integer inverse-Poisson CDF, so both engines draw bit-identical "
+    "replicates; replicate means are exact integer micro values and "
+    "the 93%-ish CI is the 2nd/31st order statistic of 32 replicates "
+    "— integer end to end. Scale shape: explode ×32 is map-side "
+    "(partial agg per (source, b) combines before the shuffle); the "
+    "CI window runs over 32·|sources| rows.",
+    tags=("stats", "sampling", "eval"),
+)
+def poisson_bootstrap_mean_ci(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("pb12:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    wt = None
+    for t in _POIS_CUM:
+        term = F.when(u >= t, 1).otherwise(0)
+        wt = term if wt is None else wt + term
+    w = docs.select("source", "n_chars", "doc_id", reps).select(
+        "source", "n_chars", "b", wt.alias("wt")
+    )
+    rep_means = (
+        w.groupBy("source", "b")
+        .agg(
+            F.sum(F.col("wt") * F.col("n_chars")).alias("num"),
+            F.sum("wt").alias("den"),
+        )
+        .select(
+            "source", "b",
+            F.expr("num * 1000000 div nullif(den, 0)")
+            .cast("bigint")
+            .alias("mean_micro"),
+        )
+        .filter(F.col("mean_micro").isNotNull())
+    )
+    ranked = rep_means.select(
+        "source", "mean_micro",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("mean_micro", "b"))
+        .alias("rk"),
+    )
+    ci = ranked.groupBy("source").agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_micro"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == 31, F.col("mean_micro"))).alias("ci_hi"),
+    )
+    pt = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr("sum(n_chars) * 1000000 div count(*)")
+        .cast("bigint")
+        .alias("point_mean_micro"),
+    )
+    return (
+        pt.join(ci, "source")
+        .select(
+            "source", "n_docs", "point_mean_micro",
+            F.col("ci_lo").cast("bigint").alias("ci_lo_micro"),
+            F.col("ci_hi").cast("bigint").alias("ci_hi_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X153: trimmed + winsorized means per order priority
+# ---------------------------------------------------------------------------
+
+@register(
+    "trimmed_winsorized_order_stats",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ), r AS (
+      SELECT priority, cents,
+             CAST(row_number() OVER (PARTITION BY priority
+                  ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+      FROM c
+    ), b AS (
+      SELECT priority, cents, rn, n, n // 10 AS tr,
+             max(CASE WHEN rn = (n + 9) // 10 THEN cents END)
+               OVER (PARTITION BY priority) AS p10,
+             max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)
+               OVER (PARTITION BY priority) AS p90
+      FROM r
+    )
+    SELECT priority, CAST(max(n) AS BIGINT) AS n,
+           CAST(max(p10) AS BIGINT) AS p10_cents,
+           CAST(max(p90) AS BIGINT) AS p90_cents,
+           CAST(sum(CASE WHEN rn > tr AND rn <= n - tr THEN cents END) * 1000
+                // sum(CASE WHEN rn > tr AND rn <= n - tr THEN 1 END)
+                AS BIGINT) AS trimmed_mean_milli,
+           CAST(sum(least(greatest(cents, p10), p90)) * 1000 // max(n)
+                AS BIGINT) AS winsor_mean_milli
+    FROM b GROUP BY priority ORDER BY priority
+    """,
+    doc="X153: robust location statistics per order priority — 10% "
+    "trimmed mean (drop the lowest/highest ⌊n/10⌋ ranks, o_orderkey "
+    "tiebreak) and winsorized mean (clamp to the type-1 P10/P90 order "
+    "statistics) over integer cents, both as exact milli-cent integer "
+    "divisions — the outlier-robust aggregates a price-quality audit "
+    "uses where plain avg() is dominated by tail rows. Zero FP: "
+    "discrete rank bounds, integer clamps, integer division. Scale "
+    "shape: windows PARTITIONED by priority (5 groups, each one "
+    "shuffle partition's worth of rank work).",
+    tags=("stats", "relational"),
+)
+def trimmed_winsorized_order_stats(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w_p = Window.partitionBy("priority")
+    r = c.select(
+        "priority", "cents",
+        F.row_number()
+        .over(w_p.orderBy("cents", "o_orderkey"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count("*").over(w_p).cast("bigint").alias("n"),
+    )
+    b = r.select(
+        "priority", "cents", "rn", "n",
+        F.expr("n div 10").alias("tr"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 9) div 10"), F.col("cents"))
+        )
+        .over(w_p)
+        .alias("p10"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("cents"))
+        )
+        .over(w_p)
+        .alias("p90"),
+    )
+    kept = F.when((F.col("rn") > F.col("tr")) & (F.col("rn") <= F.col("n") - F.col("tr")), F.col("cents"))
+    return (
+        b.groupBy("priority")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max("p10").cast("bigint").alias("p10_cents"),
+            F.max("p90").cast("bigint").alias("p90_cents"),
+            F.expr(
+                "CAST(sum(CASE WHEN rn > tr AND rn <= n - tr THEN cents END)"
+                " * 1000 div sum(CASE WHEN rn > tr AND rn <= n - tr THEN 1"
+                " END) AS BIGINT)"
+            ).alias("trimmed_mean_milli"),
+            F.expr(
+                "CAST(sum(least(greatest(cents, p10), p90)) * 1000 div max(n)"
+                " AS BIGINT)"
+            ).alias("winsor_mean_milli"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X154: multi-source BFS depth profile over the near-dup graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_graph_bfs_reach",
+    # Seeds are the LOCAL MINIMA of the near-dup graph (doc smaller
+    # than every neighbor) — the canonical keepers a keep-min dedup
+    # retains; depth(doc) = hops to the nearest keeper (min over
+    # seeds), capped at 6. DuckDB replays the BFS as a depth-bounded
+    # recursive CTE; Spark runs 6 frontier joins with an anti-join
+    # against the visited set (first-reach == min-depth since BFS
+    # expands in layers).
+    oracle=_CLOSURE.split("reach(src, dst)")[0]
+    + """
+    seeds AS (
+      SELECT a AS doc FROM edges GROUP BY a HAVING min(b) > a
+    ),
+    bfs(doc, depth) AS (
+      SELECT doc, 0 FROM seeds
+      UNION
+      SELECT e.b, x.depth + 1
+      FROM bfs x JOIN edges e ON x.doc = e.a
+      WHERE x.depth < 6
+    ),
+    dmin AS (
+      SELECT doc, CAST(min(depth) AS BIGINT) AS d FROM bfs GROUP BY doc
+    )
+    SELECT d AS depth,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc) AS BIGINT) AS sample_doc
+    FROM dmin GROUP BY d ORDER BY d
+    """,
+    doc="X154: multi-source BFS depth profile over the certified "
+    "near-dup graph (exact bigram Jaccard ≥ 0.5) — distance from each "
+    "duplicated doc to its nearest CANONICAL KEEPER (local-minimum "
+    "doc, the doc a keep-min dedup retains). Depth 0 = keepers; depth "
+    "k = docs that survive k rounds of 'remove docs adjacent to a "
+    "keeper' — the transitive-duplication depth a single-pass "
+    "pairwise dedup underestimates. Spark runs 6 bounded frontier "
+    "joins (anti-join vs visited, localCheckpoint-truncated lineage); "
+    "the oracle replays it as a depth-bounded recursive CTE. Scale "
+    "shape: pair-gen is the bucketed selector (runs once, "
+    "checkpointed); frontiers are bounded by the dup subgraph, a tiny "
+    "fraction of the corpus.",
+    tags=("dedup", "graph", "iterative", "pipeline"),
+)
+def dedup_graph_bfs_reach(spark, sf_dir):
+    from ..operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        D.ngram_jaccard_pairs_auto(docs, threshold=0.5, n=2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    seeds = (
+        edges.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .filter(F.col("mb") > F.col("a"))
+        .select(F.col("a").alias("doc"))
+    )
+    visited = seeds.select("doc", F.lit(0).cast("bigint").alias("d")).localCheckpoint()
+    frontier = visited.select("doc")
+    for step in range(1, 7):
+        nxt = (
+            frontier.join(edges, frontier["doc"] == edges["a"])
+            .select(F.col("b").alias("doc"))
+            .distinct()
+            .join(visited.select("doc"), "doc", "left_anti")
+            .select("doc", F.lit(step).cast("bigint").alias("d"))
+        )
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("doc")
+    return (
+        visited.groupBy(F.col("d").alias("depth"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc").cast("bigint").alias("sample_doc"),
+        )
+        .orderBy("depth")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X155: interval-weighted (time-weighted) average event value per user
+# ---------------------------------------------------------------------------
+
+@register(
+    "twap_user_value",
+    # Σ(cents·dt_us) fits int64 (per-user Σdt is bounded by the corpus
+    # time span), but ×1000 for milli precision would overflow — so the
+    # milli mean uses exact split division: q·1000 + (rem·1000) div den
+    # (all operands non-negative; both engines' integer div agree).
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(ts) AS tus,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), agg AS (
+      SELECT user_id,
+             CAST(sum(cents * (nxt - tus)) AS BIGINT) AS num,
+             CAST(sum(nxt - tus) AS BIGINT) AS den,
+             CAST(count(*) AS BIGINT) AS n_intervals
+      FROM s WHERE nxt IS NOT NULL
+      GROUP BY 1 HAVING sum(nxt - tus) > 0
+    )
+    SELECT user_id, n_intervals,
+           CAST((num // den) * 1000 + ((num % den) * 1000) // den
+                AS BIGINT) AS twap_milli_cents
+    FROM agg
+    ORDER BY twap_milli_cents DESC, user_id
+    LIMIT 20
+    """,
+    doc="X155: time-weighted average value per user (the TWAP / "
+    "sensor-mean primitive): each observation weighted by its holding "
+    "interval (micros to the next event), so bursts don't dominate "
+    "the mean the way row-weighted avg() lets them. Integer cents × "
+    "integer micros throughout; the milli-precision mean uses exact "
+    "split division (q·1000 + rem·1000 div den) because numerator×1000 "
+    "would overflow int64 at 100 TB magnitudes. Scale shape: one "
+    "per-user lead() window (partitioned, high-cardinality key) + "
+    "map-side-combinable aggregate; output top-20 bounded.",
+    tags=("stats", "windows", "events"),
+)
+def twap_user_value(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w_u).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    agg = (
+        s.groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * (F.col("nxt") - F.col("tus")))
+            .cast("bigint")
+            .alias("num"),
+            F.sum(F.col("nxt") - F.col("tus")).cast("bigint").alias("den"),
+            F.count("*").cast("bigint").alias("n_intervals"),
+        )
+        .filter(F.col("den") > 0)
+    )
+    return (
+        agg.select(
+            "user_id",
+            "n_intervals",
+            F.expr("(num div den) * 1000 + ((num % den) * 1000) div den")
+            .cast("bigint")
+            .alias("twap_milli_cents"),
+        )
+        .orderBy(F.col("twap_milli_cents").desc(), "user_id")
+        .limit(20)
+    )

@@ -827,3 +827,56 @@ def test_typo_pairs_blocked_join_and_topk(plans):
     p = plans("typo_token_pairs")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+# --- round 12 wave (stats_extra) ---
+
+
+def test_mannwhitney_census_partial_agg(plans):
+    """Both censuses must map-side combine; the rank window runs over the
+    value census, so the corpus never reaches a single partition."""
+    p = plans("mannwhitney_auc_sources")
+    assert p.count("HashAggregate") >= 4, p  # 2 censuses × (partial+final)
+
+
+def test_range_partition_plan_no_global_rownumber(plans):
+    """The terasort planner must derive range counts from census prefix
+    sums + a broadcast 16-row range join — never a corpus-wide
+    row_number (single-partition sort of every order row)."""
+    p = plans("range_partition_plan")
+    assert "row_number" not in p.lower(), p
+    assert "Broadcast" in p, p
+    assert p.count("HashAggregate") >= 2, p  # census partial agg
+
+
+def test_curriculum_phases_partitioned_rownumber(plans):
+    """The per-value row_number must be PARTITIONED (partition key
+    n_chars in the window spec) and the census joined via broadcast —
+    the corpus-wide cumulative never materializes."""
+    p = plans("curriculum_token_phases")
+    assert "BroadcastHashJoin" in p, p
+    # the only corpus-side window is partitioned by the value column
+    assert "partitionBy=[n_chars" in p.replace(" ", "") or "n_chars" in p, p
+
+
+def test_poisson_bootstrap_mapside_combine(plans):
+    """The ×32 replicate explode must partial-aggregate per (source, b)
+    before the shuffle — the shuffle carries 32·|sources| rows, not
+    32·|corpus|."""
+    p = plans("poisson_bootstrap_mean_ci")
+    assert "Generate explode" in p or "Generate" in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_skew_salt_planner_census_combine(plans):
+    p = plans("skew_salt_planner")
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_twap_partitioned_window(plans):
+    """The lead() window must be partitioned by user_id — never an
+    unpartitioned corpus-wide window."""
+    p = plans("twap_user_value")
+    assert "user_id" in p, p
+    # a 20-row top-k must be TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in p, p
