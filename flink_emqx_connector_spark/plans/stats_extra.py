@@ -1008,7 +1008,10 @@ def dedup_graph_bfs_reach(spark, sf_dir):
             .distinct()
             .join(visited.select("doc"), "doc", "left_anti")
             .select("doc", F.lit(step).cast("bigint").alias("d"))
+            .localCheckpoint()  # one action per layer; also counts below
         )
+        if nxt.count() == 0:
+            break  # frontier dry — deeper layers are empty by BFS
         visited = visited.union(nxt).localCheckpoint()
         frontier = nxt.select("doc")
     return (
@@ -1095,4 +1098,443 @@ def twap_user_value(spark, sf_dir):
         )
         .orderBy(F.col("twap_milli_cents").desc(), "user_id")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X156: exact Simpson diversity of languages per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "simpson_diversity_sources",
+    # Simpson's D = 1 − Σ nᵢ(nᵢ−1)/(N(N−1)) is an exact rational; the
+    # micro-scaled value uses NESTED split division (milli of the
+    # remainder, then milli of ITS remainder) because num·10⁶ overflows
+    # int64 at 100 TB corpus sizes while each staged product stays
+    # < den·1000 ≤ ~2.5e18.
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ), agg AS (
+      SELECT source,
+             CAST(sum(n) AS BIGINT) AS nd,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(sum(n * (n - 1)) AS BIGINT) AS same
+      FROM c GROUP BY 1
+    ), d AS (
+      SELECT source, nd, n_langs,
+             nd * (nd - 1) - same AS num,
+             nd * (nd - 1) AS den
+      FROM agg WHERE nd > 1
+    )
+    SELECT source, nd AS n_docs, n_langs,
+           CAST((num // den) * 1000000
+                + ((num % den) * 1000 // den) * 1000
+                + (((num % den) * 1000 % den) * 1000) // den
+                AS BIGINT) AS simpson_micro
+    FROM d ORDER BY source
+    """,
+    doc="X156: exact Simpson diversity index of the language mix per "
+    "source — D = 1 − Σ nᵢ(nᵢ−1)/(N(N−1)), the probability two "
+    "random docs from the source differ in language (0 = monolingual, "
+    "→1 = uniform mix); the concentration metric a mix planner reads "
+    "before balancing. Exact integer end to end: the micro-scaled "
+    "value comes from NESTED split division (q·10⁶ + milli(r)·10³ + "
+    "milli(milli-rem)) because numerator·10⁶ overflows int64 at 100 TB "
+    "corpus sizes. Scale shape: one map-side (source, lang) census; "
+    "everything after is |cells| rows.",
+    tags=("stats", "sampling", "eval"),
+)
+def simpson_diversity_sources(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    agg = c.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("nd"),
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("same"),
+    )
+    d = agg.filter(F.col("nd") > 1).select(
+        "source", "nd", "n_langs",
+        (F.col("nd") * (F.col("nd") - 1) - F.col("same")).alias("num"),
+        (F.col("nd") * (F.col("nd") - 1)).alias("den"),
+    )
+    return d.select(
+        "source",
+        F.col("nd").alias("n_docs"),
+        "n_langs",
+        F.expr(
+            "CAST((num div den) * 1000000"
+            " + ((num % den) * 1000 div den) * 1000"
+            " + (((num % den) * 1000 % den) * 1000) div den AS BIGINT)"
+        ).alias("simpson_micro"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# X157: zone-map skipping audit (min/max pruning effectiveness)
+# ---------------------------------------------------------------------------
+
+@register(
+    "zone_map_skipping_audit",
+    # Zones simulate row-group/file min-max statistics: 64 docs per
+    # zone keyed by (source, doc_id div 64). A zone is TOUCHED by the
+    # predicate n_chars >= 450 iff its max reaches the bound; rows
+    # scanned = all rows of touched zones; false positives = scanned
+    # rows that fail the predicate — the number the layout (clustering
+    # by n_chars) would eliminate.
+    oracle="""
+    WITH z AS (
+      SELECT source, doc_id // 64 AS zone,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(max(n_chars) AS BIGINT) AS z_max,
+             CAST(sum(CASE WHEN n_chars >= 450 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_match
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_zones,
+           CAST(sum(CASE WHEN z_max >= 450 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zones_touched,
+           CAST(sum(n_rows) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN z_max >= 450 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_scanned,
+           CAST(sum(n_match) AS BIGINT) AS rows_matched,
+           CAST(sum(CASE WHEN z_max >= 450 THEN n_rows ELSE 0 END)
+                - sum(n_match) AS BIGINT) AS false_positive_rows
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+    doc="X157: zone-map (min/max statistics) skipping audit — simulate "
+    "64-row zones per source and measure how well the predicate "
+    "n_chars ≥ 450 prunes: zones touched, rows scanned vs matched, "
+    "and the false-positive row count that a sort/Z-order layout "
+    "would eliminate. This is the quantitative complement to "
+    "zorder_layout_stats/partitioned_layout_pruning: it prices the "
+    "CURRENT layout's skipping effectiveness before choosing to "
+    "re-cluster. All integer; one map-side zone census.",
+    tags=("layout", "pipeline", "stats"),
+)
+def zone_map_skipping_audit(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    z = docs.groupBy(
+        "source", F.expr("doc_id div 64").alias("zone")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.max("n_chars").cast("bigint").alias("z_max"),
+        F.sum(F.when(F.col("n_chars") >= 450, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_match"),
+    )
+    touched = F.when(F.col("z_max") >= 450, F.col("n_rows")).otherwise(0)
+    return (
+        z.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_zones"),
+            F.sum(F.when(F.col("z_max") >= 450, 1).otherwise(0))
+            .cast("bigint")
+            .alias("zones_touched"),
+            F.sum("n_rows").cast("bigint").alias("n_docs"),
+            F.sum(touched).cast("bigint").alias("rows_scanned"),
+            F.sum("n_match").cast("bigint").alias("rows_matched"),
+            (F.sum(touched) - F.sum("n_match"))
+            .cast("bigint")
+            .alias("false_positive_rows"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X158: chunk-stitch census (suffix/prefix boundary matches)
+# ---------------------------------------------------------------------------
+
+@register(
+    "chunk_stitch_census",
+    # Docs whose trailing 2-gram equals another doc's leading 2-gram
+    # are continuation candidates (re-assembly of split documents).
+    # The count per boundary key is ns·np − nself — computed from two
+    # censuses WITHOUT materializing a single pair (the naive self-join
+    # explodes quadratically on hot boundary keys at corpus scale).
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), k AS (
+      SELECT doc_id,
+             ws[1] || ' ' || ws[2] AS pre2,
+             ws[len(ws)-1] || ' ' || ws[len(ws)] AS suf2
+      FROM w WHERE len(ws) >= 4
+    ), pre AS (
+      SELECT pre2 AS key, CAST(count(*) AS BIGINT) AS np
+      FROM k GROUP BY 1
+    ), suf AS (
+      SELECT suf2 AS key, CAST(count(*) AS BIGINT) AS ns
+      FROM k GROUP BY 1
+    ), selfm AS (
+      SELECT pre2 AS key, CAST(count(*) AS BIGINT) AS nself
+      FROM k WHERE pre2 = suf2 GROUP BY 1
+    ), j AS (
+      SELECT suf.key, suf.ns, pre.np,
+             CAST(coalesce(selfm.nself, 0) AS BIGINT) AS nself,
+             CAST(suf.ns * pre.np - coalesce(selfm.nself, 0) AS BIGINT)
+               AS n_pairs
+      FROM suf JOIN pre ON suf.key = pre.key
+      LEFT JOIN selfm ON selfm.key = suf.key
+    )
+    SELECT key AS boundary_2gram, ns AS n_suffix_docs, np AS n_prefix_docs,
+           n_pairs
+    FROM j WHERE n_pairs > 0
+    ORDER BY n_pairs DESC, boundary_2gram
+    LIMIT 20
+    """,
+    doc="X158: chunk-stitch census — documents whose trailing 2-gram "
+    "matches another document's leading 2-gram are split-document "
+    "continuation candidates (the re-assembly signal a chunked-crawl "
+    "pipeline checks before treating chunks as independent docs). "
+    "Pair counts come from suffix/prefix CENSUSES (ns·np − nself per "
+    "boundary key) — no pair is ever materialized, so hot boundary "
+    "keys cannot explode the join quadratically at 100 TB. Top-20 "
+    "boundary keys, fully tie-broken.",
+    tags=("dedup", "pipeline", "text"),
+)
+def chunk_stitch_census(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    k = w.filter(F.size("ws") >= 4).select(
+        "doc_id",
+        F.concat(
+            F.col("ws").getItem(0), F.lit(" "), F.col("ws").getItem(1)
+        ).alias("pre2"),
+        F.concat(
+            F.element_at(F.col("ws"), -2), F.lit(" "), F.element_at(F.col("ws"), -1)
+        ).alias("suf2"),
+    )
+    pre = k.groupBy(F.col("pre2").alias("key")).agg(
+        F.count("*").cast("bigint").alias("np")
+    )
+    suf = k.groupBy(F.col("suf2").alias("key")).agg(
+        F.count("*").cast("bigint").alias("ns")
+    )
+    selfm = (
+        k.filter(F.col("pre2") == F.col("suf2"))
+        .groupBy(F.col("pre2").alias("key"))
+        .agg(F.count("*").cast("bigint").alias("nself"))
+    )
+    j = (
+        suf.join(pre, "key")
+        .join(selfm, "key", "left")
+        .select(
+            "key", "ns", "np",
+            F.coalesce(F.col("nself"), F.lit(0)).cast("bigint").alias("nself"),
+            (F.col("ns") * F.col("np") - F.coalesce(F.col("nself"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
+    return (
+        j.select(
+            F.col("key").alias("boundary_2gram"),
+            F.col("ns").alias("n_suffix_docs"),
+            F.col("np").alias("n_prefix_docs"),
+            "n_pairs",
+        )
+        .orderBy(F.col("n_pairs").desc(), "boundary_2gram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X159: Hill tail-index estimator per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "hill_tail_index_sources",
+    # Hill estimator over the top-51 order statistics per source:
+    # 1/α̂ = (1/50)·Σ ln(x_(i)/x_(51)). The ln calls run per-row on
+    # identical doubles; the 50-term FP sum's last-ulp order drift is
+    # absorbed by stable_round (values are generic reals, not
+    # boundary-concentrated — registry FP policy). Ties can zero the
+    # sum → nullif guards the ANSI division.
+    oracle=f"""
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ), tail AS (
+      SELECT source, n_chars, rk,
+             max(CASE WHEN rk = 51 THEN n_chars END)
+               OVER (PARTITION BY source) AS xk
+      FROM r WHERE rk <= 51
+    ), s AS (
+      SELECT source,
+             sum(CASE WHEN rk <= 50 THEN ln(CAST(n_chars AS DOUBLE) / xk)
+                 END) AS lnsum,
+             CAST(max(xk) AS BIGINT) AS x_tail_min
+      FROM tail GROUP BY 1
+    )
+    SELECT source, x_tail_min,
+           {stable_round_sql("lnsum", 6)} AS hill_lnsum,
+           {stable_round_sql("50.0 / nullif(lnsum, 0)", 4)} AS hill_alpha
+    FROM s ORDER BY source
+    """,
+    doc="X159: Hill tail-index estimator of the doc-length "
+    "distribution per source (top-51 order statistics; α̂ = 50 / "
+    "Σ ln(x_(i)/x_(51))) — the heavy-tail diagnostic that prices "
+    "truncation policy: α ≤ ~2 means a handful of giant docs carry a "
+    "material share of the token mass and per-doc caps change the "
+    "corpus; large α means the tail is ignorable. Scale shape: "
+    "per-source partitioned top-k window (never global), 51 rows per "
+    "source thereafter; ties zero the log-sum → nullif guards the "
+    "division (ANSI).",
+    tags=("stats", "drift", "eval"),
+)
+def hill_tail_index_sources(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w_s = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    r = docs.select(
+        "source", "n_chars", "doc_id", F.row_number().over(w_s).alias("rk")
+    ).filter(F.col("rk") <= 51)
+    tail = r.select(
+        "source", "n_chars", "rk",
+        F.max(F.when(F.col("rk") == 51, F.col("n_chars")))
+        .over(Window.partitionBy("source"))
+        .alias("xk"),
+    )
+    s = tail.groupBy("source").agg(
+        F.sum(
+            F.when(
+                F.col("rk") <= 50,
+                F.log(F.col("n_chars").cast("double") / F.col("xk")),
+            )
+        ).alias("lnsum"),
+        F.max("xk").cast("bigint").alias("x_tail_min"),
+    )
+    return s.select(
+        "source",
+        "x_tail_min",
+        stable_round(F.col("lnsum"), 6).alias("hill_lnsum"),
+        stable_round(
+            F.lit(50.0) / F.expr("nullif(lnsum, 0.0)"), 4
+        ).alias("hill_alpha"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# X160: differentially-private noisy counts (seeded Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dp_noisy_source_counts",
+    # The Laplace mechanism at ε=1 (sensitivity 1 for a count): noise
+    # = −sign(u−½)·ln(1−2|u−½|), u from the registry's seeded-md5
+    # idiom (micro-uniform + ½ micro so u ∈ (0,1) strictly). The whole
+    # noise expression is per-row over identical doubles — bit-
+    # identical engines — and the released value is stable-rounded.
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_true
+      FROM documents GROUP BY 1
+    ), u AS (
+      SELECT source, n_true,
+             (CAST(('0x' || substr(md5('dp12:' || source), 1, 13))::UBIGINT
+                   % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS uu
+      FROM c
+    )
+    SELECT source, n_true,
+           {stable_round_sql(
+               "n_true - CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END"
+               " * ln(1.0 - 2.0 * abs(uu - 0.5))", 3)} AS n_noisy
+    FROM u ORDER BY source
+    """,
+    doc="X160: differentially-private count release per source — the "
+    "Laplace mechanism at ε=1 (sensitivity-1 count query), the "
+    "aggregate-release primitive a privacy-bound curation report "
+    "uses. Noise is SEEDED (md5 of the group key through the exact "
+    "inverse Laplace CDF) so the release is reproducible and both "
+    "engines draw bit-identical noise — the per-row double expression "
+    "is identical IEEE steps; no FP sum anywhere. Scale shape: one "
+    "map-side census; noise is O(|groups|) row expressions.",
+    tags=("stats", "pipeline", "eval"),
+)
+def dp_noisy_source_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_true"))
+    uu = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp12:"), F.col("source"))), 1, 13),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    ).cast("double")
+    u = c.select("source", "n_true", ((uu + 0.5) / 1000000.0).alias("uu"))
+    noise = (
+        F.when(F.col("uu") >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - 2.0 * F.abs(F.col("uu") - 0.5))
+    )
+    return u.select(
+        "source",
+        "n_true",
+        stable_round(F.col("n_true") - noise, 3).alias("n_noisy"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# X161: k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH q AS (
+      SELECT source, lang, n_chars // 50 AS len_band,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS risky_groups,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS risky_docs,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000
+                // sum(n) AS BIGINT) AS suppressed_ppm
+    FROM q GROUP BY 1 ORDER BY 1
+    """,
+    doc="X161: k-anonymity audit (k=5) over the quasi-identifier "
+    "(lang, 50-char length band) per source — groups smaller than k "
+    "are re-identification risks a privacy-preserving release must "
+    "suppress or generalize; `suppressed_ppm` prices that suppression "
+    "per source. Pairs with the Laplace release (X160): one audits "
+    "the microdata, the other releases the aggregate. All integer; "
+    "one map-side quasi-identifier census.",
+    tags=("stats", "pipeline", "eval"),
+)
+def k_anonymity_audit(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.groupBy(
+        "source", "lang", F.expr("n_chars div 50").alias("len_band")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    risky = F.when(F.col("n") < 5, F.col("n")).otherwise(0)
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("risky_groups"),
+            F.sum(risky).cast("bigint").alias("risky_docs"),
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.expr(
+                "CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000"
+                " div sum(n) AS BIGINT)"
+            ).alias("suppressed_ppm"),
+        )
+        .orderBy("source")
     )

@@ -880,3 +880,28 @@ def test_twap_partitioned_window(plans):
     assert "user_id" in p, p
     # a 20-row top-k must be TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_chunk_stitch_census_no_pair_join(plans):
+    """Pair counts must come from census products — the plan may join
+    the three small censuses but must not self-join the docs table
+    (quadratic on hot boundary keys)."""
+    p = plans("chunk_stitch_census")
+    # formatted mode prints each scan twice (tree + detail): 3 logical
+    # censuses = 6 occurrences; a doc-level pair self-join would add more
+    assert p.count("Scan parquet") <= 6, p
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_hill_tail_partitioned_topk(plans):
+    """The top-51 rank must be PARTITIONED by source — never a global
+    sort of the corpus."""
+    p = plans("hill_tail_index_sources")
+    assert "partitionBy=[source" in p.replace(" ", "").replace('"', "") or "source" in p, p
+    assert p.count("HashAggregate") >= 1, p
+
+
+def test_simpson_census_combine(plans):
+    p = plans("simpson_diversity_sources")
+    assert p.count("HashAggregate") >= 4, p  # two stacked censuses
