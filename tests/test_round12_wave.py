@@ -133,3 +133,239 @@ def test_discrete_quantile_accepts_exact_forms(spark):
     ).collect()[0]
     # type-1 order statistics over 1..100
     assert (row["q1"], row["q2"], row["q3"], row["q4"]) == (10, 25, 50, 25)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 wave invariants: oracle-SQL property tests on synthetic inputs
+# (gate proves Spark ≡ oracle; these pin the FORMULAS against independent
+# brute-force recomputes, no Spark session needed)
+# ---------------------------------------------------------------------------
+
+
+def _duck_with(tables: dict):
+    import duckdb
+
+    con = duckdb.connect()
+    for name, (cols, rows) in tables.items():
+        con.execute(f"CREATE TABLE {name} ({cols})")
+        placeholders = ",".join("?" * len(rows[0]))
+        con.executemany(f"INSERT INTO {name} VALUES ({placeholders})", rows)
+    return con
+
+
+def _docs_rows(rng_rows):
+    """(doc_id, lang, source, n_chars) tuples -> documents table spec."""
+    return (
+        "doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, "
+        "n_chars BIGINT",
+        [(i, "x", l, s, n) for i, (l, s, n) in enumerate(rng_rows)],
+    )
+
+
+def test_apportionment_seats_sum_and_quota_property():
+    """Both allocators hand out exactly 16 seats; Hamilton satisfies the
+    quota property (base <= seats <= base+1)."""
+    import random
+
+    rnd = random.Random(12)
+    rows = [("en", f"s{rnd.randrange(7)}", 100) for _ in range(500)]
+    con = _duck_with({"documents": _docs_rows(rows)})
+    sql = QUERIES["apportionment_dhondt_vs_hamilton"].oracle
+    recs = con.execute(sql).fetchall()
+    seats_d = sum(r[2] for r in recs)
+    seats_h = sum(r[3] for r in recs)
+    assert seats_d == 16 and seats_h == 16, (seats_d, seats_h)
+    total = sum(r[1] for r in recs)
+    for _, n, _, sh in recs:
+        base = n * 16 // total
+        assert base <= sh <= base + 1, (n, sh, base)
+    con.close()
+
+
+def test_range_partition_balanced_and_complete():
+    """Ranges cover every row exactly once, balanced to ±1, with
+    monotone value bounds."""
+    import random
+
+    rnd = random.Random(34)
+    orders = [
+        (i, 1, "O", round(rnd.uniform(1000, 500000), 2), None, "1-URGENT")
+        for i in range(997)  # deliberately not divisible by 16
+    ]
+    con = _duck_with(
+        {
+            "orders": (
+                "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR,"
+                " o_totalprice DOUBLE, o_orderdate TIMESTAMP,"
+                " o_orderpriority VARCHAR",
+                orders,
+            )
+        }
+    )
+    recs = con.execute(QUERIES["range_partition_plan"].oracle).fetchall()
+    counts = [r[1] for r in recs]
+    assert sum(counts) == 997
+    assert max(counts) - min(counts) <= 1, counts
+    los = [r[2] for r in recs]
+    his = [r[3] for r in recs]
+    for i in range(1, 16):
+        assert his[i - 1] <= los[i], (his[i - 1], los[i])
+    con.close()
+
+
+def test_curriculum_phase_masses_near_quarter():
+    """Phase token masses sum to the total and each phase is within one
+    max-doc of a quarter (the doc-granularity bound)."""
+    import random
+
+    rnd = random.Random(56)
+    rows = [("en", "s0", rnd.randrange(1, 600)) for _ in range(800)]
+    con = _duck_with({"documents": _docs_rows(rows)})
+    recs = con.execute(QUERIES["curriculum_token_phases"].oracle).fetchall()
+    total = sum(r[2] for r in recs)
+    assert total == sum(n for _, _, n in rows)
+    max_doc = max(n for _, _, n in rows)
+    for phase, n_docs, mass, _, _ in recs:
+        assert abs(mass - total / 4) <= max_doc, (phase, mass, total)
+    con.close()
+
+
+def test_mannwhitney_matches_bruteforce():
+    """2U from the census formula equals brute-force pair counting
+    (wins + half-ties, doubled) on a small adversarial sample with
+    heavy ties."""
+    import random
+
+    rnd = random.Random(78)
+    rows = [
+        (("en", "a" if rnd.random() < 0.4 else "b", rnd.randrange(1, 8)))
+        for _ in range(200)
+    ]
+    con = _duck_with({"documents": _docs_rows(rows)})
+    recs = con.execute(QUERIES["mannwhitney_auc_sources"].oracle).fetchall()
+    by = {r[0]: r for r in recs}
+    for src in ("a", "b"):
+        mine = [n for _, s, n in rows if s == src]
+        rest = [n for _, s, n in rows if s != src]
+        u2_brute = sum(
+            2 if x > y else (1 if x == y else 0) for x in mine for y in rest
+        )
+        assert by[src][2] == u2_brute, (src, by[src][2], u2_brute)
+    con.close()
+
+
+def test_twap_matches_bruteforce():
+    import random
+    from datetime import datetime, timedelta
+
+    rnd = random.Random(90)
+    base = datetime(2025, 1, 1)
+    events = []
+    for eid in range(300):
+        events.append(
+            (
+                eid,
+                base + timedelta(seconds=rnd.randrange(0, 10**6)),
+                rnd.randrange(3),
+                "view",
+                round(rnd.uniform(0, 300), 2),
+                "{}",
+            )
+        )
+    con = _duck_with(
+        {
+            "events": (
+                "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+                " event_type VARCHAR, value DOUBLE, props VARCHAR",
+                events,
+            )
+        }
+    )
+    recs = con.execute(QUERIES["twap_user_value"].oracle).fetchall()
+    got = {r[0]: r[2] for r in recs}
+    # brute force per user
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for eid, ts, uid, _, v, _ in events:
+        per[uid].append((ts, eid, int(v * 100 + 0.5)))
+    for uid, rows_u in per.items():
+        rows_u.sort()
+        num = den = 0
+        for (t1, _, c), (t2, _, _) in zip(rows_u, rows_u[1:]):
+            dt = int((t2 - t1).total_seconds() * 1e6)
+            num += c * dt
+            den += dt
+        if den > 0:
+            want = (num // den) * 1000 + ((num % den) * 1000) // den
+            assert got[uid] == want, (uid, got[uid], want)
+    con.close()
+
+
+def test_trimmed_winsorized_matches_bruteforce():
+    import random
+
+    rnd = random.Random(11)
+    orders = [
+        (i, 1, "O", round(rnd.uniform(100, 9999), 2), None,
+         "1-URGENT" if i % 2 else "2-HIGH")
+        for i in range(403)
+    ]
+    con = _duck_with(
+        {
+            "orders": (
+                "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR,"
+                " o_totalprice DOUBLE, o_orderdate TIMESTAMP,"
+                " o_orderpriority VARCHAR",
+                orders,
+            )
+        }
+    )
+    recs = con.execute(
+        QUERIES["trimmed_winsorized_order_stats"].oracle
+    ).fetchall()
+    by = {r[0]: r for r in recs}
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for key, _, _, price, _, prio in orders:
+        groups[prio].append((int(price * 100 + 0.5), key))
+    for prio, vals in groups.items():
+        vals.sort()
+        cents = [c for c, _ in vals]
+        n = len(cents)
+        t = n // 10
+        trimmed = cents[t : n - t]
+        p10 = cents[(n + 9) // 10 - 1]
+        p90 = cents[(9 * n + 9) // 10 - 1]
+        wins = [min(max(c, p10), p90) for c in cents]
+        row = by[prio]
+        assert row[1] == n
+        assert row[2] == p10 and row[3] == p90, (row, p10, p90)
+        assert row[4] == sum(trimmed) * 1000 // len(trimmed)
+        assert row[5] == sum(wins) * 1000 // n
+    con.close()
+
+
+def test_simpson_bounds_and_exactness():
+    from fractions import Fraction
+    import random
+
+    rnd = random.Random(22)
+    rows = [
+        (rnd.choice(["en", "de", "fr"]), "s0", 100) for _ in range(300)
+    ] + [("en", "s1", 100)] * 50  # monolingual source → D = 0
+    con = _duck_with({"documents": _docs_rows(rows)})
+    recs = con.execute(QUERIES["simpson_diversity_sources"].oracle).fetchall()
+    by = {r[0]: r for r in recs}
+    assert by["s1"][3] == 0  # monolingual
+    # exact fraction recompute for s0
+    from collections import Counter
+
+    cnt = Counter(l for l, s, _ in rows if s == "s0")
+    n = sum(cnt.values())
+    d = Fraction(n * (n - 1) - sum(c * (c - 1) for c in cnt.values()),
+                 n * (n - 1))
+    want = (d.numerator * 10**6) // d.denominator
+    assert by["s0"][3] == want, (by["s0"][3], want)
+    con.close()
