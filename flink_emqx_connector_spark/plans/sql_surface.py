@@ -404,3 +404,22 @@ _define(
     LIMIT 20
     """,
 )
+
+_define(
+    "sql_group_by_all_status_priority",
+    ("orders",),
+    "SQL surface: GROUP BY ALL (round 12) — the modern analyst "
+    "shorthand both Spark 4 and DuckDB resolve to every non-aggregate "
+    "select item; proves the surface tracks current-dialect SQL, not "
+    "just ANSI-92. Integer-cents money sum per the r10 policy.",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 1e2 AS total_value,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key
+    FROM orders
+    GROUP BY ALL
+    ORDER BY status, priority
+    """,
+)

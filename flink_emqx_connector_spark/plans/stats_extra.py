@@ -1538,3 +1538,235 @@ def k_anonymity_audit(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X162: gaps-and-islands — activity streak census
+# ---------------------------------------------------------------------------
+
+@register(
+    "gaps_islands_activity_streaks",
+    # The classic gaps-and-islands identity: within a user's sorted
+    # distinct active days, day − row_number() is constant exactly on
+    # consecutive runs — islands fall out of one partitioned window +
+    # one groupBy, no self-join, no recursion.
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      FROM events
+    ), r AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d
+    ), isl AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+      FROM r GROUP BY 1, 2
+    )
+    SELECT len AS island_len,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM isl GROUP BY 1 ORDER BY 1
+    """,
+    doc="X162: gaps-and-islands over user activity days — consecutive-"
+    "day streak census via the day − row_number() constant-group "
+    "identity (the classic SQL islands pattern: one PARTITIONED "
+    "window + one aggregate, no self-join, no recursion). Output is "
+    "the streak-length histogram (n_islands, distinct users) — the "
+    "engagement-continuity profile retention models consume. Scale "
+    "shape: DISTINCT (user, day) collapses the corpus first "
+    "(map-side), the window partitions by user_id (high-cardinality "
+    "key), output bounded by max streak length.",
+    tags=("windows", "events", "stats"),
+)
+def gaps_islands_activity_streaks(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    d = events.select(
+        "user_id", F.expr("unix_date(CAST(ts AS DATE))").cast("bigint").alias("day")
+    ).distinct()
+    r = d.select(
+        "user_id", "day",
+        (
+            F.col("day")
+            - F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+        ).alias("grp"),
+    )
+    isl = r.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    return (
+        isl.groupBy(F.col("len").alias("island_len"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("island_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X163: cumulative new-user (first-seen) curve
+# ---------------------------------------------------------------------------
+
+@register(
+    "cumulative_new_users_daily",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS first_day
+      FROM events GROUP BY 1
+    ), d AS (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+      FROM f GROUP BY 1
+    )
+    SELECT CAST(day AS BIGINT) AS day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM d ORDER BY day
+    """,
+    doc="X163: cumulative new-user curve — each user attributed to their "
+    "FIRST active day (min-day aggregate, one shuffle on the "
+    "high-cardinality user key), then a day-level running total (the "
+    "cumulative-distinct-over-time metric that naive COUNT(DISTINCT) "
+    "per day recomputes from scratch each day — this form scans the "
+    "corpus once). The final window runs over |days| rows only. All "
+    "integer.",
+    tags=("windows", "events", "stats"),
+)
+def cumulative_new_users_daily(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    f = events.groupBy("user_id").agg(
+        F.min(F.expr("unix_date(CAST(ts AS DATE))")).cast("bigint").alias("first_day")
+    )
+    d = f.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        F.col("day").cast("bigint").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# X164: deterministic mode (most frequent value with total tie order)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mode_event_type_by_hour",
+    # Both engines ship a mode() aggregate but neither documents its
+    # tie order — the census + rank form makes the tie-break explicit
+    # (count desc, type asc) and therefore cross-engine deterministic.
+    oracle="""
+    WITH c AS (
+      SELECT EXTRACT(hour FROM ts) AS hr, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY hr
+                                   ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT CAST(hr AS BIGINT) AS hour, event_type AS mode_type,
+           n AS mode_count
+    FROM r WHERE rk = 1 ORDER BY hour
+    """,
+    doc="X164: deterministic statistical mode — most frequent event "
+    "type per hour of day. Built-in mode() aggregates leave tie order "
+    "engine-defined; the census + rank form pins it (count desc, type "
+    "asc), which is what makes the result reproducible across engines "
+    "and runs — the determinism discipline applied to the one "
+    "aggregate where it's usually ignored. Scale shape: map-side "
+    "(hour, type) census (24·|types| rows), rank window over the "
+    "census.",
+    tags=("stats", "relational", "events"),
+)
+def mode_event_type_by_hour(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    c = events.groupBy(
+        F.hour("ts").alias("hr"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    r = c.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("hr").orderBy(F.col("n").desc(), "event_type"))
+        .alias("rk"),
+    )
+    return (
+        r.filter(F.col("rk") == 1)
+        .select(
+            F.col("hr").cast("bigint").alias("hour"),
+            F.col("event_type").alias("mode_type"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X165: order-independent table checksum (replication diff primitive)
+# ---------------------------------------------------------------------------
+
+@register(
+    "table_checksum_by_source",
+    # bit_xor of a per-row md5-52bit digest is ORDER-INDEPENDENT and
+    # partition-local (xor is commutative/associative → map-side
+    # combinable), so two replicas of a 100 TB table compare with one
+    # aggregate each and zero data movement — the anti-entropy
+    # primitive behind replica repair. doc_id sum is the cheap second
+    # channel (catches the xor's even-multiplicity blind spot for
+    # duplicated rows).
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(CAST(('0x' || substr(md5(
+                 CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR)
+               ), 1, 13))::UBIGINT AS BIGINT)) AS BIGINT) AS xor_sig,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    doc="X165: order-independent table checksum per source — bit_xor "
+    "over a per-row md5 digest of the business key+payload columns, "
+    "plus a key-sum channel (xor alone is blind to even-multiplicity "
+    "duplicates). Because xor is commutative and associative the "
+    "aggregate is fully map-side combinable: two replicas of a 100 TB "
+    "table verify with one scan each and a |groups|-row exchange — "
+    "the anti-entropy/replica-repair primitive, and the cheap "
+    "pre-check before the row-level snapshot_diff_cdc. Deterministic "
+    "by construction (no ordering anywhere).",
+    tags=("pipeline", "eval", "stats"),
+)
+def table_checksum_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr(
+                "CAST(bit_xor(CAST(conv(substr(md5(concat("
+                "CAST(doc_id AS STRING), ':', CAST(n_chars AS STRING)"
+                ")), 1, 13), 16, 10) AS BIGINT)) AS BIGINT)"
+            ).alias("xor_sig"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )

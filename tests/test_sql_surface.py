@@ -9,7 +9,7 @@ from flink_emqx_connector_spark.plans.sql_surface import SQL_TEXTS
 def test_oracle_is_the_executed_text():
     """Drift-impossibility: for every family member the registered oracle
     string is byte-identical to the text the Spark side runs."""
-    assert len(SQL_TEXTS) == 15
+    assert len(SQL_TEXTS) == 16
     for name, (text, _tables) in SQL_TEXTS.items():
         assert QUERIES[name].oracle == text, name
 
