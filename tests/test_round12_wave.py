@@ -369,3 +369,40 @@ def test_simpson_bounds_and_exactness():
     want = (d.numerator * 10**6) // d.denominator
     assert by["s0"][3] == want, (by["s0"][3], want)
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# MQTT publish-gate timeout diagnostics (round-11 ADVICE, mqtt_wire.py)
+# ---------------------------------------------------------------------------
+
+
+def _gated_client():
+    from flink_emqx_connector_spark.sources.mqtt_wire import Client
+
+    c = Client(client_id="t-timeout")
+    # make the condition wait return immediately so the 30 s deadline
+    # logic resolves in one loop pass without real sleeping
+    c._quota_cv.wait = lambda timeout=None: False
+    return c
+
+
+def test_publish_timeout_reports_missing_connack():
+    """Timeout while the CONNACK was never processed must diagnose a
+    connection failure, not flow-control exhaustion."""
+    c = _gated_client()
+    c._running = True
+    c._quota_known = False
+    with pytest.raises(TimeoutError, match="CONNACK not received"):
+        c.publish("t", b"x", qos=1)
+
+
+def test_publish_timeout_reports_quota_exhaustion():
+    """Timeout with a known, fully-consumed quota keeps the
+    Receive-Maximum exhaustion message."""
+    c = _gated_client()
+    c._running = True
+    c._quota_known = True
+    c._send_quota = 1
+    c._inflight_out = 1
+    with pytest.raises(TimeoutError, match="Receive-Maximum 1.*exhausted"):
+        c.publish("t", b"x", qos=1)
