@@ -1770,3 +1770,321 @@ def table_checksum_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X166: Kaplan-Meier survival curve (time from first view to purchase)
+# ---------------------------------------------------------------------------
+
+@register(
+    "kaplan_meier_time_to_purchase",
+    # Discrete KM over day-granular durations: users with a first view
+    # enter at risk; conversion = first purchase at/after it; users
+    # without one are right-censored at the corpus horizon. n_at_risk
+    # and event counts are exact integers from a day census; the
+    # survival product is exp(Σ ln((n−d)/n)) over EVENT days — a
+    # cumulative window in deterministic day order, stable-rounded
+    # (rows where d = n would be ln(0) and are filtered; censoring at
+    # the horizon makes them impossible on this data shape anyway).
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS t0,
+             max(epoch_us(ts)) AS tmaxu
+      FROM events GROUP BY 1
+    ), hz AS (
+      SELECT max(tmaxu) AS horizon FROM pu
+    ), conv AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS te
+      FROM events e JOIN pu ON pu.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND pu.t0 IS NOT NULL
+        AND epoch_us(e.ts) >= pu.t0
+      GROUP BY 1
+    ), dur AS (
+      SELECT pu.user_id,
+             CASE WHEN conv.te IS NOT NULL
+                  THEN (conv.te - pu.t0) // 86400000000
+                  ELSE (hz.horizon - pu.t0) // 86400000000 END AS d,
+             CASE WHEN conv.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM pu CROSS JOIN hz
+      LEFT JOIN conv ON conv.user_id = pu.user_id
+      WHERE pu.t0 IS NOT NULL
+    ), census AS (
+      SELECT d, CAST(sum(ev) AS BIGINT) AS n_events,
+             CAST(sum(1 - ev) AS BIGINT) AS n_censored
+      FROM dur GROUP BY 1
+    ), risk AS (
+      SELECT d, n_events, n_censored,
+             CAST((SELECT count(*) FROM dur)
+                  - coalesce(sum(n_events + n_censored) OVER (ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_at_risk
+      FROM census
+    ), km AS (
+      SELECT d, n_at_risk, n_events, n_censored,
+             exp(sum(ln(CAST(n_at_risk - n_events AS DOUBLE) / n_at_risk))
+                 OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS s
+      FROM risk WHERE n_events > 0 AND n_events < n_at_risk
+    )
+    SELECT CAST(d AS BIGINT) AS day, n_at_risk, n_events, n_censored,
+           {stable_round_sql("s", 6)} AS km_survival
+    FROM km ORDER BY day
+    """,
+    doc="X166: Kaplan-Meier survival curve for time-to-conversion "
+    "(first view → first purchase, right-censored at the corpus "
+    "horizon) — the survival-analysis primitive behind retention/"
+    "conversion-lag reporting, done with exact integer at-risk and "
+    "event counts from ONE duration census (risk set via prefix "
+    "subtraction, never a per-day rescan). The survival product is "
+    "exp(Σ ln((n−d)/n)) over event days — a deterministic-order "
+    "cumulative window over ≤|span| rows, stable-rounded. Scale "
+    "shape: two user-keyed aggregates (map-side combinable) + one "
+    "|days| window; the corpus is scanned twice (views+purchases), "
+    "never per day.",
+    tags=("stats", "events", "eval"),
+)
+def kaplan_meier_time_to_purchase(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    eus = F.unix_micros(F.col("ts").cast("timestamp"))
+    pu = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", eus)).alias("t0"),
+        F.max(eus).alias("tmaxu"),
+    )
+    hz = pu.agg(F.max("tmaxu").alias("horizon"))
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", eus.alias("tp"))
+        .join(pu.filter(F.col("t0").isNotNull()).select("user_id", "t0"), "user_id")
+        .filter(F.col("tp") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("te"))
+    )
+    dur = (
+        pu.filter(F.col("t0").isNotNull())
+        .crossJoin(F.broadcast(hz))
+        .join(conv, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(
+                F.col("te").isNotNull(),
+                F.expr("(te - t0) div 86400000000"),
+            )
+            .otherwise(F.expr("(horizon - t0) div 86400000000"))
+            .alias("d"),
+            F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    census = dur.groupBy("d").agg(
+        F.sum("ev").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("n_censored"),
+    )
+    n_total = dur.agg(F.count("*").cast("bigint").alias("nt"))
+    w_prev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    risk = census.crossJoin(F.broadcast(n_total)).select(
+        "d", "n_events", "n_censored",
+        (
+            F.col("nt")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            )
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    km = risk.filter(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_at_risk"))
+    ).select(
+        "d", "n_at_risk", "n_events", "n_censored",
+        F.exp(
+            F.sum(
+                F.log(
+                    (F.col("n_at_risk") - F.col("n_events")).cast("double")
+                    / F.col("n_at_risk")
+                )
+            ).over(w_cum)
+        ).alias("s"),
+    )
+    return km.select(
+        F.col("d").cast("bigint").alias("day"),
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        stable_round(F.col("s"), 6).alias("km_survival"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# X167: exact-integer Fano factor (burstiness) per event type
+# ---------------------------------------------------------------------------
+
+@register(
+    "fano_burstiness_event_types",
+    # Fano = var/mean of daily counts. n²·var_pop = n·Σx² − (Σx)² is an
+    # EXACT integer, so Fano = (n·Σx² − (Σx)²) / (n·Σx) needs no FP
+    # variance at all; milli precision via the split-division pattern
+    # (num·1000 would overflow int64 at 100 TB daily volumes).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    ), f AS (
+      SELECT event_type, n_days, sx,
+             n_days * sxx - sx * sx AS num,
+             n_days * sx AS den
+      FROM s
+    )
+    SELECT event_type, n_days, sx AS n_events,
+           CAST((num // den) * 1000 + ((num % den) * 1000) // den
+                AS BIGINT) AS fano_milli
+    FROM f ORDER BY event_type
+    """,
+    doc="X167: exact-integer Fano factor (burstiness index) of daily "
+    "event counts per type — var/mean ≈ 1 is Poisson-like arrival, "
+    "≫1 is bursty, ≪1 is regular (the dispersion diagnostic behind "
+    "rate-anomaly thresholds). The trick: n²·var_pop = n·Σx² − (Σx)² "
+    "is an EXACT int64, so no FP variance exists anywhere — Fano at "
+    "milli precision via split division (num·1000 overflows int64 at "
+    "100 TB daily volumes; q·1000 + rem·1000 div den never does). "
+    "Scale shape: one map-side (type, day) census, then |types| rows.",
+    tags=("stats", "events", "drift"),
+)
+def fano_burstiness_event_types(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.expr("unix_date(CAST(ts AS DATE))").cast("bigint").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    f = s.select(
+        "event_type", "n_days", "sx",
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("num"),
+        (F.col("n_days") * F.col("sx")).alias("den"),
+    )
+    return f.select(
+        "event_type",
+        "n_days",
+        F.col("sx").alias("n_events"),
+        F.expr("CAST((num div den) * 1000 + ((num % den) * 1000) div den AS BIGINT)")
+        .alias("fano_milli"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# X168: odds ratio of long docs per source (2×2 exact cross products)
+# ---------------------------------------------------------------------------
+
+@register(
+    "odds_ratio_long_docs_by_source",
+    # "Long" = n_chars ≥ the DISCRETE global median (type-1 order
+    # statistic via the census straddle — the quantiles policy). The
+    # 2×2 odds ratio per source-vs-rest uses exact integer cross
+    # products a·d and b·c; milli value via split division, NULL when
+    # a margin is empty (nullif guards the ANSI division).
+    oracle="""
+    WITH g AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1
+    ), med AS (
+      SELECT min(v) AS m FROM (
+        SELECT v, sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(c) OVER () AS n
+        FROM g
+      ) WHERE cw * 2 >= n
+    ), cls AS (
+      SELECT source,
+             CAST(sum(CASE WHEN n_chars >= med.m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN n_chars < med.m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM documents CROSS JOIN med GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+      FROM cls
+    )
+    SELECT source, a AS n_long, b AS n_short,
+           CAST((a * (tb - b)) AS BIGINT) AS ad,
+           CAST((b * (ta - a)) AS BIGINT) AS bc,
+           CAST(CASE WHEN b * (ta - a) > 0 THEN
+                  (a * (tb - b) // (b * (ta - a))) * 1000
+                  + ((a * (tb - b) % (b * (ta - a))) * 1000)
+                    // (b * (ta - a))
+                END AS BIGINT) AS odds_ratio_milli
+    FROM cls CROSS JOIN tot ORDER BY source
+    """,
+    doc="X168: odds ratio of long documents per source vs the rest — "
+    "the 2×2 effect-size statistic (epidemiology's workhorse) over "
+    "the 'long doc' indicator cut at the DISCRETE global median "
+    "(type-1 order statistic, quantiles policy — no interpolated "
+    "boundary). Exact integer cross products a·d / b·c; milli "
+    "precision via split division; NULL when a margin is empty. "
+    "Scale shape: one value census for the median + one map-side "
+    "per-source 2-counter aggregate; output |sources| rows.",
+    tags=("stats", "drift", "eval"),
+)
+def odds_ratio_long_docs_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    med = (
+        g.select(
+            "v",
+            F.sum("c").over(w_cum).alias("cw"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        .filter(F.col("cw") * 2 >= F.col("n"))
+        .agg(F.min("v").alias("m"))
+    )
+    cls = (
+        docs.crossJoin(F.broadcast(med))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("n_chars") >= F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(F.col("n_chars") < F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("b"),
+        )
+    )
+    tot = cls.agg(
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("b").cast("bigint").alias("tb"),
+    )
+    return (
+        cls.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("a").alias("n_long"),
+            F.col("b").alias("n_short"),
+            (F.col("a") * (F.col("tb") - F.col("b"))).cast("bigint").alias("ad"),
+            (F.col("b") * (F.col("ta") - F.col("a"))).cast("bigint").alias("bc"),
+            F.expr(
+                "CAST(CASE WHEN b * (ta - a) > 0 THEN"
+                " (a * (tb - b) div (b * (ta - a))) * 1000"
+                " + ((a * (tb - b) % (b * (ta - a))) * 1000)"
+                "   div (b * (ta - a)) END AS BIGINT)"
+            ).alias("odds_ratio_milli"),
+        )
+        .orderBy("source")
+    )
