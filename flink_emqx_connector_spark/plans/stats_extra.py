@@ -1849,9 +1849,17 @@ def table_checksum_by_source(spark, sf_dir):
 def kaplan_meier_time_to_purchase(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     eus = F.unix_micros(F.col("ts").cast("timestamp"))
-    pu = events.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", eus)).alias("t0"),
-        F.max(eus).alias("tmaxu"),
+    # pu and dur are USER-bounded (tiny next to the corpus) and each
+    # feeds 2+ downstream branches — localCheckpoint pins them so the
+    # events scan runs exactly twice (pu + the purchase leg), not once
+    # per consuming branch (pinned by test_plan_shapes)
+    pu = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", eus)).alias("t0"),
+            F.max(eus).alias("tmaxu"),
+        )
+        .localCheckpoint()
     )
     hz = pu.agg(F.max("tmaxu").alias("horizon"))
     conv = (
@@ -1876,6 +1884,7 @@ def kaplan_meier_time_to_purchase(spark, sf_dir):
             .alias("d"),
             F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
         )
+        .localCheckpoint()
     )
     census = dur.groupBy("d").agg(
         F.sum("ev").cast("bigint").alias("n_events"),

@@ -905,3 +905,24 @@ def test_hill_tail_partitioned_topk(plans):
 def test_simpson_census_combine(plans):
     p = plans("simpson_diversity_sources")
     assert p.count("HashAggregate") >= 4, p  # two stacked censuses
+
+
+def test_kaplan_meier_census_not_per_day_scan(plans):
+    """Risk sets must come from prefix subtraction over ONE duration
+    census — the corpus is scanned for views+purchases, never per day."""
+    p = plans("kaplan_meier_time_to_purchase")
+    assert p.count("Scan parquet") <= 6, p  # pu + conv legs (x2 printout)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_fano_mapside_census(plans):
+    p = plans("fano_burstiness_event_types")
+    assert p.count("HashAggregate") >= 4, p  # daily census + per-type, partial+final
+
+
+def test_odds_ratio_broadcast_median(plans):
+    """The 1-row median and totals must broadcast — no shuffle join of
+    the corpus against scalars."""
+    p = plans("odds_ratio_long_docs_by_source")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
