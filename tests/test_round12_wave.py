@@ -406,3 +406,113 @@ def test_publish_timeout_reports_quota_exhaustion():
     c._inflight_out = 1
     with pytest.raises(TimeoutError, match="Receive-Maximum 1.*exhausted"):
         c.publish("t", b"x", qos=1)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz: allocator/planner invariants over random inputs
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAVE_HYP = True
+except Exception:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=2000), min_size=1,
+                 max_size=40)
+    )
+    def test_waterfill_budget_exact_fuzz(caps):
+        cells = [("s", f"l{i:03d}", n) for i, n in enumerate(caps)]
+        rows, con = _run_waterfill_oracle(cells)
+        _check_invariants(rows, cells)
+        con.close()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=5000), min_size=1,
+                 max_size=12)
+    )
+    def test_dhondt_fuzz_seats_sum_and_divisor_optimality(counts):
+        """Seats always sum to 16; the D'Hondt allocation maximizes the
+        minimum quotient among awarded seats (equivalently: no source
+        could justify stealing a seat — its next quotient never exceeds
+        another's last awarded quotient)."""
+        from fractions import Fraction
+
+        rows = []
+        for i, n in enumerate(counts):
+            rows.extend([("en", f"s{i:02d}", 1)] * 0)  # placeholder
+        # build documents with n docs per source
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents (doc_id BIGINT, text VARCHAR,"
+            " lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+        )
+        did = 0
+        for i, n in enumerate(counts):
+            con.execute(
+                f"INSERT INTO documents SELECT {did} + range, 'x', 'en',"
+                f" 's{i:02d}', 100 FROM range({n})"
+            )
+            did += n
+        recs = con.execute(
+            QUERIES["apportionment_dhondt_vs_hamilton"].oracle
+        ).fetchall()
+        seats = {r[0]: r[2] for r in recs}
+        ns = {r[0]: r[1] for r in recs}
+        assert sum(seats.values()) == 16
+        assert sum(r[3] for r in recs) == 16  # hamilton too
+        # divisor-optimality: for any pair (a with a seat to lose, b),
+        # b's NEXT quotient n_b/(s_b+1) must not exceed a's LAST awarded
+        # quotient n_a/s_a (ties legal — broken by name/divisor)
+        for a, sa in seats.items():
+            if sa == 0:
+                continue
+            last_a = Fraction(ns[a], sa)
+            for b, sb in seats.items():
+                if b == a:
+                    continue
+                nxt_b = Fraction(ns[b], sb + 1)
+                assert nxt_b <= last_a, (a, b, last_a, nxt_b)
+        con.close()
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=100, max_value=50_000_00), min_size=16,
+            max_size=300,
+        )
+    )
+    def test_range_partition_fuzz(cents_list):
+        """Random (possibly heavily tied) value sets: ranges stay
+        complete, ±1 balanced, and value-monotone."""
+        orders = [
+            (i, 1, "O", c / 100.0, None, "1-URGENT")
+            for i, c in enumerate(cents_list)
+        ]
+        con = _duck_with(
+            {
+                "orders": (
+                    "o_orderkey BIGINT, o_custkey BIGINT,"
+                    " o_orderstatus VARCHAR, o_totalprice DOUBLE,"
+                    " o_orderdate TIMESTAMP, o_orderpriority VARCHAR",
+                    orders,
+                )
+            }
+        )
+        recs = con.execute(QUERIES["range_partition_plan"].oracle).fetchall()
+        counts = [r[1] for r in recs]
+        assert sum(counts) == len(orders)
+        assert max(counts) - min(counts) <= 1, counts
+        prev_hi = None
+        for _, _, lo, hi in recs:
+            assert lo <= hi
+            if prev_hi is not None:
+                assert prev_hi <= lo
+            prev_hi = hi
+        con.close()
