@@ -2097,3 +2097,175 @@ def odds_ratio_long_docs_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X169: log2-bucketed latency histogram (HDR-style), exact integer buckets
+# ---------------------------------------------------------------------------
+
+@register(
+    "log2_latency_histogram",
+    # floor(log2(x)) via FP log2 is WRONG at exact powers of two (k−ε
+    # on one engine floors to k−1) — instead length(bin(x)) − 1 is the
+    # exact integer log2 on BOTH engines (bin() renders the binary
+    # string; its length is bit_length). The HDR-histogram trick with
+    # zero FP anywhere.
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), b AS (
+      SELECT event_type, gap_us,
+             CAST(length(bin(gap_us)) - 1 AS BIGINT) AS log2_bucket
+      FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+    )
+    SELECT event_type, log2_bucket,
+           CAST(power(2, log2_bucket) AS BIGINT) AS bucket_lo_us,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="X169: HDR-style log2-bucketed inter-event gap histogram per "
+    "event type — the fixed-memory latency-distribution structure "
+    "observability systems keep (exponential buckets, exact counts). "
+    "The bucket index is length(bin(gap)) − 1: EXACT integer log2 on "
+    "both engines, immune to the floor(log2(2^k)) = k−1 FP boundary "
+    "bug that hits power-of-two gaps. Scale shape: one per-user "
+    "partitioned lag window + a map-side (type, bucket) census; "
+    "output ≤ |types|·64 rows regardless of corpus size.",
+    tags=("stats", "events", "windows"),
+)
+def log2_latency_histogram(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    eus = F.unix_micros(F.col("ts").cast("timestamp"))
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.select(
+        "event_type", (eus - F.lag(eus).over(w_u)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    bucket = (F.length(F.bin(F.col("gap_us"))) - 1).cast("bigint")
+    return (
+        g.groupBy("event_type", bucket.alias("log2_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        )
+        .select(
+            "event_type",
+            "log2_bucket",
+            F.pow(F.lit(2), F.col("log2_bucket")).cast("bigint").alias("bucket_lo_us"),
+            "n_gaps",
+            "min_gap_us",
+            "max_gap_us",
+        )
+        .orderBy("event_type", "log2_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X170: distribution-free median CI via binomial order-statistic ranks
+# ---------------------------------------------------------------------------
+
+@register(
+    "median_ci_order_statistic",
+    # The classic distribution-free CI for the median: order statistics
+    # at ranks n/2 ∓ z·√n/2 cover the true median with ~95% confidence
+    # for ANY distribution. The rank arithmetic runs the same IEEE
+    # steps on both engines (one sqrt per group) and floors to
+    # integers; the bounds themselves are DISCRETE order statistics
+    # via the rank window — no interpolation anywhere.
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ), r AS (
+      SELECT priority, cents,
+             CAST(row_number() OVER (PARTITION BY priority
+                  ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+      FROM c
+    ), k AS (
+      SELECT priority, cents, rn, n,
+             greatest(CAST(floor((n - 1.959964 * sqrt(CAST(n AS DOUBLE)))
+                           / 2e0) AS BIGINT), 1) AS lo_rank,
+             least(CAST(ceil(1e0 + (n + 1.959964 * sqrt(CAST(n AS DOUBLE)))
+                         / 2e0) AS BIGINT), n) AS hi_rank,
+             (n + 1) // 2 AS med_rank
+      FROM r
+    )
+    SELECT priority, CAST(max(n) AS BIGINT) AS n,
+           CAST(max(CASE WHEN rn = med_rank THEN cents END) AS BIGINT)
+             AS median_cents,
+           CAST(max(CASE WHEN rn = lo_rank THEN cents END) AS BIGINT)
+             AS ci_lo_cents,
+           CAST(max(CASE WHEN rn = hi_rank THEN cents END) AS BIGINT)
+             AS ci_hi_cents,
+           CAST(max(lo_rank) AS BIGINT) AS lo_rank,
+           CAST(max(hi_rank) AS BIGINT) AS hi_rank
+    FROM k GROUP BY priority ORDER BY priority
+    """,
+    doc="X170: distribution-free 95% CI for the median per order "
+    "priority — order statistics at the binomial ranks n/2 ∓ z√n/2, "
+    "valid for ANY distribution (no normality, no bootstrap "
+    "replicates; the one-pass exact companion to the Poisson "
+    "bootstrap X152). The median and both bounds are DISCRETE order "
+    "statistics (type-1, quantiles policy); the only FP is one sqrt "
+    "per group running identical IEEE steps on both engines before "
+    "flooring to a rank. Scale shape: per-priority partitioned rank "
+    "window (5 groups), integer cents end to end.",
+    tags=("stats", "relational", "eval"),
+)
+def median_ci_order_statistic(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w_p = Window.partitionBy("priority")
+    r = c.select(
+        "priority", "cents",
+        F.row_number()
+        .over(w_p.orderBy("cents", "o_orderkey"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count("*").over(w_p).cast("bigint").alias("n"),
+    )
+    sq = F.sqrt(F.col("n").cast("double"))
+    k = r.select(
+        "priority", "cents", "rn", "n",
+        F.greatest(
+            F.floor((F.col("n") - 1.959964 * sq) / F.lit(2.0)).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("lo_rank"),
+        F.least(
+            F.ceil(F.lit(1.0) + (F.col("n") + 1.959964 * sq) / F.lit(2.0)).cast(
+                "bigint"
+            ),
+            F.col("n"),
+        ).alias("hi_rank"),
+        F.expr("(n + 1) div 2").alias("med_rank"),
+    )
+    return (
+        k.groupBy("priority")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max(F.when(F.col("rn") == F.col("med_rank"), F.col("cents")))
+            .cast("bigint")
+            .alias("median_cents"),
+            F.max(F.when(F.col("rn") == F.col("lo_rank"), F.col("cents")))
+            .cast("bigint")
+            .alias("ci_lo_cents"),
+            F.max(F.when(F.col("rn") == F.col("hi_rank"), F.col("cents")))
+            .cast("bigint")
+            .alias("ci_hi_cents"),
+            F.max("lo_rank").cast("bigint").alias("lo_rank"),
+            F.max("hi_rank").cast("bigint").alias("hi_rank"),
+        )
+        .orderBy("priority")
+    )
