@@ -926,3 +926,19 @@ def test_odds_ratio_broadcast_median(plans):
     p = plans("odds_ratio_long_docs_by_source")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_log2_histogram_census_combine(plans):
+    """Bucket census must partial-aggregate after the per-user lag
+    window; output is types×64-bounded."""
+    p = plans("log2_latency_histogram")
+    assert p.count("HashAggregate") >= 2, p
+    assert "user_id" in p, p  # partitioned window, never global
+
+
+def test_median_ci_partitioned_rank(plans):
+    """All three order statistics come from ONE partitioned rank window
+    — no global sort, no interpolating percentile node."""
+    p = plans("median_ci_order_statistic")
+    assert "percentile" not in p.lower(), p
+    assert "priority" in p, p
