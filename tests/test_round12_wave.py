@@ -516,3 +516,161 @@ if _HAVE_HYP:
                 assert prev_hi <= lo
             prev_hi = hi
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Wave-4/5 brute-force recomputes
+# ---------------------------------------------------------------------------
+
+
+def test_kaplan_meier_matches_manual_product():
+    """Small synthetic cohort with known conversions/censoring: the KM
+    oracle must equal the hand-rolled product-limit estimator."""
+    from datetime import datetime, timedelta
+    import math
+
+    base = datetime(2025, 3, 1)
+    events = []
+    eid = 0
+
+    def add(uid, day_offset, etype):
+        nonlocal eid
+        events.append(
+            (eid, base + timedelta(days=day_offset), uid, etype, 1.0, "{}")
+        )
+        eid += 1
+
+    # users 0..5 view on day 0; purchases at days 1,1,3 for users 0,1,2;
+    # users 3,4,5 never purchase (censored at horizon = max ts)
+    for u in range(6):
+        add(u, 0, "view")
+    add(0, 1, "purchase")
+    add(1, 1, "purchase")
+    add(2, 3, "purchase")
+    add(5, 9, "click")  # horizon = day 9
+    con = _duck_with(
+        {
+            "events": (
+                "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+                " event_type VARCHAR, value DOUBLE, props VARCHAR",
+                events,
+            )
+        }
+    )
+    recs = con.execute(
+        QUERIES["kaplan_meier_time_to_purchase"].oracle
+    ).fetchall()
+    # day 1: 6 at risk, 2 events -> S = 4/6; day 3: 4 at risk, 1 event
+    # -> S = 4/6 * 3/4 = 0.5
+    by = {r[0]: r for r in recs}
+    assert set(by) == {1, 3}, recs
+    assert by[1][1] == 6 and by[1][2] == 2
+    assert by[3][1] == 4 and by[3][2] == 1
+    assert abs(by[1][4] - 4 / 6) < 1e-6
+    assert abs(by[3][4] - 0.5) < 1e-6
+    con.close()
+
+
+def test_fano_matches_numpy():
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    rnd = np.random.default_rng(5)
+    base = datetime(2025, 1, 1)
+    events = []
+    eid = 0
+    for day in range(20):
+        for _ in range(int(rnd.integers(1, 50))):
+            events.append(
+                (eid, base + timedelta(days=day, seconds=int(rnd.integers(0, 3600))),
+                 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    con = _duck_with(
+        {
+            "events": (
+                "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+                " event_type VARCHAR, value DOUBLE, props VARCHAR",
+                events,
+            )
+        }
+    )
+    rec = con.execute(
+        QUERIES["fano_burstiness_event_types"].oracle
+    ).fetchone()
+    # exact integer recompute
+    from collections import Counter
+
+    daily = Counter(e[1].date() for e in events)
+    xs = list(daily.values())
+    n = len(xs)
+    num = n * sum(x * x for x in xs) - sum(xs) ** 2
+    den = n * sum(xs)
+    want = (num // den) * 1000 + ((num % den) * 1000) // den
+    assert rec[3] == want, (rec, want)
+    # and it equals floor(1000 * var_pop/mean) within 1 milli
+    import statistics
+
+    fano_float = statistics.pvariance(xs) / statistics.mean(xs)
+    assert abs(rec[3] - fano_float * 1000) <= 1, (rec[3], fano_float * 1000)
+    con.close()
+
+
+def test_log2_histogram_exact_at_power_of_two_boundaries():
+    """Gaps of exactly 2^k land in bucket k (the case FP floor(log2)
+    gets wrong by one ulp on one engine)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2025, 1, 1)
+    events = [(0, base, 1, "click", 1.0, "{}")]
+    t = base
+    eid = 1
+    for k in (10, 20, 26, 30):  # gaps 2^k microseconds
+        t = t + timedelta(microseconds=2**k)
+        events.append((eid, t, 1, "click", 1.0, "{}"))
+        eid += 1
+    con = _duck_with(
+        {
+            "events": (
+                "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+                " event_type VARCHAR, value DOUBLE, props VARCHAR",
+                events,
+            )
+        }
+    )
+    recs = con.execute(QUERIES["log2_latency_histogram"].oracle).fetchall()
+    got = {r[1]: (r[2], r[3]) for r in recs}
+    assert set(got) == {10, 20, 26, 30}, recs
+    for k in got:
+        assert got[k][0] == 2**k  # bucket_lo is exactly the power
+        assert got[k][1] == 1
+    con.close()
+
+
+def test_median_ci_brackets_median_and_uses_real_ranks():
+    import random
+
+    rnd = random.Random(3)
+    orders = [
+        (i, 1, "O", round(rnd.uniform(100, 9999), 2), None, "1-URGENT")
+        for i in range(501)
+    ]
+    con = _duck_with(
+        {
+            "orders": (
+                "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR,"
+                " o_totalprice DOUBLE, o_orderdate TIMESTAMP,"
+                " o_orderpriority VARCHAR",
+                orders,
+            )
+        }
+    )
+    rec = con.execute(QUERIES["median_ci_order_statistic"].oracle).fetchone()
+    priority, n, med, lo, hi, lo_rank, hi_rank = rec
+    assert n == 501
+    cents = sorted(int(p * 100 + 0.5) for _, _, _, p, _, _ in orders)
+    assert med == cents[(n + 1) // 2 - 1]
+    assert lo == cents[lo_rank - 1] and hi == cents[hi_rank - 1]
+    assert lo <= med <= hi
+    assert 1 <= lo_rank < hi_rank <= n
+    con.close()
