@@ -2269,3 +2269,203 @@ def median_ci_order_statistic(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# X171: exact-integer Durbin-Watson over the daily series
+# ---------------------------------------------------------------------------
+
+@register(
+    "durbin_watson_daily_events",
+    # DW = Σ(e_t − e_{t−1})² / Σe_t². The mean CANCELS in first
+    # differences (e_t − e_{t−1} = x_t − x_{t−1}) and n·Σe² =
+    # n·Σx² − S², so DW = n·Σ(Δx)² / (n·Σx² − S²) is a ratio of exact
+    # int64s — the serial-correlation diagnostic with zero FP. Milli
+    # precision via split division.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), dx AS (
+      SELECT event_type, day, x,
+             x - lag(x) OVER (PARTITION BY event_type ORDER BY day) AS d
+      FROM daily
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(d * d) AS BIGINT) AS sdd
+      FROM dx GROUP BY 1
+    ), f AS (
+      SELECT event_type, n,
+             n * sdd AS num,
+             n * sxx - sx * sx AS den
+      FROM s WHERE n * sxx - sx * sx > 0
+    )
+    SELECT event_type, n AS n_days,
+           CAST((num // den) * 1000 + ((num % den) * 1000) // den
+                AS BIGINT) AS dw_milli
+    FROM f ORDER BY event_type
+    """,
+    doc="X171: exact-integer Durbin-Watson statistic of the daily "
+    "event-count series per type — the serial-correlation diagnostic "
+    "(≈2 = independent days, →0 = positively autocorrelated/trending, "
+    "→4 = alternating) behind 'is this series i.i.d. enough to "
+    "threshold?'. The arithmetic identity that makes it exact: the "
+    "mean cancels in first differences and n·Σe² = n·Σx² − S², so "
+    "DW = n·Σ(Δx)²/(n·Σx² − S²) is a pure int64 ratio — no FP "
+    "residuals anywhere; milli precision via split division. Scale "
+    "shape: map-side (type, day) census + a |days| lag window per "
+    "type.",
+    tags=("stats", "events", "drift"),
+)
+def durbin_watson_daily_events(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.expr("unix_date(CAST(ts AS DATE))").cast("bigint").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    dx = daily.select(
+        "event_type", "day", "x",
+        (
+            F.col("x")
+            - F.lag("x").over(Window.partitionBy("event_type").orderBy("day"))
+        ).alias("d"),
+    )
+    s = dx.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+    )
+    f = s.select(
+        "event_type", "n",
+        (F.col("n") * F.col("sdd")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    ).filter(F.col("den") > 0)
+    return f.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr("CAST((num div den) * 1000 + ((num % den) * 1000) div den AS BIGINT)")
+        .alias("dw_milli"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# X172: Wald-Wolfowitz runs test over the daily series
+# ---------------------------------------------------------------------------
+
+@register(
+    "runs_test_daily_events",
+    # Randomness of the daily series around its own DISCRETE median:
+    # days strictly above/below form a binary sequence; the observed
+    # run count vs its exact expectation 1 + 2·n1·n2/(n1+n2) flags
+    # trending (too few runs) or oscillation (too many). Median ties
+    # are dropped (standard); expectation at milli precision via split
+    # division — integer end to end.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, min(x) AS m FROM (
+        SELECT event_type, x,
+               sum(1) OVER (PARTITION BY event_type ORDER BY x, day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+      ) WHERE cw * 2 >= n GROUP BY 1
+    ), sgn AS (
+      SELECT d.event_type, d.day,
+             CASE WHEN d.x > med.m THEN 1 ELSE 0 END AS s
+      FROM daily d JOIN med ON med.event_type = d.event_type
+      WHERE d.x <> med.m
+    ), run_flags AS (
+      SELECT event_type, s,
+             CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY day)
+                       IS DISTINCT FROM s THEN 1 ELSE 0 END AS new_run
+      FROM sgn
+    ), agg AS (
+      SELECT event_type,
+             CAST(sum(new_run) AS BIGINT) AS runs,
+             CAST(sum(s) AS BIGINT) AS n_above,
+             CAST(sum(1 - s) AS BIGINT) AS n_below
+      FROM run_flags GROUP BY 1
+    )
+    SELECT event_type, runs, n_above, n_below,
+           CAST(1000 + (2 * n_above * n_below * 1000)
+                // (n_above + n_below) AS BIGINT) AS expected_runs_milli
+    FROM agg WHERE n_above > 0 AND n_below > 0
+    ORDER BY event_type
+    """,
+    doc="X172: Wald-Wolfowitz runs test of the daily event-count "
+    "series per type — days strictly above/below the series' own "
+    "DISCRETE median form a binary sequence; observed runs vs the "
+    "exact expectation 1 + 2n₁n₂/(n₁+n₂) flags trend (too few runs) "
+    "or oscillation (too many), the distribution-free companion to "
+    "Durbin-Watson (X171). Ties at the median dropped (standard "
+    "treatment); all integer, expectation at milli via one division. "
+    "Scale shape: (type, day) census + two windows over |days| rows "
+    "per type.",
+    tags=("stats", "events", "drift"),
+)
+def runs_test_daily_events(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.expr("unix_date(CAST(ts AS DATE))").cast("bigint").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("x", "day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("event_type")
+    med = (
+        daily.select(
+            "event_type", "x",
+            F.sum(F.lit(1)).over(w_cum).alias("cw"),
+            F.count("*").over(w_n).alias("n"),
+        )
+        .filter(F.col("cw") * 2 >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("x").alias("m"))
+    )
+    sgn = (
+        daily.join(F.broadcast(med), "event_type")
+        .filter(F.col("x") != F.col("m"))
+        .select(
+            "event_type", "day",
+            F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w_d = Window.partitionBy("event_type").orderBy("day")
+    run_flags = sgn.select(
+        "event_type", "s",
+        F.when(
+            ~F.lag("s").over(w_d).eqNullSafe(F.col("s")), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    agg = run_flags.groupBy("event_type").agg(
+        F.sum("new_run").cast("bigint").alias("runs"),
+        F.sum("s").cast("bigint").alias("n_above"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n_below"),
+    )
+    return (
+        agg.filter((F.col("n_above") > 0) & (F.col("n_below") > 0))
+        .select(
+            "event_type", "runs", "n_above", "n_below",
+            (
+                F.lit(1000)
+                + F.expr("(2 * n_above * n_below * 1000) div (n_above + n_below)")
+            )
+            .cast("bigint")
+            .alias("expected_runs_milli"),
+        )
+        .orderBy("event_type")
+    )

@@ -674,3 +674,70 @@ def test_median_ci_brackets_median_and_uses_real_ranks():
     assert lo <= med <= hi
     assert 1 <= lo_rank < hi_rank <= n
     con.close()
+
+
+def test_durbin_watson_matches_float_formula():
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    rnd = np.random.default_rng(9)
+    base = datetime(2025, 1, 1)
+    events = []
+    eid = 0
+    for day in range(30):
+        for _ in range(int(rnd.integers(5, 80))):
+            events.append(
+                (eid, base + timedelta(days=day, seconds=int(rnd.integers(0, 3600))),
+                 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    con = _duck_with(
+        {
+            "events": (
+                "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+                " event_type VARCHAR, value DOUBLE, props VARCHAR",
+                events,
+            )
+        }
+    )
+    rec = con.execute(QUERIES["durbin_watson_daily_events"].oracle).fetchone()
+    from collections import Counter
+
+    daily = Counter(e[1].date() for e in events)
+    xs = np.array([daily[d] for d in sorted(daily)], dtype=float)
+    e = xs - xs.mean()
+    dw = float(np.sum(np.diff(e) ** 2) / np.sum(e**2))
+    assert abs(rec[2] - dw * 1000) <= 1, (rec[2], dw * 1000)
+    con.close()
+
+
+def test_runs_test_matches_manual_count():
+    from datetime import datetime, timedelta
+
+    base = datetime(2025, 1, 1)
+    # daily counts: 5,1,5,1,5,1,9 -> median 5; strict above: only 9;
+    # below: 1,1,1; ties (the 5s) dropped -> sequence B,B,B,A -> 2 runs
+    counts = [5, 1, 5, 1, 5, 1, 9]
+    events = []
+    eid = 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            events.append(
+                (eid, base + timedelta(days=day, seconds=eid % 3600), 1,
+                 "view", 1.0, "{}")
+            )
+            eid += 1
+    con = _duck_with(
+        {
+            "events": (
+                "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+                " event_type VARCHAR, value DOUBLE, props VARCHAR",
+                events,
+            )
+        }
+    )
+    rec = con.execute(QUERIES["runs_test_daily_events"].oracle).fetchone()
+    _, runs, n_above, n_below, exp_milli = rec
+    assert (runs, n_above, n_below) == (2, 1, 3), rec
+    assert exp_milli == 1000 + (2 * 1 * 3 * 1000) // 4  # 1 + 1.5 -> 2500
+    con.close()
