@@ -2469,3 +2469,253 @@ def runs_test_daily_events(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# X173: single changepoint detection over the daily series
+# ---------------------------------------------------------------------------
+
+@register(
+    "changepoint_daily_events",
+    # Binary-segmentation step 1: the split t maximizing the
+    # between-group sum of squares (n·n1·n2·(μ1−μ2)² form). The score
+    # is one double expression over exact integer prefix sums —
+    # identical IEEE steps both engines — and the argmax is tie-broken
+    # by day, so the chosen changepoint is deterministic. Means are
+    # exact integer milli.
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), p AS (
+      SELECT day, x,
+             CAST(sum(x) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS s1,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS n1,
+             CAST(sum(x) OVER () AS BIGINT) AS st,
+             CAST(count(*) OVER () AS BIGINT) AS nt
+      FROM daily
+    ), scored AS (
+      SELECT day, n1, nt - n1 AS n2, s1, st - s1 AS s2,
+             pow(CAST(s1 AS DOUBLE) * (nt - n1) - CAST(st - s1 AS DOUBLE) * n1, 2)
+               / (CAST(n1 AS DOUBLE) * (nt - n1)) AS score
+      FROM p WHERE n1 < nt
+    ), best AS (
+      SELECT * FROM scored
+      ORDER BY score DESC, day LIMIT 1
+    )
+    SELECT CAST(day AS BIGINT) AS split_day,
+           CAST(n1 AS BIGINT) AS n_days_before,
+           CAST(n2 AS BIGINT) AS n_days_after,
+           CAST(s1 * 1000 // n1 AS BIGINT) AS mean_before_milli,
+           CAST(s2 * 1000 // n2 AS BIGINT) AS mean_after_milli,
+           {stable_round_sql("score", 3)} AS bss_score
+    FROM best
+    """,
+    doc="X173: single changepoint over the daily event-count series — "
+    "binary segmentation's first split: argmax over t of the "
+    "between-group sum of squares (computed as (s1·n2 − s2·n1)²/"
+    "(n1·n2), one double expression over exact integer prefix sums, "
+    "identical IEEE steps both engines; argmax tie-broken by day). "
+    "The level-shift locator that complements CUSUM (X: "
+    "event_rate_cusum detects drift onsets; this names the single "
+    "best split). Means exact integer milli. Scale shape: one day "
+    "census + |days| windows — the corpus is scanned once.",
+    tags=("stats", "events", "drift"),
+)
+def changepoint_daily_events(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_date(CAST(ts AS DATE))").cast("bigint").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    p = daily.select(
+        "day", "x",
+        F.sum("x").over(w_cum).cast("bigint").alias("s1"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("n1"),
+        F.sum("x").over(w_all).cast("bigint").alias("st"),
+        F.count("*").over(w_all).cast("bigint").alias("nt"),
+    )
+    scored = p.filter(F.col("n1") < F.col("nt")).select(
+        "day",
+        "n1",
+        (F.col("nt") - F.col("n1")).alias("n2"),
+        "s1",
+        (F.col("st") - F.col("s1")).alias("s2"),
+        (
+            F.pow(
+                F.col("s1").cast("double") * (F.col("nt") - F.col("n1"))
+                - (F.col("st") - F.col("s1")).cast("double") * F.col("n1"),
+                F.lit(2),
+            )
+            / (F.col("n1").cast("double") * (F.col("nt") - F.col("n1")))
+        ).alias("score"),
+    )
+    best = scored.orderBy(F.col("score").desc(), "day").limit(1)
+    return best.select(
+        F.col("day").cast("bigint").alias("split_day"),
+        F.col("n1").cast("bigint").alias("n_days_before"),
+        F.col("n2").cast("bigint").alias("n_days_after"),
+        F.expr("s1 * 1000 div n1").cast("bigint").alias("mean_before_milli"),
+        F.expr("s2 * 1000 div n2").cast("bigint").alias("mean_after_milli"),
+        stable_round(F.col("score"), 3).alias("bss_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X174: capture-recapture (Lincoln-Petersen) corpus-size estimate
+# ---------------------------------------------------------------------------
+
+@register(
+    "capture_recapture_estimate",
+    # Treat the two largest sources as two "captures" of the underlying
+    # document population; exact-duplicate content (md5 of text) seen in
+    # both is the recapture mark. N̂ = n1·n2/m (Lincoln-Petersen) with
+    # exact integer split division — the ecology estimator that prices
+    # how much of the true de-duplicated population the crawl has seen.
+    oracle="""
+    WITH ranked AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, source) AS rk
+      FROM documents GROUP BY 1
+    ), two AS (
+      SELECT max(CASE WHEN rk = 1 THEN source END) AS s1,
+             max(CASE WHEN rk = 2 THEN source END) AS s2
+      FROM ranked
+    ), marks AS (
+      SELECT md5(d.text) AS h,
+             max(CASE WHEN d.source = two.s1 THEN 1 ELSE 0 END) AS in1,
+             max(CASE WHEN d.source = two.s2 THEN 1 ELSE 0 END) AS in2
+      FROM documents d CROSS JOIN two
+      WHERE d.source IN (two.s1, two.s2)
+      GROUP BY 1
+    )
+    SELECT CAST(sum(in1) AS BIGINT) AS n1_distinct,
+           CAST(sum(in2) AS BIGINT) AS n2_distinct,
+           CAST(sum(in1 * in2) AS BIGINT) AS m_recaptured,
+           CAST(CASE WHEN sum(in1 * in2) > 0 THEN
+                  (sum(in1) * sum(in2)) // sum(in1 * in2)
+                END AS BIGINT) AS lincoln_petersen_estimate
+    FROM marks
+    """,
+    doc="X174: capture-recapture (Lincoln-Petersen) estimate of the "
+    "underlying distinct-document population from the two largest "
+    "sources — distinct content (md5 of text) per source is a "
+    "'capture', content in both is the recapture mark, N̂ = n1·n2/m. "
+    "The ecology estimator repurposed for crawl planning: how much of "
+    "the true deduplicated population have two independent crawls "
+    "actually seen? Exact integers, NULL when no overlap. Scale "
+    "shape: one digest census over the two sources (map-side), a "
+    "2-row broadcast for the source pick; the text never shuffles "
+    "(digests do).",
+    tags=("stats", "dedup", "eval"),
+)
+def capture_recapture_estimate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ranked = (
+        docs.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "source",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "source"))
+            .alias("rk"),
+        )
+    )
+    two = ranked.agg(
+        F.max(F.when(F.col("rk") == 1, F.col("source"))).alias("s1"),
+        F.max(F.when(F.col("rk") == 2, F.col("source"))).alias("s2"),
+    )
+    marks = (
+        docs.crossJoin(F.broadcast(two))
+        .filter((F.col("source") == F.col("s1")) | (F.col("source") == F.col("s2")))
+        .groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.max(F.when(F.col("source") == F.col("s1"), 1).otherwise(0)).alias(
+                "in1"
+            ),
+            F.max(F.when(F.col("source") == F.col("s2"), 1).otherwise(0)).alias(
+                "in2"
+            ),
+        )
+    )
+    return marks.agg(
+        F.sum("in1").cast("bigint").alias("n1_distinct"),
+        F.sum("in2").cast("bigint").alias("n2_distinct"),
+        F.sum(F.col("in1") * F.col("in2")).cast("bigint").alias("m_recaptured"),
+        F.expr(
+            "CAST(CASE WHEN sum(in1 * in2) > 0 THEN"
+            " (sum(in1) * sum(in2)) div sum(in1 * in2) END AS BIGINT)"
+        ).alias("lincoln_petersen_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X175: Chao1 vocabulary richness estimator per language
+# ---------------------------------------------------------------------------
+
+@register(
+    "chao1_vocab_richness",
+    # Chao1: D + n1²/(2·n2) — observed distinct types plus the
+    # singleton/doubleton correction estimating UNSEEN vocabulary (the
+    # species-richness estimator; hapax ratio X measures seen-once
+    # mass, this extrapolates the unseen). Exact integers with split
+    # division for the correction's milli part; the bias-corrected
+    # n1(n1−1)/(2(n2+1)) form when n2 = 0.
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+      FROM tok WHERE w <> '' GROUP BY 1, 2
+    ), s AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS d_observed,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM tf GROUP BY 1
+    )
+    SELECT lang, d_observed, n1 AS singletons, n2 AS doubletons,
+           CAST(d_observed * 1000
+                + CASE WHEN n2 > 0
+                       THEN (n1 * n1 * 1000) // (2 * n2)
+                       ELSE (n1 * (n1 - 1) * 1000) // 2 END
+                AS BIGINT) AS chao1_milli
+    FROM s ORDER BY lang
+    """,
+    doc="X175: Chao1 vocabulary richness per language — observed "
+    "distinct tokens plus the singleton²/(2·doubleton) correction "
+    "estimating how much vocabulary remains UNSEEN (the "
+    "species-richness estimator; complements hapax ratio, which only "
+    "measures seen-once mass). Drives 'is more crawl worth it for "
+    "this language?'. Exact integers (milli scale), the n2=0 "
+    "bias-corrected form inlined. Scale shape: one tokenize+census "
+    "shuffle on (lang, token) — vocab-bounded — then |langs| rows.",
+    tags=("stats", "text", "eval"),
+)
+def chao1_vocab_richness(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("lang", "w").agg(F.count("*").cast("bigint").alias("f"))
+    s = tf.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("d_observed"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).cast("bigint").alias("n2"),
+    )
+    return s.select(
+        "lang",
+        "d_observed",
+        F.col("n1").alias("singletons"),
+        F.col("n2").alias("doubletons"),
+        F.expr(
+            "CAST(d_observed * 1000"
+            " + CASE WHEN n2 > 0 THEN (n1 * n1 * 1000) div (2 * n2)"
+            "        ELSE (n1 * (n1 - 1) * 1000) div 2 END AS BIGINT)"
+        ).alias("chao1_milli"),
+    ).orderBy("lang")

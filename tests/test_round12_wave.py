@@ -741,3 +741,72 @@ def test_runs_test_matches_manual_count():
     assert (runs, n_above, n_below) == (2, 1, 3), rec
     assert exp_milli == 1000 + (2 * 1 * 3 * 1000) // 4  # 1 + 1.5 -> 2500
     con.close()
+
+
+def test_changepoint_finds_known_level_shift():
+    """Series with an obvious level shift at a known day: the argmax
+    must land exactly there, with the exact segment means."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2025, 1, 1)
+    events = []
+    eid = 0
+    counts = [10] * 12 + [40] * 8  # shift after day 11
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            events.append(
+                (eid, base + timedelta(days=day, seconds=eid % 3600), 1,
+                 "view", 1.0, "{}")
+            )
+            eid += 1
+    con = _duck_with(
+        {
+            "events": (
+                "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+                " event_type VARCHAR, value DOUBLE, props VARCHAR",
+                events,
+            )
+        }
+    )
+    rec = con.execute(QUERIES["changepoint_daily_events"].oracle).fetchone()
+    split_day, nb, na, mb, ma, score = rec
+    day0 = (base.date() - datetime(1970, 1, 1).date()).days
+    assert split_day == day0 + 11, rec  # last day of the low regime
+    assert (nb, na) == (12, 8)
+    assert mb == 10_000 and ma == 40_000
+    con.close()
+
+
+def test_capture_recapture_exact_on_known_overlap():
+    # source A: 6 distinct texts; source B: 4 distinct; 2 shared
+    rows = []
+    for i in range(6):
+        rows.append((f"t{i}", "en", "A", 10))
+    for i in range(4, 8):
+        rows.append((f"t{i}", "en", "B", 10))
+    docs = (
+        "doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR,"
+        " n_chars BIGINT",
+        [(j, t, l, s, n) for j, (t, l, s, n) in enumerate(rows)],
+    )
+    con = _duck_with({"documents": docs})
+    rec = con.execute(QUERIES["capture_recapture_estimate"].oracle).fetchone()
+    n1, n2, m, est = rec
+    assert (n1, n2, m) == (6, 4, 2)
+    assert est == 6 * 4 // 2  # 12 — the true population is 8, estimator biased high on tiny m
+    con.close()
+
+
+def test_chao1_exact_on_known_frequencies():
+    # vocab: 'a' x3, 'b' x2, 'c' x1, 'd' x1 -> D=4, n1=2, n2=1
+    docs = (
+        "doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR,"
+        " n_chars BIGINT",
+        [(0, "a a a b", "en", "s", 7), (1, "b c d", "en", "s", 5)],
+    )
+    con = _duck_with({"documents": docs})
+    rec = con.execute(QUERIES["chao1_vocab_richness"].oracle).fetchone()
+    lang, d, n1, n2, chao_milli = rec
+    assert (d, n1, n2) == (4, 2, 1)
+    assert chao_milli == 4000 + (2 * 2 * 1000) // (2 * 1)  # 4 + 2 = 6.000
+    con.close()
