@@ -61,16 +61,9 @@ _DRIVER_RECORDED = {
         # (integer-cents + discrete-order-statistic rewrite, new schema)
         # and doc_length_percentile_bands (discrete quantile bounds) so
         # the driver re-verifies the rewritten plans.
-        # latest green driver record: round 5 (17 names)
-        "daily_anomaly_events": 5, "event_transition_matrix": 5,
-        "funnel_stage_conversion": 5, "histogram_events": 5,
-        "intra_label_cosine": 5, "label_centroids": 5,
-        "mad_outlier_events": 5, "ngram_novelty_docs": 5,
-        "prefix_truncation_dupes": 5, "q16_supplier_part_variety": 5,
-        "q20_part_share_suppliers": 5, "q21_last_shipper_census": 5,
-        "q2_min_cost_supplier": 5, "retention_cohorts": 5,
-        "source_token_kl": 5, "time_decay_user_scores": 5,
-        "token_entropy_docs": 5,
+        # latest green driver record: round 5 (2 names; 15 round-5 names
+        # re-recorded green in round 12 and moved to that block)
+        "daily_anomaly_events": 5, "funnel_stage_conversion": 5,
         # latest green driver record: round 6 (13 names)
         "dup_inflation_by_source": 6, "event_type_cooccurrence": 6,
         "events_weekday_enrichment": 6, "late_arrival_accounting": 6,
@@ -114,8 +107,11 @@ _DRIVER_RECORDED = {
         "window_topk_orders_per_customer": 8, "wordcount": 8,
         "zorder_layout_stats": 8,
         # latest green driver record: round 9 (43 names)
+        # round 13 deletion (re-record-on-change): bucketed_colocated_join
+        # (4-decimal fixed-point revenue — sum-then-round semantics, new
+        # values) re-verifies fresh.
         "approx_aggregates": 9, "array_agg_order_quantities": 9,
-        "bucketed_colocated_join": 9, "codec_roundtrip_docs": 9,
+        "codec_roundtrip_docs": 9,
         "correlated_subquery_agg": 9, "cross_join_grid": 9, "cube_orders": 9,
         "decode_dead_letter_split": 9, "dedup_method_agreement": 9,
         "dedup_simhash": 9, "dedup_simhash_hamming": 9,
@@ -154,7 +150,10 @@ _DRIVER_RECORDED = {
         "q8_market_share": 10, "q9_product_profit": 10,
         "quality_drop_reasons": 10, "salted_user_activity": 10,
         "scan_jsonl_roundtrip": 10, "scan_orc_roundtrip": 10,
-        "sketch_merge_cms": 10, "sliding_window_events": 10,
+        # round 13 deletion (re-record-on-change): sketch_merge_cms
+        # (localCheckpoint on the shared token-hash scan; same values,
+        # new plan) re-verifies fresh.
+        "sliding_window_events": 10,
         "snapshot_diff_cdc": 10, "sql_except_all_order_bag": 10,
         "sql_grouping_flags": 10,
         "sql_interface_revenue_by_nation_quarter": 10,
@@ -192,6 +191,35 @@ _DRIVER_RECORDED = {
         "typo_token_pairs": 11, "variant_props_stats": 11,
         "weighted_median_price": 11, "weighted_sample_docs": 11,
         "zscore_per_priority": 11,
+        # latest green driver record: round 12 (49 of 50 names; the 50th,
+        # hill_tail_index_sources, is OMITTED per re-record-on-change —
+        # round 13 moves its FP ln() sum into a deterministic-order
+        # cumulative window per r12 ADVICE, so the driver re-verifies it).
+        "apportionment_dhondt_vs_hamilton": 12,
+        "capture_recapture_estimate": 12, "changepoint_daily_events": 12,
+        "chao1_vocab_richness": 12, "chi2_lang_source_residuals": 12,
+        "chunk_stitch_census": 12, "cumulative_new_users_daily": 12,
+        "curriculum_token_phases": 12, "dedup_graph_bfs_reach": 12,
+        "doc_length_percentile_bands": 12, "dp_noisy_source_counts": 12,
+        "durbin_watson_daily_events": 12, "event_transition_matrix": 12,
+        "fano_burstiness_event_types": 12, "gaps_islands_activity_streaks": 12,
+        "histogram_events": 12, "intra_label_cosine": 12,
+        "k_anonymity_audit": 12, "kaplan_meier_time_to_purchase": 12,
+        "label_centroids": 12, "log2_latency_histogram": 12,
+        "mad_outlier_events": 12, "mannwhitney_auc_sources": 12,
+        "median_ci_order_statistic": 12, "mix_waterfill_allocation": 12,
+        "mode_event_type_by_hour": 12, "ngram_novelty_docs": 12,
+        "odds_ratio_long_docs_by_source": 12, "poisson_bootstrap_mean_ci": 12,
+        "prefix_truncation_dupes": 12, "q16_supplier_part_variety": 12,
+        "q20_part_share_suppliers": 12, "q21_last_shipper_census": 12,
+        "q2_min_cost_supplier": 12, "quantile_normalize_doclen": 12,
+        "range_partition_plan": 12, "retention_cohorts": 12,
+        "runs_test_daily_events": 12, "simpson_diversity_sources": 12,
+        "skew_salt_planner": 12, "source_token_kl": 12,
+        "sql_group_by_all_status_priority": 12, "table_checksum_by_source": 12,
+        "time_decay_user_scores": 12, "token_entropy_docs": 12,
+        "trimmed_winsorized_order_stats": 12, "twap_user_value": 12,
+        "user_ltv_deciles": 12, "zone_map_skipping_audit": 12,
 }
 
 

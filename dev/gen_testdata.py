@@ -108,6 +108,12 @@ def generate(
     tables: set[str] | None = None,
     event_span_days: int = 30,
 ) -> None:
+    # Guard against CLI flags parsed as an output dir (a '--help' corpus
+    # was once committed this way, round-12 commit 357bf7c).
+    if os.path.basename(os.path.normpath(out_dir)).startswith("-"):
+        raise ValueError(
+            f"refusing flag-like out_dir {out_dir!r}; pass a real directory"
+        )
     os.makedirs(out_dir, exist_ok=True)
 
     n_li = max(int(6_000_000 * sf), 600)
