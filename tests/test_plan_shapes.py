@@ -942,3 +942,16 @@ def test_median_ci_partitioned_rank(plans):
     p = plans("median_ci_order_statistic")
     assert "percentile" not in p.lower(), p
     assert "priority" in p, p
+
+
+def test_cms_merge_legs_read_checkpointed_census_not_corpus(plans):
+    """sketch_merge_cms (r13 rewrite of the r10-r12 double-scan item):
+    both sketch legs must weighted-sum the localCheckpoint-pinned
+    vocab census — the final plan sees ONLY the checkpointed RDD, zero
+    parquet scans (the single corpus scan ran eagerly building the
+    census). A 'Scan parquet' here means a leg re-reads the corpus."""
+    import re
+
+    p = plans("sketch_merge_cms")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0, p
+    assert "ExistingRDD" in p, p
