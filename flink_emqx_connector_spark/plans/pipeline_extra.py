@@ -301,11 +301,16 @@ def partitioned_layout_pruning(spark, sf_dir):
 @register(
     "bucketed_colocated_join",
     oracle="""
+    WITH u AS (
+      SELECT o_orderpriority,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS units
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
     SELECT o_orderpriority,
-           count(*) AS n_lines,
-           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                          AS BIGINT)) / 100.0, 2) AS revenue
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           CAST(count(*) AS BIGINT) AS n_lines,
+           ((CAST(sum(units) AS BIGINT) + 50) // 100) / 100.0 AS revenue
+    FROM u
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
@@ -318,12 +323,16 @@ def partitioned_layout_pruning(spark, sf_dir):
     "join from a full-network shuffle into a node-local merge, and the "
     "one-time bucketed write amortizes over every subsequent join on "
     "the same key. Oracle joins the original parquet: layout must be "
-    "invisible to results. Revenue sums per-row integer cents (identical "
-    "IEEE product both engines, then exact int64): per-priority sums hit "
-    "~6e11 at sf10, where double summation order moves the 2nd decimal. "
-    "Documented tradeoff (ADVICE r9): round-THEN-sum differs from the "
-    "classic sum-then-round revenue by ≤0.5 cent/row — the price of "
-    "cross-engine bit-determinism at any scale.",
+    "invisible to results. Revenue (r13, closing the r9 ADVICE item) is "
+    "exact 4-decimal fixed point: ep and discount are 2-dp values, so "
+    "round(ep*100) and round(disc*100) recover exact int64s (identical "
+    "IEEE double product + half-away round on both engines), and "
+    "ep_cents * (100 - disc_pct) IS revenue*10^4 exactly — summed as "
+    "int64 (~6e13 per priority at sf10; int64 headroom past sf10000) "
+    "then rounded ONCE to cents via integer (+50) div 100 (operands "
+    "non-negative, so Spark div == DuckDB //). Sum-then-round matches "
+    "classic revenue semantics exactly AND is order-independent — the "
+    "former <=0.5 cent/row round-then-sum divergence is gone.",
     tags=("join", "layout", "bucketing", "pruning"),
 )
 def bucketed_colocated_join(spark, sf_dir):
@@ -385,19 +394,21 @@ def bucketed_colocated_join(spark, sf_dir):
     # also avoids a shuffle but hides the layout property under test; the
     # hint pins SortMergeJoin so the bucket-aligned, exchange-free scan
     # pair is what executes at every scale.
+    units = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         li_b.join(o_b.hint("merge"), li_b.l_orderkey == o_b.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(
-                F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                    ).cast("long")
-                )
-                / 100.0,
-                2,
+            F.sum(units).cast("long").alias("units"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            (
+                F.expr("(units + 50) div 100").cast("double") / 100.0
             ).alias("revenue"),
         )
         .orderBy("o_orderpriority")
