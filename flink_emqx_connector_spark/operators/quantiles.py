@@ -53,10 +53,16 @@ def discrete_quantile_bounds(
             return Fraction(f)
         fr = Fraction(f)  # exact binary value of the float
         if fr.limit_denominator(1000) != fr:
+            # Conservative fail-loud guard: rejects floats whose binary
+            # value differs from the intended decimal (0.1, 0.2, ...)
+            # AND exact dyadic rationals with denominator > 1000 (e.g.
+            # 1/1024) — for the latter the value is exact but we can't
+            # distinguish it from an inexact decimal, so demand the
+            # explicit form.
             raise ValueError(
-                f"float {f!r} is not an exact small rational "
-                "(its binary value differs from the intended fraction); "
-                "pass a fractions.Fraction or (num, den) tuple"
+                f"float {f!r}: denominator too large or value inexact "
+                "in binary — pass a fractions.Fraction or (num, den) "
+                "tuple to state the intended fraction exactly"
             )
         return fr
 

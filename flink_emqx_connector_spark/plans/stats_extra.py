@@ -1,9 +1,10 @@
-"""Round-12 wave of analytics operators (SURVEY.md §2.5 X145-X155):
-exact rank statistics, integer apportionment/partition planners, and
-deterministic resampling — the distribution-shift, layout-planning and
-uncertainty-quantification primitives a 100 TB curation pipeline runs
-between ingestion and training. Absent from the reference by design
-scope (it is a connector — SURVEY §0). All deterministic; every entry
+"""Round-12 waves of analytics operators (SURVEY.md §2.5 X145-X175):
+exact rank statistics, integer apportionment/partition planners,
+deterministic resampling, and estimation/diagnostics censuses — the
+distribution-shift, layout-planning and uncertainty-quantification
+primitives a 100 TB curation pipeline runs between ingestion and
+training. Absent from the reference by design scope (it is a
+connector — SURVEY §0). All deterministic; every entry
 DuckDB-oracle-checked.
 
 Determinism posture (the round-11 lessons applied from the start):
@@ -19,7 +20,9 @@ Determinism posture (the round-11 lessons applied from the start):
   the row key, the registry's seeded-hash idiom — exactly reproducible
   on both engines.
 
-Scale posture, per operator:
+Scale posture for the FIRST wave (X145-X155) below; the later waves
+(X156-X175) carry their determinism/scale notes in each register()
+doc — this list is not the module's full inventory:
 - mannwhitney_auc_sources: one value census (|distinct n_chars| rows,
   value-bounded) + one per-(source, value) census; the global-rank
   window runs over the value census, never the corpus.
@@ -1353,10 +1356,12 @@ def chunk_stitch_census(spark, sf_dir):
     "hill_tail_index_sources",
     # Hill estimator over the top-51 order statistics per source:
     # 1/α̂ = (1/50)·Σ ln(x_(i)/x_(51)). The ln calls run per-row on
-    # identical doubles; the 50-term FP sum's last-ulp order drift is
-    # absorbed by stable_round (values are generic reals, not
-    # boundary-concentrated — registry FP policy). Ties can zero the
-    # sum → nullif guards the ANSI division.
+    # identical doubles; the 50-term FP sum accumulates in a
+    # deterministic-order cumulative window (ORDER BY rk, the
+    # kaplan_meier exp(Σ ln) idiom — r12 ADVICE) so the FP step
+    # sequence is bit-identical on both engines, not
+    # partitioning-dependent. Ties can zero the sum → nullif guards
+    # the ANSI division.
     oracle=f"""
     WITH r AS (
       SELECT source, n_chars,
@@ -1368,12 +1373,17 @@ def chunk_stitch_census(spark, sf_dir):
              max(CASE WHEN rk = 51 THEN n_chars END)
                OVER (PARTITION BY source) AS xk
       FROM r WHERE rk <= 51
+    ), cum AS (
+      SELECT source, rk,
+             sum(ln(CAST(n_chars AS DOUBLE) / xk))
+               OVER (PARTITION BY source ORDER BY rk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lnsum,
+             max(rk) OVER (PARTITION BY source) AS maxrk,
+             CAST(xk AS BIGINT) AS x_tail_min
+      FROM tail WHERE rk <= 50
     ), s AS (
-      SELECT source,
-             sum(CASE WHEN rk <= 50 THEN ln(CAST(n_chars AS DOUBLE) / xk)
-                 END) AS lnsum,
-             CAST(max(xk) AS BIGINT) AS x_tail_min
-      FROM tail GROUP BY 1
+      SELECT source, lnsum, x_tail_min FROM cum WHERE rk = maxrk
     )
     SELECT source, x_tail_min,
            {stable_round_sql("lnsum", 6)} AS hill_lnsum,
@@ -1387,8 +1397,9 @@ def chunk_stitch_census(spark, sf_dir):
     "material share of the token mass and per-doc caps change the "
     "corpus; large α means the tail is ignorable. Scale shape: "
     "per-source partitioned top-k window (never global), 51 rows per "
-    "source thereafter; ties zero the log-sum → nullif guards the "
-    "division (ANSI).",
+    "source thereafter; the ln-sum runs in a rk-ordered cumulative "
+    "window (deterministic FP order on both engines); ties zero the "
+    "log-sum → nullif guards the division (ANSI).",
     tags=("stats", "drift", "eval"),
 )
 def hill_tail_index_sources(spark, sf_dir):
@@ -1405,15 +1416,26 @@ def hill_tail_index_sources(spark, sf_dir):
         .over(Window.partitionBy("source"))
         .alias("xk"),
     )
-    s = tail.groupBy("source").agg(
-        F.sum(
-            F.when(
-                F.col("rk") <= 50,
-                F.log(F.col("n_chars").cast("double") / F.col("xk")),
-            )
-        ).alias("lnsum"),
-        F.max("xk").cast("bigint").alias("x_tail_min"),
+    # Deterministic-order FP accumulation: the 50 ln() terms sum in a
+    # rk-ordered cumulative window (not a groupBy aggregate, whose
+    # accumulation order is partitioning-dependent and differs from
+    # DuckDB's), then the last row per source carries the full sum —
+    # the kaplan_meier idiom.
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    cum = tail.filter(F.col("rk") <= 50).select(
+        "source",
+        "rk",
+        F.sum(F.log(F.col("n_chars").cast("double") / F.col("xk")))
+        .over(w_cum)
+        .alias("lnsum"),
+        F.max("rk").over(Window.partitionBy("source")).alias("maxrk"),
+        F.col("xk").cast("bigint").alias("x_tail_min"),
+    )
+    s = cum.filter(F.col("rk") == F.col("maxrk"))
     return s.select(
         "source",
         "x_tail_min",
@@ -1761,11 +1783,7 @@ def table_checksum_by_source(spark, sf_dir):
         docs.groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_rows"),
-            F.expr(
-                "CAST(bit_xor(CAST(conv(substr(md5(concat("
-                "CAST(doc_id AS STRING), ':', CAST(n_chars AS STRING)"
-                ")), 1, 13), 16, 10) AS BIGINT)) AS BIGINT)"
-            ).alias("xor_sig"),
+            F.bit_xor(digest).cast("bigint").alias("xor_sig"),
             F.sum("doc_id").cast("bigint").alias("sum_ids"),
         )
         .orderBy("source")

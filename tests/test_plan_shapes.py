@@ -896,10 +896,18 @@ def test_chunk_stitch_census_no_pair_join(plans):
 
 def test_hill_tail_partitioned_topk(plans):
     """The top-51 rank must be PARTITIONED by source — never a global
-    sort of the corpus."""
+    sort of the corpus — and (r13) the 50-term ln-sum must run as a
+    rk-ordered cumulative WINDOW, not a groupBy aggregate whose FP
+    accumulation order is partitioning-dependent."""
     p = plans("hill_tail_index_sources")
     assert "partitionBy=[source" in p.replace(" ", "").replace('"', "") or "source" in p, p
-    assert p.count("HashAggregate") >= 1, p
+    assert "Window" in p, p
+    # the ln-sum is a cumulative-frame window now (no grouped
+    # aggregate of ln terms); formatted explain spells the frame as
+    # specifiedwindowframe(RowFrame, unboundedpreceding, currentrow)
+    pl = p.replace(" ", "").lower()
+    assert "unboundedpreceding" in pl and "currentrow" in pl, p
+    assert "HashAggregate" not in p, p
 
 
 def test_simpson_census_combine(plans):

@@ -116,9 +116,9 @@ def test_discrete_quantile_fraction_guard():
 
     # the conversion guard fires before any Spark work: a None df is
     # fine for the raising paths
-    with pytest.raises(ValueError, match="not an exact small rational"):
+    with pytest.raises(ValueError, match="denominator too large or value inexact"):
         discrete_quantile_bounds(None, "v", [0.1])
-    with pytest.raises(ValueError, match="not an exact small rational"):
+    with pytest.raises(ValueError, match="denominator too large or value inexact"):
         discrete_quantile_bounds(None, "v", [Fraction(1, 4), 0.3])
 
 
