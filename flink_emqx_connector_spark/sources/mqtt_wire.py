@@ -51,6 +51,20 @@ Scope — exactly the protocol surface the connector semantics need
   the client's advertised Topic-Alias-Maximum, per network connection —
   so the client's inbound alias table is exercised end-to-end by every
   repeated-topic delivery, not just by trace replay;
+- (round 13) Message Expiry Interval (§3.3.2.3.3, property 0x02):
+  publish-side encoding, broker store-and-forward with the deadline
+  fixed at receipt — a forwarded copy carries the received value minus
+  its queueing time (MQTT-3.3.2-6) and an expired queued/retained copy
+  is deleted instead of delivered (MQTT-3.3.2-5); consumer-side the
+  decremented value surfaces on ``MQTTMessage.properties``;
+- (round 13) full §3.8.3.1 SUBSCRIBE options: No Local (MQTT-3.8.3-3;
+  Protocol Error 0x82 on a shared subscription per MQTT-3.8.3-4),
+  Retain As Published (MQTT-3.3.1-12/13), Retain Handling 0/1/2
+  against the retained store, reserved-bit rejection (MQTT-3.8.3-5);
+  ``SubscribeOptions`` mirrors the paho surface;
+- (round 13) server-DISCONNECT Session-Expiry override: a 0x11 the
+  server sends with DISCONNECT is adopted for the reconnect CONNECT
+  (the HiveMQ-client behavior the reference inherits), trace-pinned;
 - (round 10) username/password authentication: CONNECT credential
   fields + broker-side verification (bad/missing → CONNACK 0x86, no
   session, no will) — the client's permanent-refusal cede is now
@@ -64,6 +78,7 @@ Scope — exactly the protocol surface the connector semantics need
 from __future__ import annotations
 
 import logging
+import math
 import socket
 import struct
 import threading
@@ -292,17 +307,26 @@ def publish_packet(
     dup: bool = False,
     user_props=None,
     topic_alias: int | None = None,
+    message_expiry: int | None = None,
 ) -> bytes:
     flags = (8 if dup else 0) | (qos << 1) | (1 if retain else 0)
     body = _mqtt_str(topic)
     if qos:
         body += struct.pack(">H", pid)
     props = _props_bytes(user_props=user_props)
+    extra = b""
+    if message_expiry is not None:
+        # Message Expiry Interval (§3.3.2.3.3, property 0x02, U32
+        # seconds): on a server-forwarded PUBLISH this is the received
+        # value minus the queueing time (MQTT-3.3.2-6)
+        extra += b"\x02" + struct.pack(">I", message_expiry)
     if topic_alias is not None:
         # append the Topic Alias property (0x22 is the CONNECT-side max;
         # the PUBLISH-side property id is 0x23)
+        extra += b"\x23" + struct.pack(">H", topic_alias)
+    if extra:
         _, i = _varint_from(props, 0)
-        inner = props[i:] + b"\x23" + struct.pack(">H", topic_alias)
+        inner = props[i:] + extra
         props = _varint(len(inner)) + inner
     body += props + payload
     return _packet(PUBLISH, flags, body)
@@ -327,8 +351,25 @@ def pubcomp_packet(pid: int) -> bytes:
     return _packet(PUBCOMP, 0, struct.pack(">H", pid))
 
 
-def subscribe_packet(pid: int, topic_filter: str, qos: int) -> bytes:
-    body = struct.pack(">H", pid) + _varint(0) + _mqtt_str(topic_filter) + bytes([qos])
+def subscribe_packet(
+    pid: int,
+    topic_filter: str,
+    qos: int,
+    no_local: bool = False,
+    retain_as_published: bool = False,
+    retain_handling: int = 0,
+) -> bytes:
+    # Subscription Options byte (§3.8.3.1): bits 0-1 QoS, bit 2 No Local
+    # (MQTT-3.8.3-3), bit 3 Retain As Published (MQTT-3.3.1-12/13),
+    # bits 4-5 Retain Handling (0 send retained / 1 send if new / 2
+    # never). Bits 6-7 are reserved and MUST be 0 (MQTT-3.8.3-5).
+    opts = (
+        (qos & 0x03)
+        | (0x04 if no_local else 0)
+        | (0x08 if retain_as_published else 0)
+        | ((retain_handling & 0x03) << 4)
+    )
+    body = struct.pack(">H", pid) + _varint(0) + _mqtt_str(topic_filter) + bytes([opts])
     return _packet(SUBSCRIBE, 2, body)
 
 
@@ -451,8 +492,15 @@ class _Session:
         #: configured-default deployments.
         self.expiry: int | None = None
         self.last_detach = 0.0
-        self.subs: dict[str, tuple[int, str | None]] = {}  # filter → (qos, group)
-        self.queue: deque = deque()  # (topic, payload, qos, retain, uprops, dup)
+        #: filter → (qos, group, no_local, retain_as_published): the
+        #: §3.8.3.1 subscription options, kept per-subscription for the
+        #: session's lifetime (retain-handling is a SUBSCRIBE-time-only
+        #: behavior and is not session state)
+        self.subs: dict[str, tuple[int, str | None, bool, bool]] = {}
+        #: (topic, payload, qos, retain, uprops, dup, deadline) — deadline
+        #: is the monotonic instant the Message Expiry Interval elapses
+        #: (None = does not expire, §3.3.2.3.3)
+        self.queue: deque = deque()
         self.inflight: dict[int, tuple] = {}
         # shared (bare, group) filters this session UNSUBSCRIBED while
         # connected (graceful scale-in): un-acked leftovers for these are
@@ -779,8 +827,10 @@ class EmbeddedBroker:
         inflight = [session.inflight[pid] for pid in sorted(session.inflight)]
         session.inflight.clear()
         for msg in reversed(inflight):
-            topic, payload, qos, retain, uprops, _dup = msg
-            session.queue.appendleft((topic, payload, qos, retain, uprops, True))
+            topic, payload, qos, retain, uprops, _dup, deadline = msg
+            session.queue.appendleft(
+                (topic, payload, qos, retain, uprops, True, deadline)
+            )
         while session.queue and session.conn is not None:
             self._deliver(session, session.queue.popleft())
         # QoS 2 messages past PUBREC: the client has them — finish the
@@ -802,10 +852,35 @@ class EmbeddedBroker:
                 filt, i = _parse_str(body, i)
                 opts = body[i]
                 i += 1
+                if opts & 0xC0:
+                    # MQTT-3.8.3-5: reserved option bits set → malformed
+                    # packet; ValueError rides run()'s close path (the
+                    # spec answer, DISCONNECT 0x81 then close, nets out
+                    # the same: the connection dies)
+                    raise ValueError(
+                        f"reserved SUBSCRIBE option bits set: 0x{opts:02x}"
+                    )
                 qos = opts & 0x03
+                no_local = bool(opts & 0x04)
+                rap = bool(opts & 0x08)  # Retain As Published
+                retain_handling = (opts >> 4) & 0x03
                 group, bare = strip_share(filt)
+                if group and no_local:
+                    # MQTT-3.8.3-4: No Local on a Shared Subscription is
+                    # a Protocol Error — answer DISCONNECT 0x82 and close
+                    try:
+                        conn.send(disconnect_packet(0x82))
+                    except OSError:
+                        pass
+                    raise ValueError("no-local on shared subscription")
                 if conn.session is not None:
-                    conn.session.subs[filt] = (qos, group if group else None)
+                    # retain-handling 1 sends the retained snapshot only
+                    # when this SUBSCRIBE creates the subscription —
+                    # check BEFORE the entry is (re)written (§3.8.3.1)
+                    existed = filt in conn.session.subs
+                    conn.session.subs[filt] = (
+                        qos, group if group else None, no_local, rap,
+                    )
                     if group:
                         # re-joining a group it departed cancels the
                         # pending scale-in re-dispatch for that filter
@@ -814,23 +889,36 @@ class EmbeddedBroker:
                             for b, g in conn.session.departed_shared
                             if (b, g) != (bare, group)
                         ]
-                    else:
+                    elif retain_handling == 0 or (
+                        retain_handling == 1 and not existed
+                    ):
                         # retained snapshot for the new subscription
                         # (retain=1 on delivery — the SUBSCRIBE-time
                         # warm-up the client distinguishes from live
                         # traffic). Shared subscriptions never receive
-                        # retained messages (§4.8.2).
-                        for rtopic, (rpay, rqos, rup) in self.retained.items():
+                        # retained messages (§4.8.2); retain-handling 2
+                        # suppresses the snapshot entirely, 1 only when
+                        # the subscription already existed (§3.8.3.1).
+                        # Expired retained entries are deleted here — the
+                        # first onward-delivery attempt after the expiry
+                        # (MQTT-3.3.2-5).
+                        now = time.monotonic()
+                        for rtopic in list(self.retained):
+                            rpay, rqos, rup, rdeadline = self.retained[rtopic]
+                            if rdeadline is not None and rdeadline <= now:
+                                self.retained.pop(rtopic)
+                                continue
                             if topic_matches_py(bare, rtopic):
                                 retained_out.append(
-                                    (rtopic, rpay, min(qos, rqos), rup)
+                                    (rtopic, rpay, min(qos, rqos), rup, rdeadline)
                                 )
                 reasons.append(qos)
             conn.send(suback_packet(pid, reasons))
             if conn.session is not None:
-                for rtopic, rpay, rqos, rup in retained_out:
+                for rtopic, rpay, rqos, rup, rdeadline in retained_out:
                     self._deliver(
-                        conn.session, (rtopic, rpay, rqos, True, rup, False)
+                        conn.session,
+                        (rtopic, rpay, rqos, True, rup, False, rdeadline),
                     )
 
     def _on_unsubscribe(self, conn: _BrokerConn, body: bytes) -> None:
@@ -844,7 +932,7 @@ class EmbeddedBroker:
             while i < len(body):
                 filt, i = _parse_str(body, i)
                 if conn.session is not None and filt in conn.session.subs:
-                    _q, group = conn.session.subs.pop(filt)
+                    _q, group, _nl, _rap = conn.session.subs.pop(filt)
                     if group is not None:
                         removed_shared.append((strip_share(filt)[1], group))
                     reasons.append(0x00)
@@ -886,10 +974,23 @@ class EmbeddedBroker:
                 return
         elif qos:
             conn.send(puback_packet(pid))
+        # Message Expiry Interval (§3.3.2.3.3, 0x02): fix the absolute
+        # deadline at RECEIPT — queueing time counts from here, so a
+        # forwarded copy carries the received value minus its wait
+        # (MQTT-3.3.2-6) and an expired queued copy is deleted
+        # (MQTT-3.3.2-5)
+        mexp = props.get(0x02)
+        deadline = time.monotonic() + mexp if mexp is not None else None
         with self._lock:
-            self._dispatch(topic, payload, qos, retain, props["user"])
+            self._dispatch(
+                topic, payload, qos, retain, props["user"],
+                deadline=deadline,
+                src=conn.session.clientid if conn.session is not None else None,
+            )
 
-    def _dispatch(self, topic, payload, qos, retain, uprops) -> None:
+    def _dispatch(
+        self, topic, payload, qos, retain, uprops, deadline=None, src=None
+    ) -> None:
         # Retained STORE (§3.3.1.3): a retained publish replaces the
         # topic's retained message; a zero-byte retained publish clears
         # it (MQTT-3.3.1-6/7). Runs here — the single choke point — so
@@ -897,7 +998,9 @@ class EmbeddedBroker:
         # status topic then holds last-known state for late monitors.
         if retain:
             if payload:
-                self.retained[topic] = (bytes(payload), qos, list(uprops))
+                self.retained[topic] = (
+                    bytes(payload), qos, list(uprops), deadline,
+                )
             else:
                 self.retained.pop(topic, None)
         # non-shared: every matching session. shared: ONE member per group,
@@ -909,13 +1012,29 @@ class EmbeddedBroker:
         # trace suite pins.
         shared: dict[tuple[str, str], list[tuple[_Session, int]]] = {}
         for session in self.sessions.values():
-            for filt, (sub_qos, group) in session.subs.items():
+            for filt, (sub_qos, group, no_local, rap) in session.subs.items():
                 _g, bare = strip_share(filt)
                 if not topic_matches_py(bare, topic):
                     continue
                 if group is None:
+                    if no_local and src is not None and session.clientid == src:
+                        # MQTT-3.8.3-3 No Local: never forward a message
+                        # to a connection whose ClientID equals the
+                        # publishing connection's — the loop-breaker a
+                        # bridge that republishes onto overlapping
+                        # filters relies on. Wills and retained snapshots
+                        # pass src=None (server-originated delivery).
+                        continue
+                    # Retain As Published (MQTT-3.3.1-12/13): with RAP
+                    # the forwarded copy keeps the publish's retain
+                    # flag; without it (the default, and the pre-§3.8.3.1
+                    # behavior) live forwards always carry retain=0.
                     self._deliver(
-                        session, (topic, payload, min(qos, sub_qos), False, uprops, False)
+                        session,
+                        (
+                            topic, payload, min(qos, sub_qos),
+                            retain if rap else False, uprops, False, deadline,
+                        ),
                     )
                 else:
                     shared.setdefault((group, bare), []).append((session, sub_qos))
@@ -927,14 +1046,28 @@ class EmbeddedBroker:
             self._rr[key] = idx + 1
             session, sub_qos = pool[idx]
             self._deliver(
-                session, (topic, payload, min(qos, sub_qos), False, uprops, False)
+                session,
+                (topic, payload, min(qos, sub_qos), False, uprops, False, deadline),
             )
 
     def _deliver(self, session: _Session, msg: tuple) -> None:
+        topic, payload, qos, retain, uprops, dup, deadline = msg
+        mexp = None
+        if deadline is not None:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                # MQTT-3.3.2-5: the Message Expiry Interval elapsed
+                # before onward delivery started — delete this
+                # subscriber's copy (never queue, never send)
+                return
+            # MQTT-3.3.2-6: forward the received value minus the time
+            # the message waited in the server. ceil keeps an
+            # immediately-forwarded copy at the received value (floor
+            # would knock every live forward down by one).
+            mexp = int(math.ceil(remaining))
         if session.conn is None:
             session.queue.append(msg)
             return
-        topic, payload, qos, retain, uprops, dup = msg
         pid = None
         if qos:
             pid = session.next_pid
@@ -959,7 +1092,7 @@ class EmbeddedBroker:
             conn.send(
                 publish_packet(
                     wire_topic, payload, qos, pid, retain, dup, uprops,
-                    topic_alias=alias,
+                    topic_alias=alias, message_expiry=mexp,
                 )
             )
         except OSError:
@@ -1011,11 +1144,13 @@ class EmbeddedBroker:
                 # the head of the queue for DUP redelivery on resume
                 inflight = [session.inflight[pid] for pid in sorted(session.inflight)]
                 session.inflight.clear()
-                for topic, payload, qos, retain, uprops, _d in reversed(inflight):
-                    session.queue.appendleft((topic, payload, qos, retain, uprops, True))
+                for topic, payload, qos, retain, uprops, _d, dl in reversed(inflight):
+                    session.queue.appendleft(
+                        (topic, payload, qos, retain, uprops, True, dl)
+                    )
                 live_shared = [
                     (strip_share(filt)[1], group)
-                    for filt, (_q, group) in session.subs.items()
+                    for filt, (_q, group, _nl, _rap) in session.subs.items()
                     if group is not None
                 ]
                 # departed filters (graceful scale-in: unsubscribed while
@@ -1098,14 +1233,14 @@ class EmbeddedBroker:
             return
         shared_filters = filters if filters is not None else [
             (strip_share(filt)[1], group)
-            for filt, (_q, group) in session.subs.items()
+            for filt, (_q, group, _nl, _rap) in session.subs.items()
             if group is not None
         ]
         if not shared_filters:
             return
         nonshared = [
             strip_share(filt)[1]
-            for filt, (_q, group) in session.subs.items()
+            for filt, (_q, group, _nl, _rap) in session.subs.items()
             if group is None
         ]
         keep: deque = deque()
@@ -1125,7 +1260,7 @@ class EmbeddedBroker:
                         (s, q2)
                         for s in self.sessions.values()
                         if s is not session and s.conn is not None
-                        for f2, (q2, g2) in s.subs.items()
+                        for f2, (q2, g2, _nl2, _rap2) in s.subs.items()
                         if g2 == group and strip_share(f2)[1] == bare
                     ),
                     key=lambda m: m[0].clientid,
@@ -1137,10 +1272,10 @@ class EmbeddedBroker:
                     target, target_qos = live[idx]
                 break  # first matching shared sub decides
             if target is not None:
-                topic, payload, qos, retain, uprops, _d = msg
+                topic, payload, qos, retain, uprops, _d, dl = msg
                 self._deliver(
                     target,
-                    (topic, payload, min(qos, target_qos), retain, uprops, True),
+                    (topic, payload, min(qos, target_qos), retain, uprops, True, dl),
                 )
             else:
                 keep.append(msg)
@@ -1181,6 +1316,31 @@ class Properties:
         # will-properties surface (passed to will_set): seconds the broker
         # holds the will before publishing (§3.1.3.2.2)
         self.WillDelayInterval: int | None = None
+        # publish-properties surface: seconds the broker may hold this
+        # message before it must delete undelivered copies (§3.3.2.3.3,
+        # property 0x02) — the knob a sensor uses so stale readings never
+        # reach a subscriber that resumes after the data went stale
+        self.MessageExpiryInterval: int | None = None
+
+
+class SubscribeOptions:
+    """paho-compatible §3.8.3.1 subscription options: ``noLocal``
+    (MQTT-3.8.3-3, never echo a client its own publishes),
+    ``retainAsPublished`` (MQTT-3.3.1-12/13, forward the retain flag as
+    published), ``retainHandling`` (0 = send retained at subscribe,
+    1 = only when the subscription is new, 2 = never)."""
+
+    RETAIN_SEND_ON_SUBSCRIBE = 0
+    RETAIN_SEND_IF_NEW_SUB = 1
+    RETAIN_DO_NOT_SEND = 2
+
+    def __init__(
+        self, qos=0, noLocal=False, retainAsPublished=False, retainHandling=0
+    ):
+        self.QoS = int(qos)
+        self.noLocal = bool(noLocal)
+        self.retainAsPublished = bool(retainAsPublished)
+        self.retainHandling = int(retainHandling)
 
 
 class _Flags:
@@ -1189,21 +1349,27 @@ class _Flags:
 
 
 class _UserProperties:
-    def __init__(self, pairs):
+    def __init__(self, pairs, message_expiry=None):
         self.UserProperty = pairs
+        #: Message Expiry Interval from the received PUBLISH (0x02), or
+        #: None when absent — on a broker-forwarded copy this is the
+        #: published value minus its queueing time (MQTT-3.3.2-6), so a
+        #: consumer can tell how stale a redelivered reading already is
+        self.MessageExpiryInterval = message_expiry
 
 
 class MQTTMessage:
     __slots__ = ("topic", "qos", "retain", "payload", "mid", "dup", "properties")
 
-    def __init__(self, topic, qos, retain, payload, mid, dup, uprops):
+    def __init__(self, topic, qos, retain, payload, mid, dup, uprops,
+                 message_expiry=None):
         self.topic = topic
         self.qos = qos
         self.retain = retain
         self.payload = payload
         self.mid = mid
         self.dup = dup
-        self.properties = _UserProperties(list(uprops))
+        self.properties = _UserProperties(list(uprops), message_expiry)
 
 
 class MQTTMessageInfo:
@@ -1234,6 +1400,13 @@ class Client:
         #: Last CONNACK refusal code (>= 0x80), or None after a
         #: successful connect. Permanent refusals also stop the loop.
         self.connect_refused: int | None = None
+        #: Session Expiry Interval a server DISCONNECT carried (0x11), or
+        #: None. §3.14.2.2.2 reserves the property for the CLIENT's
+        #: DISCONNECT (MQTT-3.14.2-2), but the reference's HiveMQ client
+        #: tolerates and ADOPTS a server-sent value for its reconnect —
+        #: matched here: the next CONNECT carries the override instead of
+        #: the configured expiry (trace-pinned).
+        self.disconnect_session_expiry: int | None = None
         # MQTT-3.3.4-9 send quota: the server's CONNACK Receive-Maximum
         # bounds our un-acked QoS>=1 PUBLISHes. None until a CONNACK
         # carries the property (the spec default 65535 is effectively
@@ -1397,8 +1570,21 @@ class Client:
     def will_clear(self) -> None:
         self._will = None
 
-    def subscribe(self, topic, qos=0) -> None:
-        self._send(subscribe_packet(self._next_pid(), topic, qos))
+    def subscribe(self, topic, qos=0, options=None) -> None:
+        """paho surface: ``qos`` alone, or a :class:`SubscribeOptions`
+        carrying the full §3.8.3.1 options byte (noLocal /
+        retainAsPublished / retainHandling)."""
+        if options is not None:
+            self._send(
+                subscribe_packet(
+                    self._next_pid(), topic, options.QoS,
+                    no_local=options.noLocal,
+                    retain_as_published=options.retainAsPublished,
+                    retain_handling=options.retainHandling,
+                )
+            )
+        else:
+            self._send(subscribe_packet(self._next_pid(), topic, qos))
 
     def unsubscribe(self, topic) -> None:
         self._send(unsubscribe_packet(self._next_pid(), topic))
@@ -1409,6 +1595,7 @@ class Client:
         if isinstance(payload, str):
             payload = payload.encode("utf-8")
         uprops = getattr(properties, "UserProperty", None) or []
+        mexp = getattr(properties, "MessageExpiryInterval", None)
         ev = threading.Event()
         if qos:
             # MQTT-3.3.4-9: block while un-acked QoS>=1 publishes sit at
@@ -1452,7 +1639,8 @@ class Client:
             try:
                 self._send(
                     publish_packet(
-                        topic, bytes(payload), qos, pid, retain, user_props=uprops
+                        topic, bytes(payload), qos, pid, retain,
+                        user_props=uprops, message_expiry=mexp,
                     )
                 )
             except BaseException:
@@ -1461,7 +1649,8 @@ class Client:
         else:
             self._send(
                 publish_packet(
-                    topic, bytes(payload), 0, None, retain, user_props=uprops
+                    topic, bytes(payload), 0, None, retain,
+                    user_props=uprops, message_expiry=mexp,
                 )
             )
             ev.set()
@@ -1700,7 +1889,10 @@ class Client:
                     topic = self._rx_alias[alias]
                 else:
                     raise ValueError(f"unknown topic alias {alias}")
-            msg = MQTTMessage(topic, qos, retain, body[i:], mid, dup, props["user"])
+            msg = MQTTMessage(
+                topic, qos, retain, body[i:], mid, dup, props["user"],
+                message_expiry=props.get(0x02),
+            )
             if qos == 2 and mid in self._rx_qos2:
                 # DUP retransmission of a message we already PUBREC'd
                 # and dispatched (our PUBREC was lost): re-PUBREC so
@@ -1789,6 +1981,19 @@ class Client:
             #    0x9C, ...): transient per EMQX semantics — tear down and
             #    let the loop reconnect with backoff.
             reason = body[0] if body else 0
+            if len(body) > 1:
+                # Session Expiry Interval override (0x11): a server is
+                # not supposed to send one (MQTT-3.14.2-2) but the
+                # HiveMQ client the reference uses adopts it for the
+                # session that outlives this connection — so the NEXT
+                # (reconnect) CONNECT carries the server's value, not
+                # the locally-configured one. EMQX uses this to shorten
+                # the state it must keep for a client it is shedding.
+                props, _end = _parse_props(body, 1)
+                override = props.get(0x11)
+                if override is not None:
+                    self.disconnect_session_expiry = override
+                    self._session_expiry = override
             if self.on_disconnect is not None:
                 self._safe_callback(
                     self.on_disconnect, self, None, None, reason, None

@@ -38,7 +38,10 @@ from flink_emqx_connector_spark.sources.mqtt_wire import (
     CallbackAPIVersion,
     Client,
     MQTTv5,
+    Properties,
+    SubscribeOptions,
     _packet,
+    _parse_props,
     connack_packet,
     disconnect_packet,
     publish_packet,
@@ -984,6 +987,185 @@ def test_trace_quota_enforced_for_publishes_racing_connack():
     th.join(timeout=5)
     assert early == [], ("quota violated at positions", early, seen)
     assert len(seen) == 4 and len(set(seen)) == 4, seen
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+# ---------------------------------------------------------------------------
+# round 13: Message Expiry forwarding, SUBSCRIBE options, DISCONNECT
+# Session-Expiry override (VERDICT r10 item 7 / r11 item 1 / r12 item 1)
+# ---------------------------------------------------------------------------
+
+
+def _parse_publish_props(body):
+    """(topic, mid, props) from a QoS-1 PUBLISH body."""
+    (tlen,) = struct.unpack_from(">H", body, 0)
+    topic = body[2 : 2 + tlen].decode()
+    (mid,) = struct.unpack_from(">H", body, 2 + tlen)
+    props, _end = _parse_props(body, 4 + tlen)
+    return topic, mid, props
+
+
+def test_trace_message_expiry_forwarded_decremented():
+    """Message Expiry Interval (OASIS §3.3.2.3.3, property 0x02), both
+    client directions. Publish-side: a client given
+    ``MessageExpiryInterval=60`` must put 0x02=60 on the wire — EMQX
+    uses it to bound how long the message may queue for offline
+    sessions. Receive-side: EMQX forwards the RECEIVED value minus the
+    queueing time (MQTT-3.3.2-6) — the trace replays a redelivery that
+    waited 3 s (0x02=57) and the client must surface exactly 57, not
+    the original 60, so a consumer can tell how stale a reading is."""
+    seen_expiry = []
+    done = threading.Event()
+
+    def handler(conn):
+        read_packet(conn)  # CONNECT
+        conn.sendall(connack_packet(False))
+        ptype, _f, body = read_packet(conn)  # SUBSCRIBE
+        (pid,) = struct.unpack_from(">H", body, 0)
+        conn.sendall(suback_packet(pid, [1]))
+        # client publishes with MessageExpiryInterval=60
+        ptype, _f, body = read_packet(conn)
+        assert ptype == PUBLISH, ptype
+        topic, mid, props = _parse_publish_props(body)
+        seen_expiry.append(props.get(0x02))
+        conn.sendall(struct.pack(">BBH", (PUBACK << 4), 2, mid))
+        # broker-forwarded copy after 3 s of queueing: 60 - 3 = 57
+        conn.sendall(
+            publish_packet("t/exp", b"stale-by-3s", 1, 41, message_expiry=57)
+        )
+        ptype, _f, body = read_packet(conn)
+        assert ptype == PUBACK, ptype
+        done.set()
+        time.sleep(0.2)
+
+    ts = _TraceServer(handler)
+    delivered = []
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="mexp-c", protocol=MQTTv5)
+    cli.on_connect = lambda c, u, f, r, p=None: c.subscribe("t/exp", qos=1)
+    cli.on_message = lambda c, u, m: delivered.append(
+        (bytes(m.payload), m.properties.MessageExpiryInterval)
+    )
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+    props = Properties()
+    props.MessageExpiryInterval = 60
+    cli.publish("t/exp", b"fresh", qos=1, properties=props)
+
+    assert _wait(done.is_set, timeout=15), (seen_expiry, delivered, ts.errors)
+    assert seen_expiry == [60], seen_expiry  # client frame carried 0x02=60
+    assert delivered == [(b"stale-by-3s", 57)], delivered
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+def test_trace_subscribe_options_retain_handling_no_local():
+    """SUBSCRIBE options byte (OASIS §3.8.3.1): bits 0-1 QoS, bit 2
+    No Local (MQTT-3.8.3-3), bit 3 Retain As Published
+    (MQTT-3.3.1-12/13), bits 4-5 Retain Handling. The trace pins the
+    exact bytes the client puts on the wire for the three option
+    shapes EMQX's retained store distinguishes — 0x2D (QoS1 + noLocal
+    + RAP + RH2 'never send retained'), 0x11 (QoS1 + RH1 'send only
+    if new'), and plain 0x01 — and that a retained-flagged delivery
+    after an RH0 subscribe still surfaces retain=1 to the app."""
+    seen_opts = []
+    done = threading.Event()
+
+    def handler(conn):
+        read_packet(conn)  # CONNECT
+        conn.sendall(connack_packet(False))
+        for _ in range(3):
+            ptype, _f, body = read_packet(conn)
+            assert ptype == 8, ptype  # SUBSCRIBE
+            (pid,) = struct.unpack_from(">H", body, 0)
+            _props, i = _parse_props(body, 2)
+            (flen,) = struct.unpack_from(">H", body, i)
+            i += 2 + flen
+            seen_opts.append(body[i])
+            conn.sendall(suback_packet(pid, [body[i] & 0x03]))
+        # RH0 sub live: a retained snapshot delivery keeps retain=1
+        conn.sendall(publish_packet("t/opt/c", b"snap", 1, 51, retain=True))
+        ptype, _f, body = read_packet(conn)
+        assert ptype == PUBACK, ptype
+        done.set()
+        time.sleep(0.2)
+
+    ts = _TraceServer(handler)
+    delivered = []
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="subopt-c", protocol=MQTTv5)
+    cli.on_message = lambda c, u, m: delivered.append((m.topic, m.retain))
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+    cli.subscribe(
+        "t/opt/a",
+        options=SubscribeOptions(
+            qos=1, noLocal=True, retainAsPublished=True,
+            retainHandling=SubscribeOptions.RETAIN_DO_NOT_SEND,
+        ),
+    )
+    cli.subscribe(
+        "t/opt/b",
+        options=SubscribeOptions(
+            qos=1, retainHandling=SubscribeOptions.RETAIN_SEND_IF_NEW_SUB
+        ),
+    )
+    cli.subscribe("t/opt/c", qos=1)
+
+    assert _wait(done.is_set, timeout=15), (seen_opts, delivered, ts.errors)
+    assert seen_opts == [0x2D, 0x11, 0x01], [hex(o) for o in seen_opts]
+    assert delivered == [("t/opt/c", True)], delivered
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+def test_trace_server_disconnect_session_expiry_override():
+    """Server DISCONNECT carrying a Session Expiry Interval (0x11).
+    §3.14.2.2.2 reserves the property for the client direction
+    (MQTT-3.14.2-2), but the reference's HiveMQ client tolerates and
+    ADOPTS a server-sent value for the session that outlives the
+    connection — EMQX can thereby shorten the state it keeps for a
+    client it is shedding. Trace: CONNECT advertises expiry 300; the
+    server answers the session with DISCONNECT(0x89 server busy,
+    session-expiry 120); 0x89 is transient so the client reconnects —
+    and its SECOND CONNECT must carry 120, the override, not 300."""
+    connect_expiries = []
+    done = threading.Event()
+
+    def _connect_expiry(body):
+        # CONNECT body: "MQTT"(6) + level(1) + flags(1) + keepalive(2)
+        props, _end = _parse_props(body, 10)
+        return props.get(0x11)
+
+    def handler1(conn):
+        ptype, _f, body = read_packet(conn)
+        assert ptype == CONNECT, ptype
+        connect_expiries.append(_connect_expiry(body))
+        conn.sendall(connack_packet(False))
+        time.sleep(0.1)
+        conn.sendall(disconnect_packet(RC_SERVER_BUSY, session_expiry=120))
+        time.sleep(0.2)
+
+    def handler2(conn):
+        ptype, _f, body = read_packet(conn)
+        assert ptype == CONNECT, ptype
+        connect_expiries.append(_connect_expiry(body))
+        conn.sendall(connack_packet(True))
+        done.set()
+        time.sleep(0.2)
+
+    ts = _TraceServer(handler1, handler2)
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="seo-c", protocol=MQTTv5)
+    props = Properties()
+    props.SessionExpiryInterval = 300
+    cli.connect("127.0.0.1", ts.port, clean_start=False, properties=props)
+    cli.loop_start()
+
+    assert _wait(done.is_set, timeout=15), (connect_expiries, ts.errors)
+    assert connect_expiries == [300, 120], connect_expiries
+    assert cli.disconnect_session_expiry == 120
     assert not ts.errors, ts.errors
     cli.loop_stop()
     ts.close()
