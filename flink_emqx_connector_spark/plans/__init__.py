@@ -32,6 +32,7 @@ from . import dedup_eval  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import sql_surface  # noqa: E402,F401
 from . import stats_extra  # noqa: E402,F401
+from . import clustering  # noqa: E402,F401
 
 __all__ = [
     "QUERIES",

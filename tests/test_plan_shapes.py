@@ -963,3 +963,29 @@ def test_cms_merge_legs_read_checkpointed_census_not_corpus(plans):
     p = plans("sketch_merge_cms")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0, p
     assert "ExistingRDD" in p, p
+
+
+def test_kmeans_final_iteration_single_scan_broadcast(plans):
+    """X176: the RETURNED plan is exactly the last Lloyd iteration — ONE
+    corpus scan (formatted mode prints each scan twice: tree + detail),
+    a partial+final aggregate whose shuffle carries K*D rows, and the
+    K*D grid joined via BroadcastHashJoin. Earlier iterations run as
+    bounded (<=512-row) eager collects and must not appear here."""
+    import re
+
+    p = plans("kmeans_lloyd_embeddings")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "BroadcastHashJoin" in p, p
+    assert p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_ivf_kmeans_probe_join_broadcast_topk(plans):
+    """X177: probes and the query-side embeddings are broadcast; the
+    top-k rank window is PARTITIONED by query_id (never a global sort
+    of the candidate set); no cartesian anywhere — the assignment is
+    the partition-pruning column at scale."""
+    p = plans("ann_ivf_kmeans_topk")
+    assert "BroadcastHashJoin" in p, p
+    assert "query_id" in p, p
+    assert "CartesianProduct" not in p, p

@@ -1,0 +1,206 @@
+"""Round-13 semantic invariants: integer Lloyd k-means (X176) and the
+learned-codebook IVF (X177) against an INDEPENDENT brute-force numpy
+reimplementation of the whole contract — md5 init, exact-integer
+assignment, toward-zero mean updates, empty-cluster hold, learned-cell
+probing and cosine re-rank — plus basic sanity (partition/cluster
+accounting, recall floor vs exact top-k).
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from flink_emqx_connector_spark.plans import QUERIES
+from flink_emqx_connector_spark.plans.clustering import (
+    _DIM,
+    _ITER,
+    _K,
+    _NPROBE,
+    _NQUERIES,
+    _SEED_PREFIX,
+    _TOPK,
+)
+
+
+def _load_vecs(sf_dir):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return ids, V
+
+
+def _brute_lloyd(ids, V):
+    """Independent reimplementation (hashlib md5, python loops for the
+    update) of the X176 contract. Returns (C_final, counts, assign_f)
+    where assign_f is the final-iteration membership."""
+    Q = np.floor(V * 1000.0 + 0.5).astype(np.int64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5((_SEED_PREFIX + str(ids[i])).encode()).hexdigest(),
+            ids[i],
+        ),
+    )
+    C = Q[order[:_K]].copy()
+    counts = np.zeros(_K, dtype=np.int64)
+    a = None
+    for _t in range(_ITER):
+        d2 = (
+            (Q * Q).sum(axis=1)[:, None]
+            - 2 * (Q @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)  # first min = smallest cid
+        counts = np.zeros(_K, dtype=np.int64)
+        C_new = C.copy()
+        for k in range(_K):
+            members = Q[a == k]
+            counts[k] = len(members)
+            if len(members):
+                s = members.sum(axis=0)
+                # toward-zero division, elementwise
+                C_new[k] = np.sign(s) * (np.abs(s) // counts[k])
+        C = C_new
+    return C, counts, a
+
+
+def test_kmeans_matches_bruteforce(spark, sf_dir):
+    ids, V = _load_vecs(sf_dir)
+    C_ref, counts_ref, _a = _brute_lloyd(ids, V)
+
+    rows = QUERIES["kmeans_lloyd_embeddings"].spark(spark, sf_dir).collect()
+    assert len(rows) == _K * _DIM
+    got_C = np.zeros((_K, _DIM), dtype=np.int64)
+    got_n = np.zeros(_K, dtype=np.int64)
+    for r in rows:
+        got_C[r.cid - 1, r.dim - 1] = r.c_milli
+        got_n[r.cid - 1] = r.n_members
+    np.testing.assert_array_equal(got_C, C_ref)
+    np.testing.assert_array_equal(got_n, counts_ref)
+    # every vector is accounted for exactly once
+    assert got_n.sum() == len(ids)
+
+
+def test_kmeans_iterations_tighten_sse(sf_dir):
+    """Lloyd monotonicity sanity on the brute-force twin: total SSE after
+    the final assignment is no worse than after the first."""
+    ids, V = _load_vecs(sf_dir)
+    Q = np.floor(V * 1000.0 + 0.5).astype(np.int64)
+
+    def sse(C):
+        d2 = (
+            (Q * Q).sum(axis=1)[:, None]
+            - 2 * (Q @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        return d2.min(axis=1).sum()
+
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5((_SEED_PREFIX + str(ids[i])).encode()).hexdigest(),
+            ids[i],
+        ),
+    )
+    C0 = Q[order[:_K]].copy()
+    C_final, _n, _a = _brute_lloyd(ids, V)
+    assert sse(C_final) <= sse(C0)
+
+
+def test_ivf_kmeans_matches_bruteforce_and_recall(spark, sf_dir):
+    ids, V = _load_vecs(sf_dir)
+    C, _n, _a = _brute_lloyd(ids, V)
+    Q = np.floor(V * 1000.0 + 0.5).astype(np.int64)
+    d2 = (
+        (Q * Q).sum(axis=1)[:, None]
+        - 2 * (Q @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    cell = d2.argmin(axis=1)
+
+    def _round_half_away(x, decimals):
+        p = 10.0**decimals
+        return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+    norms = np.sqrt((V * V).sum(axis=1))
+    expected = {}
+    exact_top = {}
+    for qi in range(len(ids)):
+        if ids[qi] >= _NQUERIES:
+            continue
+        probe_cells = np.argsort(d2[qi], kind="stable")[:_NPROBE]
+        cand = [
+            j
+            for j in range(len(ids))
+            if cell[j] in probe_cells and ids[j] != ids[qi]
+        ]
+        sims = {
+            ids[j]: _round_half_away(
+                float(V[qi] @ V[j] / (norms[qi] * norms[j])), 4
+            )
+            for j in cand
+        }
+        top = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOPK]
+        expected[ids[qi]] = [
+            (int(n), s, rk + 1) for rk, (n, s) in enumerate(top)
+        ]
+        all_sims = {
+            ids[j]: float(V[qi] @ V[j] / (norms[qi] * norms[j]))
+            for j in range(len(ids))
+            if ids[j] != ids[qi]
+        }
+        exact_top[ids[qi]] = {
+            n for n, _s in sorted(all_sims.items(), key=lambda kv: -kv[1])[:_TOPK]
+        }
+
+    rows = QUERIES["ann_ivf_kmeans_topk"].spark(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append(
+            (r.neighbor_id, r.cos_sim, r.rk)
+        )
+    for q in got:
+        got[q].sort(key=lambda t: t[2])
+    assert got == expected
+
+    # recall floor vs the exact brute-force top-k: probing 3/8 learned
+    # cells should keep a usable fraction of true neighbors
+    hits = sum(
+        len({n for n, _s, _r in got[q]} & exact_top[q]) for q in got
+    )
+    total = sum(len(exact_top[q]) for q in got)
+    assert hits / total >= 0.4, (hits, total, got)
+
+
+def test_kmeans_oracle_replays_empty_cluster_hold():
+    """Empty-cluster semantics: with K=8 and only 3 distinct vectors, the
+    5 memberless clusters must HOLD their (init) centroids and report
+    n_members=0 — on the oracle side, which replays the full iteration
+    chain on a synthetic table."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS "
+        "SELECT r.range AS vec_id, "
+        f"list_transform(range(1, {_DIM + 1}), "
+        "  d -> CAST(0.001 * d * ((r.range % 3) - 1) AS FLOAT)) AS embedding "
+        "FROM range(12) r"
+    )
+    rows = con.execute(QUERIES["kmeans_lloyd_embeddings"].oracle).fetchall()
+    assert len(rows) == _K * _DIM
+    by_cid = {}
+    for cid, n, dim, c in rows:
+        by_cid.setdefault(cid, []).append((n, dim, c))
+    sizes = {cid: vals[0][0] for cid, vals in by_cid.items()}
+    assert sum(sizes.values()) == 12
+    empties = [cid for cid, n in sizes.items() if n == 0]
+    # 3 distinct vectors → at most 3 live cells
+    assert len(empties) >= _K - 3, sizes
+    con.close()
