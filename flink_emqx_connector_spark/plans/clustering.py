@@ -134,6 +134,13 @@ def _init_codebook(spark, sf_dir) -> np.ndarray:
         .select("embedding")
         .collect()
     )
+    if len(rows) < _K:
+        # fail loud: a sub-K corpus would mis-shape every downstream
+        # K-row closure (kernels, grid, oracle init) — there is no
+        # meaningful K-means of fewer than K points
+        raise ValueError(
+            f"k-means needs at least K={_K} non-null vectors; found {len(rows)}"
+        )
     return _quantize(np.array([list(r.embedding) for r in rows]))
 
 
