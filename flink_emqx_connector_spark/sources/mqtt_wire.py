@@ -65,6 +65,11 @@ Scope — exactly the protocol surface the connector semantics need
 - (round 13) server-DISCONNECT Session-Expiry override: a 0x11 the
   server sends with DISCONNECT is adopted for the reconnect CONNECT
   (the HiveMQ-client behavior the reference inherits), trace-pinned;
+- (round 13) failure-PUBREC flow control: a PUBREC with reason ≥ 0x80
+  ends the QoS 2 flow — no PUBREL, send-quota slot released
+  (MQTT-4.3.3 / MQTT-4.9.0-2; pre-r13 each rejected QoS 2 publish
+  leaked a quota slot), and Server Reference (0x1C) surfacing from
+  DISCONNECT 0x9C/0x9D and refused CONNACKs (§4.11 redirects);
 - (round 10) username/password authentication: CONNECT credential
   fields + broker-side verification (bad/missing → CONNACK 0x86, no
   session, no will) — the client's permanent-refusal cede is now
@@ -1407,6 +1412,14 @@ class Client:
         #: matched here: the next CONNECT carries the override instead of
         #: the configured expiry (trace-pinned).
         self.disconnect_session_expiry: int | None = None
+        #: Server Reference (0x1C) from a DISCONNECT 0x9C 'Use another
+        #: server' / 0x9D 'Server moved' or a refused CONNACK — the
+        #: redirect target EMQX hands out when shedding or migrating
+        #: clients (§4.11). The client itself keeps its normal policy
+        #: (transient codes still reconnect with backoff); a supervisor
+        #: reads this to re-point the bridge, exactly as the HiveMQ
+        #: client surfaces it on its disconnect event.
+        self.server_reference: str | None = None
         # MQTT-3.3.4-9 send quota: the server's CONNACK Receive-Maximum
         # bounds our un-acked QoS>=1 PUBLISHes. None until a CONNACK
         # carries the property (the spec default 65535 is effectively
@@ -1842,6 +1855,16 @@ class Client:
                 # transient ones (server busy, quota) ride the normal
                 # reconnect backoff via the ConnectionError path.
                 self.connect_refused = rc
+                if len(body) > 2:
+                    # a refusal CONNACK may still carry properties —
+                    # EMQX's 0x9C/0x88 refusals include the Server
+                    # Reference redirect target (§4.11)
+                    try:
+                        rprops, _ = _parse_props(body, 2)
+                        if rprops.get(0x1C) is not None:
+                            self.server_reference = rprops[0x1C]
+                    except (ValueError, IndexError, struct.error):
+                        pass  # refusal stands even with garbled props
                 if self.on_connect is not None:
                     self._safe_callback(
                         self.on_connect, self, None,
@@ -1913,10 +1936,25 @@ class Client:
                 ev.set()
             self._release_quota()
         elif ptype == PUBREC:
-            # broker took our QoS 2 publish: release it (the send quota
-            # stays held until PUBCOMP per MQTT-4.9)
             (pid,) = struct.unpack_from(">H", body, 0)
-            self._send(pubrel_packet(pid))
+            rc = body[2] if len(body) > 2 else 0
+            if rc >= 0x80:
+                # Failure PUBREC (EMQX sends 0x97 Quota exceeded / 0x87
+                # Not authorized per message): the QoS 2 flow ENDS here
+                # — MQTT-4.3.3 only continues with PUBREL for reason
+                # codes < 0x80, and MQTT-4.9.0-2 increments the send
+                # quota on a PUBREC ≥ 0x80 (no PUBCOMP will ever come).
+                # Pre-r13 this leaked a quota slot per rejected QoS 2
+                # publish and sent a spurious PUBREL — after
+                # Receive-Maximum rejections, publishers deadlocked.
+                ev = self._pub_events.pop(pid, None)
+                if ev is not None:
+                    ev.set()
+                self._release_quota()
+            else:
+                # broker took our QoS 2 publish: advance the handshake
+                # (the send quota stays held until PUBCOMP per MQTT-4.9)
+                self._send(pubrel_packet(pid))
         elif ptype == PUBCOMP:
             (pid,) = struct.unpack_from(">H", body, 0)
             ev = self._pub_events.pop(pid, None)
@@ -1994,6 +2032,8 @@ class Client:
                 if override is not None:
                     self.disconnect_session_expiry = override
                     self._session_expiry = override
+                if props.get(0x1C) is not None:
+                    self.server_reference = props[0x1C]
             if self.on_disconnect is not None:
                 self._safe_callback(
                     self.on_disconnect, self, None, None, reason, None

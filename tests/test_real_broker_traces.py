@@ -1169,3 +1169,109 @@ def test_trace_server_disconnect_session_expiry_override():
     assert not ts.errors, ts.errors
     cli.loop_stop()
     ts.close()
+
+
+def test_trace_failure_pubrec_releases_quota_without_pubrel():
+    """QoS 2 rejection (MQTT-4.3.3 / MQTT-4.9.0-2): a PUBREC with reason
+    code >= 0x80 (EMQX sends 0x97 Quota exceeded per message) ENDS the
+    flow — the client must NOT send PUBREL for it, must release the
+    send-quota slot, and must unblock the waiting publisher. A client
+    that answers every PUBREC with PUBREL leaks a quota slot per
+    rejection and deadlocks at the Receive-Maximum. Trace: quota 1,
+    first QoS 2 publish rejected — the second must still flow, and the
+    only PUBREL on the wire belongs to the second (accepted) flow."""
+    events = []  # wire packets after CONNACK, in order
+    done = threading.Event()
+
+    def handler(conn):
+        read_packet(conn)  # CONNECT
+        conn.sendall(connack_packet(False, receive_maximum=1))
+        # first publish: reject at PUBREC with 0x97 + empty props
+        ptype, _f, body = read_packet(conn)
+        assert ptype == PUBLISH, ptype
+        (tlen,) = struct.unpack_from(">H", body, 0)
+        (mid1,) = struct.unpack_from(">H", body, 2 + tlen)
+        events.append(("pub", mid1))
+        conn.sendall(
+            _packet(5, 0, struct.pack(">HB", mid1, 0x97) + b"\x00")  # PUBREC
+        )
+        # quota released by the failure PUBREC → second publish arrives;
+        # a (wrong) PUBREL for mid1 would arrive here instead
+        ptype, _f, body = read_packet(conn)
+        if ptype == 6:  # PUBREL
+            (bad,) = struct.unpack_from(">H", body, 0)
+            events.append(("SPURIOUS-PUBREL", bad))
+            done.set()
+            return
+        assert ptype == PUBLISH, ptype
+        (tlen,) = struct.unpack_from(">H", body, 0)
+        (mid2,) = struct.unpack_from(">H", body, 2 + tlen)
+        events.append(("pub", mid2))
+        conn.sendall(_packet(5, 0, struct.pack(">H", mid2)))  # PUBREC ok
+        ptype, _f, body = read_packet(conn)  # PUBREL — for mid2 ONLY
+        assert ptype == 6, ptype
+        (rel,) = struct.unpack_from(">H", body, 0)
+        events.append(("pubrel", rel))
+        conn.sendall(_packet(7, 0, struct.pack(">H", rel)))  # PUBCOMP
+        done.set()
+        time.sleep(0.2)
+
+    ts = _TraceServer(handler)
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="frec-c", protocol=MQTTv5)
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    def publisher():
+        cli.publish("t/q2", b"rejected", qos=2)
+        cli.publish("t/q2", b"accepted", qos=2)
+
+    th = threading.Thread(target=publisher, daemon=True)
+    th.start()
+    assert _wait(done.is_set, timeout=30), (events, ts.errors)
+    th.join(timeout=5)
+    assert [e for e in events if e[0] == "SPURIOUS-PUBREL"] == [], events
+    pubs = [m for k, m in events if k == "pub"]
+    rels = [m for k, m in events if k == "pubrel"]
+    assert len(pubs) == 2 and rels == [pubs[1]], events
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
+
+
+def test_trace_server_reference_surfaced_on_use_another_server():
+    """DISCONNECT 0x9C 'Use another server' carrying a Server Reference
+    (property 0x1C, §4.11): EMQX hands out the redirect target when
+    shedding clients. The client stays on its normal transient policy
+    (reconnect with backoff — pinned by the second accepted
+    connection) but must SURFACE the reference for a supervisor to
+    re-point the bridge, as the HiveMQ client does."""
+    done = threading.Event()
+
+    def handler1(conn):
+        read_packet(conn)  # CONNECT
+        conn.sendall(connack_packet(False))
+        time.sleep(0.1)
+        # properties: 0x1C Server Reference "alt.emqx:1883" (13 bytes)
+        props = b"\x1c" + struct.pack(">H", 13) + b"alt.emqx:1883"
+        conn.sendall(
+            _packet(14, 0, bytes([0x9C]) + bytes([len(props)]) + props)
+        )
+        time.sleep(0.2)
+
+    def handler2(conn):
+        read_packet(conn)  # reconnect CONNECT — transient policy held
+        conn.sendall(connack_packet(True))
+        done.set()
+        time.sleep(0.2)
+
+    ts = _TraceServer(handler1, handler2)
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="sref-c", protocol=MQTTv5)
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    assert _wait(done.is_set, timeout=15), (cli.server_reference, ts.errors)
+    assert cli.server_reference == "alt.emqx:1883"
+    assert cli.superseded is False  # 0x9C is not a cede
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
