@@ -70,6 +70,13 @@ Scope — exactly the protocol surface the connector semantics need
   (MQTT-4.3.3 / MQTT-4.9.0-2; pre-r13 each rejected QoS 2 publish
   leaked a quota slot), and Server Reference (0x1C) surfacing from
   DISCONNECT 0x9C/0x9D and refused CONNACKs (§4.11 redirects);
+- (round 13) Subscription Identifiers (§3.8.2.1.2, property 0x0B):
+  client-side encoding via subscribe ``properties``, broker-side
+  per-subscription storage and echo on EVERY delivery the subscription
+  causes (MQTT-3.3.4-3) — live, queued-across-resume, retained
+  snapshot, and shared-group re-dispatch (echoing the TARGET member's
+  id); id 0 and a client→server PUBLISH carrying 0x0B are Protocol
+  Errors (DISCONNECT 0x82; §3.8.2.1.2, MQTT-3.3.4-6);
 - (round 10) username/password authentication: CONNECT credential
   fields + broker-side verification (bad/missing → CONNACK 0x86, no
   session, no will) — the client's permanent-refusal cede is now
@@ -313,6 +320,7 @@ def publish_packet(
     user_props=None,
     topic_alias: int | None = None,
     message_expiry: int | None = None,
+    subscription_id: int | None = None,
 ) -> bytes:
     flags = (8 if dup else 0) | (qos << 1) | (1 if retain else 0)
     body = _mqtt_str(topic)
@@ -325,6 +333,11 @@ def publish_packet(
         # seconds): on a server-forwarded PUBLISH this is the received
         # value minus the queueing time (MQTT-3.3.2-6)
         extra += b"\x02" + struct.pack(">I", message_expiry)
+    if subscription_id is not None:
+        # Subscription Identifier echo (MQTT-3.3.4-3): only ever set on
+        # broker→client deliveries whose matching subscription carried
+        # one; never on client→broker publishes (MQTT-3.3.4-6)
+        extra += b"\x0b" + _varint(subscription_id)
     if topic_alias is not None:
         # append the Topic Alias property (0x22 is the CONNECT-side max;
         # the PUBLISH-side property id is 0x23)
@@ -363,6 +376,7 @@ def subscribe_packet(
     no_local: bool = False,
     retain_as_published: bool = False,
     retain_handling: int = 0,
+    subscription_id: int | None = None,
 ) -> bytes:
     # Subscription Options byte (§3.8.3.1): bits 0-1 QoS, bit 2 No Local
     # (MQTT-3.8.3-3), bit 3 Retain As Published (MQTT-3.3.1-12/13),
@@ -374,7 +388,20 @@ def subscribe_packet(
         | (0x08 if retain_as_published else 0)
         | ((retain_handling & 0x03) << 4)
     )
-    body = struct.pack(">H", pid) + _varint(0) + _mqtt_str(topic_filter) + bytes([opts])
+    props = b""
+    if subscription_id is not None:
+        # Subscription Identifier (§3.8.2.1.2, property 0x0B, VBI): the
+        # broker echoes it on every matching delivery so a client can
+        # route messages to the subscription that caused them without
+        # re-matching topic filters. 0 is a Protocol Error.
+        props = b"\x0b" + _varint(subscription_id)
+    body = (
+        struct.pack(">H", pid)
+        + _varint(len(props))
+        + props
+        + _mqtt_str(topic_filter)
+        + bytes([opts])
+    )
     return _packet(SUBSCRIBE, 2, body)
 
 
@@ -497,14 +524,18 @@ class _Session:
         #: configured-default deployments.
         self.expiry: int | None = None
         self.last_detach = 0.0
-        #: filter → (qos, group, no_local, retain_as_published): the
-        #: §3.8.3.1 subscription options, kept per-subscription for the
-        #: session's lifetime (retain-handling is a SUBSCRIBE-time-only
-        #: behavior and is not session state)
-        self.subs: dict[str, tuple[int, str | None, bool, bool]] = {}
-        #: (topic, payload, qos, retain, uprops, dup, deadline) — deadline
-        #: is the monotonic instant the Message Expiry Interval elapses
-        #: (None = does not expire, §3.3.2.3.3)
+        #: filter → (qos, group, no_local, retain_as_published, subid):
+        #: the §3.8.3.1 subscription options plus the §3.8.2.1.2
+        #: Subscription Identifier (None when the SUBSCRIBE carried
+        #: none), kept per-subscription for the session's lifetime
+        #: (retain-handling is a SUBSCRIBE-time-only behavior and is
+        #: not session state)
+        self.subs: dict[str, tuple[int, str | None, bool, bool, int | None]] = {}
+        #: (topic, payload, qos, retain, uprops, dup, deadline, subid) —
+        #: deadline is the monotonic instant the Message Expiry Interval
+        #: elapses (None = does not expire, §3.3.2.3.3); subid is the
+        #: matched subscription's identifier to echo on delivery
+        #: (MQTT-3.3.4-3), riding the queue so offline backlog keeps it
         self.queue: deque = deque()
         self.inflight: dict[int, tuple] = {}
         # shared (bare, group) filters this session UNSUBSCRIBED while
@@ -832,9 +863,9 @@ class EmbeddedBroker:
         inflight = [session.inflight[pid] for pid in sorted(session.inflight)]
         session.inflight.clear()
         for msg in reversed(inflight):
-            topic, payload, qos, retain, uprops, _dup, deadline = msg
+            topic, payload, qos, retain, uprops, _dup, deadline, subid = msg
             session.queue.appendleft(
-                (topic, payload, qos, retain, uprops, True, deadline)
+                (topic, payload, qos, retain, uprops, True, deadline, subid)
             )
         while session.queue and session.conn is not None:
             self._deliver(session, session.queue.popleft())
@@ -850,6 +881,15 @@ class EmbeddedBroker:
     def _on_subscribe(self, conn: _BrokerConn, body: bytes) -> None:
         (pid,) = struct.unpack_from(">H", body, 0)
         _props, i = _parse_props(body, 2)
+        # Subscription Identifier (§3.8.2.1.2): one per SUBSCRIBE packet,
+        # applying to every filter in it; 0 is a Protocol Error.
+        subid = _props.get(0x0B)
+        if subid == 0:
+            try:
+                conn.send(disconnect_packet(0x82))
+            except OSError:
+                pass
+            raise ValueError("subscription identifier 0 is a protocol error")
         reasons = []
         retained_out: list[tuple[str, bytes, int, list]] = []
         with self._lock:
@@ -884,7 +924,7 @@ class EmbeddedBroker:
                     # check BEFORE the entry is (re)written (§3.8.3.1)
                     existed = filt in conn.session.subs
                     conn.session.subs[filt] = (
-                        qos, group if group else None, no_local, rap,
+                        qos, group if group else None, no_local, rap, subid,
                     )
                     if group:
                         # re-joining a group it departed cancels the
@@ -923,7 +963,7 @@ class EmbeddedBroker:
                 for rtopic, rpay, rqos, rup, rdeadline in retained_out:
                     self._deliver(
                         conn.session,
-                        (rtopic, rpay, rqos, True, rup, False, rdeadline),
+                        (rtopic, rpay, rqos, True, rup, False, rdeadline, subid),
                     )
 
     def _on_unsubscribe(self, conn: _BrokerConn, body: bytes) -> None:
@@ -937,7 +977,7 @@ class EmbeddedBroker:
             while i < len(body):
                 filt, i = _parse_str(body, i)
                 if conn.session is not None and filt in conn.session.subs:
-                    _q, group, _nl, _rap = conn.session.subs.pop(filt)
+                    _q, group, _nl, _rap, _sid = conn.session.subs.pop(filt)
                     if group is not None:
                         removed_shared.append((strip_share(filt)[1], group))
                     reasons.append(0x00)
@@ -968,6 +1008,15 @@ class EmbeddedBroker:
             i += 2
         props, i = _parse_props(body, i)
         payload = body[i:]
+        if 0x0B in props:
+            # MQTT-3.3.4-6: a client→server PUBLISH must not carry a
+            # Subscription Identifier — it exists only on the
+            # server→client echo leg. Protocol Error: DISCONNECT 0x82.
+            try:
+                conn.send(disconnect_packet(0x82))
+            except OSError:
+                pass
+            raise ValueError("subscription identifier on inbound PUBLISH")
         if qos == 2:
             with self._lock:
                 session = conn.session
@@ -1017,7 +1066,7 @@ class EmbeddedBroker:
         # trace suite pins.
         shared: dict[tuple[str, str], list[tuple[_Session, int]]] = {}
         for session in self.sessions.values():
-            for filt, (sub_qos, group, no_local, rap) in session.subs.items():
+            for filt, (sub_qos, group, no_local, rap, subid) in session.subs.items():
                 _g, bare = strip_share(filt)
                 if not topic_matches_py(bare, topic):
                     continue
@@ -1039,24 +1088,30 @@ class EmbeddedBroker:
                         (
                             topic, payload, min(qos, sub_qos),
                             retain if rap else False, uprops, False, deadline,
+                            subid,
                         ),
                     )
                 else:
-                    shared.setdefault((group, bare), []).append((session, sub_qos))
+                    shared.setdefault((group, bare), []).append(
+                        (session, sub_qos, subid)
+                    )
         for key, members in shared.items():
             members.sort(key=lambda m: m[0].clientid)
             live = [m for m in members if m[0].conn is not None]
             pool = live or members
             idx = self._rr.get(key, 0) % len(pool)
             self._rr[key] = idx + 1
-            session, sub_qos = pool[idx]
+            session, sub_qos, subid = pool[idx]
             self._deliver(
                 session,
-                (topic, payload, min(qos, sub_qos), False, uprops, False, deadline),
+                (
+                    topic, payload, min(qos, sub_qos), False, uprops, False,
+                    deadline, subid,
+                ),
             )
 
     def _deliver(self, session: _Session, msg: tuple) -> None:
-        topic, payload, qos, retain, uprops, dup, deadline = msg
+        topic, payload, qos, retain, uprops, dup, deadline, subid = msg
         mexp = None
         if deadline is not None:
             remaining = deadline - time.monotonic()
@@ -1098,6 +1153,7 @@ class EmbeddedBroker:
                 publish_packet(
                     wire_topic, payload, qos, pid, retain, dup, uprops,
                     topic_alias=alias, message_expiry=mexp,
+                    subscription_id=subid,
                 )
             )
         except OSError:
@@ -1149,13 +1205,15 @@ class EmbeddedBroker:
                 # the head of the queue for DUP redelivery on resume
                 inflight = [session.inflight[pid] for pid in sorted(session.inflight)]
                 session.inflight.clear()
-                for topic, payload, qos, retain, uprops, _d, dl in reversed(inflight):
+                for topic, payload, qos, retain, uprops, _d, dl, sid in reversed(
+                    inflight
+                ):
                     session.queue.appendleft(
-                        (topic, payload, qos, retain, uprops, True, dl)
+                        (topic, payload, qos, retain, uprops, True, dl, sid)
                     )
                 live_shared = [
                     (strip_share(filt)[1], group)
-                    for filt, (_q, group, _nl, _rap) in session.subs.items()
+                    for filt, (_q, group, _nl, _rap, _sid) in session.subs.items()
                     if group is not None
                 ]
                 # departed filters (graceful scale-in: unsubscribed while
@@ -1238,14 +1296,14 @@ class EmbeddedBroker:
             return
         shared_filters = filters if filters is not None else [
             (strip_share(filt)[1], group)
-            for filt, (_q, group, _nl, _rap) in session.subs.items()
+            for filt, (_q, group, _nl, _rap, _sid) in session.subs.items()
             if group is not None
         ]
         if not shared_filters:
             return
         nonshared = [
             strip_share(filt)[1]
-            for filt, (_q, group, _nl, _rap) in session.subs.items()
+            for filt, (_q, group, _nl, _rap, _sid) in session.subs.items()
             if group is None
         ]
         keep: deque = deque()
@@ -1253,6 +1311,7 @@ class EmbeddedBroker:
             topic = msg[0]
             target: _Session | None = None
             target_qos = 0
+            target_sid = None
             if any(topic_matches_py(b, topic) for b in nonshared):
                 # could be the non-shared sub's copy — resume semantics win
                 keep.append(msg)
@@ -1262,10 +1321,10 @@ class EmbeddedBroker:
                     continue
                 live = sorted(
                     (
-                        (s, q2)
+                        (s, q2, sid2)
                         for s in self.sessions.values()
                         if s is not session and s.conn is not None
-                        for f2, (q2, g2, _nl2, _rap2) in s.subs.items()
+                        for f2, (q2, g2, _nl2, _rap2, sid2) in s.subs.items()
                         if g2 == group and strip_share(f2)[1] == bare
                     ),
                     key=lambda m: m[0].clientid,
@@ -1274,13 +1333,20 @@ class EmbeddedBroker:
                     key = (group, bare)
                     idx = self._rr.get(key, 0) % len(live)
                     self._rr[key] = idx + 1
-                    target, target_qos = live[idx]
+                    target, target_qos, target_sid = live[idx]
                 break  # first matching shared sub decides
             if target is not None:
-                topic, payload, qos, retain, uprops, _d, dl = msg
+                # the message moves to a DIFFERENT member: the echoed
+                # identifier is the TARGET subscription's, not the
+                # departed member's (MQTT-3.3.4-3 keys on the
+                # subscription causing THIS delivery)
+                topic, payload, qos, retain, uprops, _d, dl, _sid = msg
                 self._deliver(
                     target,
-                    (topic, payload, min(qos, target_qos), retain, uprops, True, dl),
+                    (
+                        topic, payload, min(qos, target_qos), retain, uprops,
+                        True, dl, target_sid,
+                    ),
                 )
             else:
                 keep.append(msg)
@@ -1326,6 +1392,10 @@ class Properties:
         # property 0x02) — the knob a sensor uses so stale readings never
         # reach a subscriber that resumes after the data went stale
         self.MessageExpiryInterval: int | None = None
+        # subscribe-properties surface (§3.8.2.1.2, property 0x0B): the
+        # broker echoes it on every delivery the subscription causes, so
+        # a consumer routes by identifier instead of re-matching filters
+        self.SubscriptionIdentifier: int | None = None
 
 
 class SubscribeOptions:
@@ -1354,27 +1424,31 @@ class _Flags:
 
 
 class _UserProperties:
-    def __init__(self, pairs, message_expiry=None):
+    def __init__(self, pairs, message_expiry=None, subscription_id=None):
         self.UserProperty = pairs
         #: Message Expiry Interval from the received PUBLISH (0x02), or
         #: None when absent — on a broker-forwarded copy this is the
         #: published value minus its queueing time (MQTT-3.3.2-6), so a
         #: consumer can tell how stale a redelivered reading already is
         self.MessageExpiryInterval = message_expiry
+        #: Subscription Identifier echo (0x0B, MQTT-3.3.4-3), or None
+        self.SubscriptionIdentifier = subscription_id
 
 
 class MQTTMessage:
     __slots__ = ("topic", "qos", "retain", "payload", "mid", "dup", "properties")
 
     def __init__(self, topic, qos, retain, payload, mid, dup, uprops,
-                 message_expiry=None):
+                 message_expiry=None, subscription_id=None):
         self.topic = topic
         self.qos = qos
         self.retain = retain
         self.payload = payload
         self.mid = mid
         self.dup = dup
-        self.properties = _UserProperties(list(uprops), message_expiry)
+        self.properties = _UserProperties(
+            list(uprops), message_expiry, subscription_id
+        )
 
 
 class MQTTMessageInfo:
@@ -1583,10 +1657,13 @@ class Client:
     def will_clear(self) -> None:
         self._will = None
 
-    def subscribe(self, topic, qos=0, options=None) -> None:
+    def subscribe(self, topic, qos=0, options=None, properties=None) -> None:
         """paho surface: ``qos`` alone, or a :class:`SubscribeOptions`
         carrying the full §3.8.3.1 options byte (noLocal /
-        retainAsPublished / retainHandling)."""
+        retainAsPublished / retainHandling); ``properties`` may carry a
+        ``SubscriptionIdentifier`` (§3.8.2.1.2) the broker then echoes
+        on every matching delivery."""
+        subid = getattr(properties, "SubscriptionIdentifier", None)
         if options is not None:
             self._send(
                 subscribe_packet(
@@ -1594,10 +1671,15 @@ class Client:
                     no_local=options.noLocal,
                     retain_as_published=options.retainAsPublished,
                     retain_handling=options.retainHandling,
+                    subscription_id=subid,
                 )
             )
         else:
-            self._send(subscribe_packet(self._next_pid(), topic, qos))
+            self._send(
+                subscribe_packet(
+                    self._next_pid(), topic, qos, subscription_id=subid
+                )
+            )
 
     def unsubscribe(self, topic) -> None:
         self._send(unsubscribe_packet(self._next_pid(), topic))
@@ -1915,6 +1997,7 @@ class Client:
             msg = MQTTMessage(
                 topic, qos, retain, body[i:], mid, dup, props["user"],
                 message_expiry=props.get(0x02),
+                subscription_id=props.get(0x0B),
             )
             if qos == 2 and mid in self._rx_qos2:
                 # DUP retransmission of a message we already PUBREC'd

@@ -261,3 +261,98 @@ def test_retain_as_published_forwards_retain_flag(broker):
     rap.loop_stop()
     plain.loop_stop()
     pub.loop_stop()
+
+
+# ---------------------------------------------------------------------------
+# Subscription Identifiers (§3.8.2.1.2 / MQTT-3.3.4-3/-6)
+# ---------------------------------------------------------------------------
+
+
+def _sub_props(subid):
+    p = Properties()
+    p.SubscriptionIdentifier = subid
+    return p
+
+
+def test_subscription_identifier_routes_overlapping_subs(broker):
+    """Two overlapping subscriptions with different identifiers: a
+    matching publish is delivered once PER subscription, each copy
+    echoing ITS identifier (MQTT-3.3.4-3) — the router leg a consumer
+    uses instead of re-matching topic filters."""
+    got = []
+    sub = _client(
+        broker, "sid-sub",
+        on_message=lambda c, u, m: got.append(
+            (m.topic, m.properties.SubscriptionIdentifier)
+        ),
+    )
+    sub.subscribe("sid/#", qos=1, properties=_sub_props(7))
+    sub.subscribe("sid/a", qos=1, properties=_sub_props(9))
+    assert _wait(lambda: len(broker.sessions["sid-sub"].subs) == 2)
+    pub = _client(broker, "sid-pub")
+    pub.publish("sid/a", b"x", qos=1).wait_for_publish()
+    assert _wait(lambda: len(got) == 2), got
+    assert sorted(got) == [("sid/a", 7), ("sid/a", 9)], got
+    sub.loop_stop()
+    pub.loop_stop()
+
+
+def test_subscription_identifier_rides_offline_queue(broker):
+    """The identifier is subscription state: a message queued for an
+    offline session must still carry it on resume redelivery."""
+    got = []
+    sub = _client(
+        broker, "sidq-sub",
+        on_message=lambda c, u, m: got.append(
+            (bytes(m.payload), m.properties.SubscriptionIdentifier)
+        ),
+        session_expiry=300,
+    )
+    sub.subscribe("sidq/t", qos=1, properties=_sub_props(42))
+    assert _wait(lambda: broker.sessions["sidq-sub"].subs)
+    sub.loop_stop()
+    pub = _client(broker, "sidq-pub")
+    pub.publish("sidq/t", b"queued", qos=1).wait_for_publish()
+    assert _wait(lambda: broker.session_backlog("sidq-sub") >= 1)
+    sub2 = _client(broker, "sidq-sub", on_message=sub.on_message,
+                   session_expiry=300, clean=False)
+    assert _wait(lambda: got == [(b"queued", 42)]), got
+    sub2.loop_stop()
+    pub.loop_stop()
+
+
+def test_subscription_identifier_on_retained_snapshot(broker):
+    """The subscribe-time retained snapshot is caused by the NEW
+    subscription, so it echoes that subscription's identifier."""
+    pub = _client(broker, "sidr-pub")
+    pub.publish("sidr/state", b"snap", qos=1, retain=True).wait_for_publish()
+    assert _wait(lambda: "sidr/state" in broker.retained)
+    got = []
+    sub = _client(
+        broker, "sidr-sub",
+        on_message=lambda c, u, m: got.append(
+            (m.retain, m.properties.SubscriptionIdentifier)
+        ),
+    )
+    sub.subscribe("sidr/#", qos=1, properties=_sub_props(5))
+    assert _wait(lambda: got == [(True, 5)]), got
+    sub.loop_stop()
+    pub.loop_stop()
+
+
+def test_subscription_identifier_on_outbound_publish_is_protocol_error(broker):
+    """MQTT-3.3.4-6: a client→server PUBLISH carrying 0x0B draws
+    DISCONNECT 0x82 and the connection closes."""
+    from flink_emqx_connector_spark.sources.mqtt_wire import publish_packet
+
+    reasons = []
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="sidp-bad", protocol=MQTTv5)
+    cli.on_disconnect = lambda c, u, f, r, p=None: reasons.append(r)
+    cli.connect("127.0.0.1", broker.port)
+    cli.loop_start()
+    assert _wait(lambda: broker.sessions.get("sidp-bad") is not None)
+    # hand-craft the illegal frame (the public publish() API cannot emit
+    # one — 0x0B has no client-side publish surface by design)
+    cli._send(publish_packet("sid/bad", b"x", 0, subscription_id=3))
+    assert _wait(lambda: 0x82 in reasons), reasons
+    cli.loop_stop()

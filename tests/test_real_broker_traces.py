@@ -1275,3 +1275,51 @@ def test_trace_server_reference_surfaced_on_use_another_server():
     assert not ts.errors, ts.errors
     cli.loop_stop()
     ts.close()
+
+
+def test_trace_subscription_identifier_roundtrip():
+    """Subscription Identifier (§3.8.2.1.2, property 0x0B): the client
+    must put the VBI-encoded identifier in its SUBSCRIBE properties,
+    and must surface the broker's echo (MQTT-3.3.4-3) on delivered
+    messages so a consumer can route by subscription without
+    re-matching filters. Trace pins both directions: the exact 0x0B
+    value on the SUBSCRIBE wire, and the surfaced value (including a
+    multi-byte VBI, 200 > 127) on delivery."""
+    seen_subid = []
+    done = threading.Event()
+
+    def handler(conn):
+        read_packet(conn)  # CONNECT
+        conn.sendall(connack_packet(False))
+        ptype, _f, body = read_packet(conn)  # SUBSCRIBE
+        (pid,) = struct.unpack_from(">H", body, 0)
+        props, _i = _parse_props(body, 2)
+        seen_subid.append(props.get(0x0B))
+        conn.sendall(suback_packet(pid, [1]))
+        # echo with a multi-byte VBI identifier on the delivery
+        conn.sendall(
+            publish_packet("t/sid", b"routed", 1, 61, subscription_id=200)
+        )
+        ptype, _f, body = read_packet(conn)
+        assert ptype == PUBACK, ptype
+        done.set()
+        time.sleep(0.2)
+
+    ts = _TraceServer(handler)
+    delivered = []
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="sid-c", protocol=MQTTv5)
+    cli.on_message = lambda c, u, m: delivered.append(
+        (bytes(m.payload), m.properties.SubscriptionIdentifier)
+    )
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+    sprops = Properties()
+    sprops.SubscriptionIdentifier = 200
+    cli.subscribe("t/sid", qos=1, properties=sprops)
+
+    assert _wait(done.is_set, timeout=15), (seen_subid, delivered, ts.errors)
+    assert seen_subid == [200], seen_subid
+    assert delivered == [(b"routed", 200)], delivered
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
