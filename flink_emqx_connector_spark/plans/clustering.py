@@ -478,3 +478,160 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
         .filter(F.col("rk") <= _TOPK)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def _quality_oracle() -> str:
+    last = _ITER
+    return f"""
+    WITH {_kmeans_ctes()},
+    ad AS (
+      -- final assignment WITH its (exact integer) squared distance
+      SELECT vec_id, cid, CAST(d2 AS BIGINT) AS d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM (
+          SELECT qn.vec_id, c.cid,
+                 qn.qq
+                 - 2 * list_dot_product(CAST(qn.qv AS DOUBLE[]),
+                                        CAST(c.cv AS DOUBLE[]))
+                 + list_dot_product(CAST(c.cv AS DOUBLE[]),
+                                    CAST(c.cv AS DOUBLE[])) AS d2
+          FROM qn, c{last} c
+        )
+      ) WHERE rn = 1
+    ),
+    wss AS (
+      SELECT cid, CAST(sum(d2) AS BIGINT) AS wss,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ad GROUP BY 1
+    ),
+    sep AS (
+      -- nearest OTHER centroid (exact integer separation; K*K grid)
+      SELECT cid, nn_cid, nn_d2 FROM (
+        SELECT a.cid, b.cid AS nn_cid,
+               CAST(list_dot_product(CAST(a.cv AS DOUBLE[]),
+                                     CAST(a.cv AS DOUBLE[]))
+               - 2 * list_dot_product(CAST(a.cv AS DOUBLE[]),
+                                      CAST(b.cv AS DOUBLE[]))
+               + list_dot_product(CAST(b.cv AS DOUBLE[]),
+                                  CAST(b.cv AS DOUBLE[])) AS BIGINT) AS nn_d2,
+               row_number() OVER (
+                 PARTITION BY a.cid
+                 ORDER BY list_dot_product(CAST(a.cv AS DOUBLE[]),
+                                           CAST(a.cv AS DOUBLE[]))
+                 - 2 * list_dot_product(CAST(a.cv AS DOUBLE[]),
+                                        CAST(b.cv AS DOUBLE[]))
+                 + list_dot_product(CAST(b.cv AS DOUBLE[]),
+                                    CAST(b.cv AS DOUBLE[])), b.cid) AS rn
+        FROM c{last} a, c{last} b WHERE a.cid <> b.cid
+      ) WHERE rn = 1
+    )
+    SELECT CAST(c.cid AS INTEGER) AS cid,
+           CAST(COALESCE(w.n, 0) AS BIGINT) AS n_members,
+           CAST(COALESCE(w.wss, 0) AS BIGINT) AS wss,
+           CAST(s.nn_cid AS INTEGER) AS nn_cid,
+           s.nn_d2 AS nn_d2
+    FROM c{last} c
+    LEFT JOIN wss w USING (cid)
+    JOIN sep s USING (cid)
+    """
+
+
+def _quality_kernel(C: np.ndarray):
+    """mapInPandas kernel: per-partition per-cluster member count and
+    within-cluster sum of (exact int64) squared distances — K rows per
+    partition regardless of corpus size."""
+    import pandas as pd
+
+    def kernel(iterator):
+        wss = np.zeros(_K, dtype=np.int64)
+        cnts = np.zeros(_K, dtype=np.int64)
+        for pdf in iterator:
+            pdf = pdf[pdf["embedding"].notna()]
+            if not len(pdf):
+                continue
+            Q = _quantize(np.array(pdf["embedding"].to_list()))
+            d2 = (
+                (Q * Q).sum(axis=1)[:, None]
+                - 2 * (Q @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            dmin = d2[np.arange(len(Q)), a]
+            for k in range(_K):
+                sel = a == k
+                if sel.any():
+                    wss[k] += dmin[sel].sum()
+                    cnts[k] += int(sel.sum())
+        live = cnts > 0
+        if live.any():
+            ks = np.nonzero(live)[0]
+            yield pd.DataFrame(
+                {
+                    "cid": (ks + 1).astype(np.int32),
+                    "wss": wss[ks],
+                    "cnt": cnts[ks],
+                }
+            )
+
+    return kernel
+
+
+@register(
+    "kmeans_cluster_quality",
+    oracle=_quality_oracle(),
+    doc="X178: quality census of the X176 learned codebook — per cluster "
+    "the member count, the exact-integer within-cluster sum of squared "
+    "distances (cohesion), and the nearest OTHER centroid with its "
+    "exact separation (the K*K grid, driver-side numpy on the bounded "
+    "codebook). Completes the clustering story: train (X176) -> index "
+    "(X177) -> evaluate (X178). All values exact int64 (milli-unit "
+    "squared distances; sum <= n * 64 * 4e6 -- int64-safe to ~3e10 "
+    "vectors), so the cross-engine match is exact. Scale: training's "
+    "3 map-reduced scans + ONE quality scan whose shuffle carries "
+    "K rows per partition; the separation grid never touches the "
+    "corpus.",
+    tags=("embeddings", "clustering", "kmeans", "evaluation", "pipeline"),
+)
+def kmeans_cluster_quality(spark, sf_dir):
+    import pandas as pd
+
+    C = _train(spark, sf_dir, _ITER)
+    # nearest-other-centroid separation on the K-row codebook: exact
+    # integers, smallest-cid tie-break (stable argsort mirror of the
+    # oracle's ORDER BY d2, cid)
+    G = (
+        (C * C).sum(axis=1)[:, None]
+        - 2 * (C @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    np.fill_diagonal(G, np.iinfo(np.int64).max)
+    nn = G.argmin(axis=1)  # first min = smallest cid on ties
+    grid = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cid": np.arange(1, _K + 1, dtype=np.int32),
+                "nn_cid": (nn + 1).astype(np.int32),
+                "nn_d2": G[np.arange(_K), nn],
+            }
+        )
+    )
+    partials = (
+        _emb(spark, sf_dir)
+        .select("embedding")
+        .mapInPandas(_quality_kernel(C), "cid int, wss long, cnt long")
+        .groupBy("cid")
+        .agg(F.sum("wss").alias("wss_s"), F.sum("cnt").alias("cnt_s"))
+    )
+    return (
+        F.broadcast(partials)
+        .join(grid, partials.cid == grid.cid, "right")
+        .select(
+            grid.cid.cast("int").alias("cid"),
+            F.coalesce(F.col("cnt_s"), F.lit(0)).cast("bigint").alias("n_members"),
+            F.coalesce(F.col("wss_s"), F.lit(0)).cast("bigint").alias("wss"),
+            F.col("nn_cid").cast("int").alias("nn_cid"),
+            F.col("nn_d2").cast("bigint").alias("nn_d2"),
+        )
+    )

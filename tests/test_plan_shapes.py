@@ -989,3 +989,16 @@ def test_ivf_kmeans_probe_join_broadcast_topk(plans):
     assert "BroadcastHashJoin" in p, p
     assert "query_id" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_cluster_quality_single_scan_k_row_shuffle(plans):
+    """X178: one corpus scan for the quality pass (training's scans ran
+    eagerly); the shuffle carries K rows per partition; the K-row
+    separation grid joins via broadcast."""
+    import re
+
+    p = plans("kmeans_cluster_quality")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "BroadcastHashJoin" in p, p
+    assert p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p, p

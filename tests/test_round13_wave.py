@@ -204,3 +204,41 @@ def test_kmeans_oracle_replays_empty_cluster_hold():
     # 3 distinct vectors → at most 3 live cells
     assert len(empties) >= _K - 3, sizes
     con.close()
+
+
+def test_cluster_quality_matches_bruteforce(spark, sf_dir):
+    """X178 vs the independent twin: within-cluster SSE per cluster and
+    the nearest-other-centroid separation, all exact integers."""
+    ids, V = _load_vecs(sf_dir)
+    C, counts, a = _brute_lloyd(ids, V)
+    Q = np.floor(V * 1000.0 + 0.5).astype(np.int64)
+    d2 = (
+        (Q * Q).sum(axis=1)[:, None]
+        - 2 * (Q @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    a_f = d2.argmin(axis=1)  # final assignment (post-update re-assign)
+    dmin = d2[np.arange(len(Q)), a_f]
+    wss_ref = np.zeros(_K, dtype=np.int64)
+    n_ref = np.zeros(_K, dtype=np.int64)
+    for k in range(_K):
+        sel = a_f == k
+        n_ref[k] = sel.sum()
+        wss_ref[k] = dmin[sel].sum()
+    G = (
+        (C * C).sum(axis=1)[:, None]
+        - 2 * (C @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    np.fill_diagonal(G, np.iinfo(np.int64).max)
+    nn_ref = G.argmin(axis=1)
+
+    rows = QUERIES["kmeans_cluster_quality"].spark(spark, sf_dir).collect()
+    assert len(rows) == _K
+    for r in rows:
+        k = r.cid - 1
+        assert r.n_members == n_ref[k], (r, n_ref[k])
+        assert r.wss == wss_ref[k], (r, wss_ref[k])
+        assert r.nn_cid == nn_ref[k] + 1, (r, nn_ref[k] + 1)
+        assert r.nn_d2 == G[k, nn_ref[k]], (r, G[k, nn_ref[k]])
+    assert sum(r.n_members for r in rows) == len(ids)
