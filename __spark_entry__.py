@@ -216,7 +216,9 @@ _DRIVER_RECORDED = {
         "range_partition_plan": 12, "retention_cohorts": 12,
         "runs_test_daily_events": 12, "simpson_diversity_sources": 12,
         "skew_salt_planner": 12, "source_token_kl": 12,
-        "sql_group_by_all_status_priority": 12, "table_checksum_by_source": 12,
+        # table_checksum_by_source deleted r13: its r12 record pre-dates
+        # the 866c31f digest-column rewrite — driver must re-verify
+        "sql_group_by_all_status_priority": 12,
         "time_decay_user_scores": 12, "token_entropy_docs": 12,
         "trimmed_winsorized_order_stats": 12, "twap_user_value": 12,
         "user_ltv_deciles": 12, "zone_map_skipping_audit": 12,
