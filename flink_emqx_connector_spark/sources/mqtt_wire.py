@@ -70,6 +70,14 @@ Scope — exactly the protocol surface the connector semantics need
   (MQTT-4.3.3 / MQTT-4.9.0-2; pre-r13 each rejected QoS 2 publish
   leaked a quota slot), and Server Reference (0x1C) surfacing from
   DISCONNECT 0x9C/0x9D and refused CONNACKs (§4.11 redirects);
+- (round 13) enhanced authentication (§4.12): the full AUTH-packet
+  choreography — CONNECT 0x15/0x16, server challenge AUTH 0x18,
+  client HMAC response, CONNACK (deferred per MQTT-4.12.0-1, method
+  echoed), mid-connection re-authentication (0x19 → challenge →
+  response → AUTH 0x00), refusals 0x87/0x8C as permanent cede
+  classes — with a pluggable mechanism (``ScramLiteAuth``:
+  HMAC-SHA256 over a server nonce, standing in for EMQX's
+  SCRAM/Kerberos behind the same wire shape);
 - (round 13) Subscription Identifiers (§3.8.2.1.2, property 0x0B):
   client-side encoding via subscribe ``properties``, broker-side
   per-subscription storage and echo on EVERY delivery the subscription
@@ -89,8 +97,11 @@ Scope — exactly the protocol surface the connector semantics need
 
 from __future__ import annotations
 
+import hashlib
+import hmac
 import logging
 import math
+import os
 import socket
 import struct
 import threading
@@ -103,7 +114,7 @@ from ..functions.topics import strip_share, topic_matches_py
 CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
 PUBREC, PUBREL, PUBCOMP = 5, 6, 7
 SUBSCRIBE, SUBACK, UNSUBSCRIBE, UNSUBACK = 8, 9, 10, 11
-PINGREQ, PINGRESP, DISCONNECT = 12, 13, 14
+PINGREQ, PINGRESP, DISCONNECT, AUTH = 12, 13, 14, 15
 
 
 # --------------------------------------------------------------------------
@@ -188,6 +199,7 @@ def _parse_props(buf: bytes, i: int) -> tuple[dict, int]:
             props[pid], i = _parse_str(buf, i)
         elif pid in _BIN_PROPS:
             (n,) = struct.unpack_from(">H", buf, i)
+            props[pid] = bytes(buf[i + 2 : i + 2 + n])
             i += 2 + n
         else:
             raise ValueError(f"unknown MQTT property id 0x{pid:02x}")
@@ -214,14 +226,25 @@ def connect_packet(
     will: tuple[str, bytes, int, bool, int] | None = None,
     username: str | None = None,
     password: bytes | None = None,
+    auth_method: str | None = None,
+    auth_data: bytes | None = None,
 ) -> bytes:
     props = _props_bytes(session_expiry=session_expiry)
+    extra = b""
     if topic_alias_maximum:
-        # re-encode with the Topic-Alias-Maximum property appended
-        # (0x22, U16): the server may then compress PUBLISH topics to
-        # 2-byte aliases on this connection (MQTT-3.1.2-26/27)
+        # Topic-Alias-Maximum (0x22, U16): the server may then compress
+        # PUBLISH topics to 2-byte aliases (MQTT-3.1.2-26/27)
+        extra += b"\x22" + struct.pack(">H", topic_alias_maximum)
+    if auth_method is not None:
+        # Authentication Method/Data (§3.1.2.11.9-10): opting into the
+        # §4.12 enhanced-authentication exchange — the server MUST NOT
+        # CONNACK until the AUTH handshake completes
+        extra += b"\x15" + _mqtt_str(auth_method)
+        if auth_data is not None:
+            extra += b"\x16" + struct.pack(">H", len(auth_data)) + auth_data
+    if extra:
         _, i = _varint_from(props, 0)
-        inner = props[i:] + b"\x22" + struct.pack(">H", topic_alias_maximum)
+        inner = props[i:] + extra
         props = _varint(len(inner)) + inner
     connect_flags = 0x02 if clean_start else 0x00
     tail = _mqtt_str(clientid)
@@ -261,11 +284,16 @@ def connect_packet(
 
 
 def connack_packet(
-    session_present: bool, reason: int = 0, receive_maximum: int | None = None
+    session_present: bool, reason: int = 0, receive_maximum: int | None = None,
+    auth_method: str | None = None,
 ) -> bytes:
     props = b""
     if receive_maximum is not None:
         props += b"\x21" + struct.pack(">H", receive_maximum)
+    if auth_method is not None:
+        # §4.12: the CONNACK completing an enhanced-auth exchange
+        # carries the same Authentication Method
+        props += b"\x15" + _mqtt_str(auth_method)
     return _packet(
         CONNACK,
         0,
@@ -308,6 +336,21 @@ def disconnect_packet(
     return _packet(
         DISCONNECT, 0, bytes([reason]) + _varint(len(props)) + props
     )
+
+
+def auth_packet(
+    reason: int, method: str | None = None, data: bytes | None = None
+) -> bytes:
+    """AUTH (§3.15): enhanced-authentication exchange frame. Reason 0x18
+    Continue authentication / 0x19 Re-authenticate / 0x00 Success; the
+    Authentication Method (0x15) is REQUIRED whenever properties are
+    present, Authentication Data (0x16) carries the challenge/response."""
+    props = b""
+    if method is not None:
+        props += b"\x15" + _mqtt_str(method)
+    if data is not None:
+        props += b"\x16" + struct.pack(">H", len(data)) + data
+    return _packet(AUTH, 0, bytes([reason]) + _varint(len(props)) + props)
 
 
 def publish_packet(
@@ -568,6 +611,13 @@ class _BrokerConn:
         #: live and die with the network connection (never the session).
         self.alias_max = 0
         self.tx_alias: dict[str, int] = {}
+        #: §4.12 in-flight state: (clientid, clean_start) parked while
+        #: the AUTH exchange runs (CONNACK deferred per MQTT-4.12.0-1),
+        #: the outstanding challenge nonce, and whether the exchange is
+        #: a mid-connection re-authentication (0x19)
+        self.pending_connect: tuple[str, bool] | None = None
+        self.auth_nonce: bytes | None = None
+        self.reauth = False
         self._wlock = threading.Lock()
         self._reader = _PacketReader(sock)
 
@@ -600,6 +650,33 @@ class _BrokerConn:
                 pass
 
 
+class ScramLiteAuth:
+    """Challenge-response enhanced-auth mechanism (§4.12) for the
+    embedded broker: the server challenges with a 16-byte nonce, the
+    client answers HMAC-SHA256(secret, nonce). A deliberately simple
+    stand-in for the SCRAM/Kerberos mechanisms EMQX deploys behind the
+    same AUTH-packet exchange — the WIRE choreography (CONNECT
+    0x15/0x16 → AUTH 0x18 challenge → AUTH 0x18 response → CONNACK, and
+    the 0x19 re-authentication loop) is the spec-shaped part the
+    connector must speak; the inner mechanism is pluggable."""
+
+    method = "SCRAM-LITE-HMAC-SHA256"
+
+    def __init__(self, secrets: dict[str, bytes]):
+        #: clientid → shared secret
+        self.secrets = dict(secrets)
+
+    def challenge(self) -> bytes:
+        return os.urandom(16)
+
+    def verify(self, clientid: str, response: bytes | None, nonce: bytes) -> bool:
+        secret = self.secrets.get(clientid)
+        if secret is None or response is None:
+            return False
+        want = hmac.new(secret, nonce, hashlib.sha256).digest()
+        return hmac.compare_digest(response, want)
+
+
 class EmbeddedBroker:
     """In-process MQTT 5 broker over real TCP sockets.
 
@@ -614,9 +691,15 @@ class EmbeddedBroker:
         host: str = "127.0.0.1",
         port: int = 0,
         credentials: dict[str, str] | None = None,
+        auth: "ScramLiteAuth | None" = None,
     ):
         self.host = host
         self.port = port
+        #: enhanced-authentication mechanism (§4.12), or None. When set,
+        #: EVERY connect must run the AUTH exchange (a CONNECT without
+        #: the matching Authentication Method draws CONNACK 0x8C Bad
+        #: authentication method — the permanent-refusal class).
+        self.auth = auth
         #: username → password. None disables auth (anonymous allowed —
         #: the default EMQX dev posture); a dict makes every CONNECT
         #: present a matching pair or be refused CONNACK 0x86 (Bad User
@@ -721,6 +804,12 @@ class EmbeddedBroker:
             conn.send(pubcomp_packet(pid))
         elif ptype == PINGREQ:
             conn.send(_packet(PINGRESP, 0, b""))
+        elif ptype == AUTH:
+            reason = body[0] if body else 0x00
+            props = {}
+            if len(body) > 1:
+                props, _end = _parse_props(body, 1)
+            self._on_auth(conn, reason, props)
         elif ptype == DISCONNECT:
             # MQTT-3.14.4-3: a DISCONNECT with reason 0x00 (Normal
             # disconnection) discards the will; 0x04 ("Disconnect with
@@ -810,6 +899,37 @@ class EmbeddedBroker:
                 conn.will = None
                 conn.send(connack_packet(False, reason=0x86))
                 raise ConnectionError("authentication failed")
+        auth_method = _props.get(0x15)
+        if self.auth is not None or auth_method is not None:
+            # Enhanced authentication (§4.12): a broker with a mechanism
+            # requires every CONNECT to name it; a client naming one the
+            # broker doesn't run is refused the same way. 0x8C Bad
+            # authentication method is a PERMANENT refusal (client
+            # cedes) — retrying the same method can never succeed.
+            if self.auth is None or auth_method != self.auth.method:
+                conn.will = None
+                conn.send(connack_packet(False, reason=0x8C))
+                raise ConnectionError("bad authentication method")
+            # MQTT-4.12.0-1: no CONNACK until the exchange completes —
+            # park the connect, challenge, and wait for the AUTH reply
+            nonce = self.auth.challenge()
+            conn.pending_connect = (clientid, clean_start, _props.get(0x11))
+            conn.auth_nonce = nonce
+            conn.send(auth_packet(0x18, self.auth.method, nonce))
+            return
+        self._establish(conn, clientid, clean_start, _props.get(0x11))
+
+    def _establish(
+        self,
+        conn: _BrokerConn,
+        clientid: str,
+        clean_start: bool,
+        session_expiry: int | None,
+        auth_method: str | None = None,
+    ) -> None:
+        """Session establishment (takeover/resume/clean-start) + CONNACK.
+        Runs directly from CONNECT, or deferred from the AUTH exchange
+        (§4.12) — then the CONNACK echoes the Authentication Method."""
         with self._lock:
             existing = self.sessions.get(clientid)
             session_present = existing is not None and not clean_start
@@ -852,11 +972,80 @@ class EmbeddedBroker:
                 # will (ADVICE r10 #1).
                 self._pending_wills.pop(clientid, None)
             session = self.sessions[clientid]
-            session.expiry = _props.get(0x11)  # latest CONNECT wins
+            session.expiry = session_expiry  # latest CONNECT wins
             session.conn = conn
             conn.session = session
-            conn.send(connack_packet(session_present))
+            conn.send(connack_packet(session_present, auth_method=auth_method))
             self._resume(session)
+
+    def _on_auth(self, conn: _BrokerConn, reason: int, props: dict) -> None:
+        """§4.12 AUTH exchange: the connect-time leg (challenge reply →
+        CONNACK or 0x87 refusal) and mid-connection re-authentication
+        (0x19 → fresh challenge → reply → AUTH 0x00 Success or
+        DISCONNECT 0x87)."""
+        if self.auth is None or props.get(0x15) != self.auth.method:
+            # MQTT-4.12: changing the method mid-exchange is a Protocol
+            # Error; so is AUTH against a broker with no mechanism
+            try:
+                conn.send(disconnect_packet(0x82))
+            except OSError:
+                pass
+            raise ValueError("AUTH with wrong/absent authentication method")
+        if reason == 0x19:
+            # re-authenticate: only legal on a fully-connected client
+            if conn.session is None:
+                try:
+                    conn.send(disconnect_packet(0x82))
+                except OSError:
+                    pass
+                raise ValueError("re-auth before connect completed")
+            nonce = self.auth.challenge()
+            conn.auth_nonce = nonce
+            conn.reauth = True
+            conn.send(auth_packet(0x18, self.auth.method, nonce))
+            return
+        if reason != 0x18 or conn.auth_nonce is None:
+            try:
+                conn.send(disconnect_packet(0x82))
+            except OSError:
+                pass
+            raise ValueError(f"unexpected AUTH reason 0x{reason:02x}")
+        # challenge response — for the parked connect or a re-auth
+        if conn.pending_connect is not None:
+            clientid, clean_start, sess_exp = conn.pending_connect
+            ok = self.auth.verify(clientid, props.get(0x16), conn.auth_nonce)
+            conn.pending_connect = None
+            conn.auth_nonce = None
+            if not ok:
+                # 0x87 Not authorized: permanent refusal, no session,
+                # no will (same class as the 0x86 password path)
+                conn.will = None
+                conn.send(connack_packet(False, reason=0x87))
+                raise ConnectionError("enhanced authentication failed")
+            self._establish(
+                conn, clientid, clean_start, sess_exp,
+                auth_method=self.auth.method,
+            )
+            return
+        if conn.reauth and conn.session is not None:
+            ok = self.auth.verify(
+                conn.session.clientid, props.get(0x16), conn.auth_nonce
+            )
+            conn.auth_nonce = None
+            conn.reauth = False
+            if not ok:
+                try:
+                    conn.send(disconnect_packet(0x87))
+                except OSError:
+                    pass
+                raise ConnectionError("re-authentication failed")
+            conn.send(auth_packet(0x00, self.auth.method))
+            return
+        try:
+            conn.send(disconnect_packet(0x82))
+        except OSError:
+            pass
+        raise ValueError("AUTH response with no exchange in flight")
 
     def _resume(self, session: _Session) -> None:
         """Redeliver inflight (DUP) then drain the offline queue."""
@@ -1562,6 +1751,15 @@ class Client:
         self._will: tuple[str, bytes, int, bool, int] | None = None
         self._username: str | None = None
         self._password: bytes | None = None
+        #: §4.12 enhanced authentication: method + shared secret set by
+        #: enhanced_auth(); the CONNECT then advertises the method and
+        #: the loop thread answers AUTH 0x18 challenges with
+        #: HMAC-SHA256(secret, challenge) until the CONNACK lands.
+        self._auth_method: str | None = None
+        self._auth_secret: bytes | None = None
+        #: count of completed 0x19 re-authentication round-trips
+        #: (server AUTH 0x00 Success received)
+        self.reauth_complete = 0
         self._wlock = threading.Lock()
 
     # paho surface ---------------------------------------------------------
@@ -1641,6 +1839,27 @@ class Client:
         self._password = (
             password.encode("utf-8") if isinstance(password, str) else password
         )
+
+    def enhanced_auth(self, method: str, secret) -> None:
+        """Opt into §4.12 enhanced authentication for every CONNECT of
+        this client (HiveMQ's Mqtt5EnhancedAuthMechanism surface, SCRAM
+        shaped): the CONNECT names the method, the broker challenges
+        over AUTH, this client answers HMAC-SHA256(secret, challenge).
+        Publishes stay blocked until the completing CONNACK (the
+        MQTT-4.12.0-? no-packets-before-CONNACK rule rides the existing
+        quota-unknown gate)."""
+        if isinstance(secret, str):
+            secret = secret.encode("utf-8")
+        self._auth_method = method
+        self._auth_secret = bytes(secret)
+
+    def reauthenticate(self) -> None:
+        """Start a mid-connection re-authentication (AUTH 0x19, §4.12).
+        Completion is observable as an increment of
+        ``reauth_complete``; failure is a server DISCONNECT 0x87."""
+        if self._auth_method is None:
+            raise ValueError("enhanced_auth() not configured")
+        self._send(auth_packet(0x19, self._auth_method))
 
     def will_set(
         self, topic, payload=None, qos=0, retain=False, properties=None
@@ -1807,6 +2026,7 @@ class Client:
                 will=self._will,
                 username=self._username,
                 password=self._password,
+                auth_method=self._auth_method,
             )
         )
         self._preader = _PacketReader(sock)
@@ -2125,6 +2345,24 @@ class Client:
                 self.superseded = True
                 self._running = False
             raise ConnectionError(f"server DISCONNECT reason=0x{reason:02x}")
+        elif ptype == AUTH:
+            # §4.12 enhanced-auth exchange (loop thread): answer 0x18
+            # challenges, count 0x00 re-auth completions. A challenge
+            # for a method we never configured is a Protocol Error —
+            # ValueError rides the malformed-frame teardown path.
+            reason = body[0] if body else 0x00
+            props = {"user": []}
+            if len(body) > 1:
+                props, _ = _parse_props(body, 1)
+            if props.get(0x15) != self._auth_method or self._auth_secret is None:
+                raise ValueError("AUTH for unconfigured authentication method")
+            if reason == 0x18:
+                resp = hmac.new(
+                    self._auth_secret, props.get(0x16) or b"", hashlib.sha256
+                ).digest()
+                self._send(auth_packet(0x18, self._auth_method, resp))
+            elif reason == 0x00:
+                self.reauth_complete += 1
         elif ptype == PINGRESP:
             self._ping_outstanding = None  # link round-trip confirmed
 

@@ -1323,3 +1323,80 @@ def test_trace_subscription_identifier_roundtrip():
     assert not ts.errors, ts.errors
     cli.loop_stop()
     ts.close()
+
+
+def test_trace_enhanced_auth_challenge_response_and_connack_gate():
+    """Enhanced authentication (§4.12): the client's CONNECT names the
+    method (0x15) and carries NO password; the server challenges over
+    AUTH 0x18; the client's reply frame must carry reason 0x18, the
+    SAME method, and EXACTLY HMAC-SHA256(secret, challenge) as 0x16 —
+    pinned byte-for-byte against a fixed nonce. MQTT-4.12's
+    no-packets-before-CONNACK rule is pinned too: a publish fired
+    during the exchange must not reach the wire until the CONNACK."""
+    import hashlib
+    import hmac as hmac_mod
+
+    from flink_emqx_connector_spark.sources.mqtt_wire import (
+        AUTH,
+        auth_packet,
+        connack_packet as _connack,
+    )
+
+    NONCE = bytes(range(16))
+    SECRET = b"trace-secret"
+    METHOD = "SCRAM-LITE-HMAC-SHA256"
+    seen = {}
+    early = []
+    done = threading.Event()
+
+    def handler(conn):
+        ptype, _f, body = read_packet(conn)
+        assert ptype == CONNECT, ptype
+        props, _ = _parse_props(body, 10)
+        seen["connect_method"] = props.get(0x15)
+        conn.sendall(auth_packet(0x18, METHOD, NONCE))
+        ptype, _f, body = read_packet(conn)
+        assert ptype == AUTH, ptype
+        seen["auth_reason"] = body[0]
+        aprops, _ = _parse_props(body, 1)
+        seen["auth_method"] = aprops.get(0x15)
+        seen["auth_data"] = aprops.get(0x16)
+        # the publish fired mid-exchange must NOT arrive before CONNACK
+        conn.settimeout(0.5)
+        try:
+            ptype, _f, _b = read_packet(conn)
+            early.append(ptype)
+        except (TimeoutError, socket.timeout):
+            pass
+        conn.settimeout(30)
+        conn.sendall(_connack(False, auth_method=METHOD))
+        ptype, _f, body = read_packet(conn)  # the gated publish
+        assert ptype == PUBLISH, ptype
+        (tlen,) = struct.unpack_from(">H", body, 0)
+        (mid,) = struct.unpack_from(">H", body, 2 + tlen)
+        conn.sendall(struct.pack(">BBH", (PUBACK << 4), 2, mid))
+        done.set()
+        time.sleep(0.2)
+
+    ts = _TraceServer(handler)
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="auth-c", protocol=MQTTv5)
+    cli.enhanced_auth(METHOD, SECRET)
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+
+    def publisher():
+        cli.publish("t/a", b"gated", qos=1)
+
+    th = threading.Thread(target=publisher, daemon=True)
+    th.start()
+    assert _wait(done.is_set, timeout=30), (seen, early, ts.errors)
+    th.join(timeout=5)
+    assert seen["connect_method"] == METHOD, seen
+    assert seen["auth_reason"] == 0x18, seen
+    assert seen["auth_method"] == METHOD, seen
+    want = hmac_mod.new(SECRET, NONCE, hashlib.sha256).digest()
+    assert seen["auth_data"] == want, (seen["auth_data"], want)
+    assert early == [], ("packet before CONNACK", early)
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
