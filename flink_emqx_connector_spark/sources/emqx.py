@@ -103,6 +103,12 @@ class EMQXStreamReader(DataSourceStreamReader):
         # bounded callback→drain queue; the reference's ConcurrentLinkedQueue
         # is unbounded (EMQXSourceReader.java:37) — see PahoTransport
         self.max_inflight = int(options.get("max_inflight", "100000"))
+        # §4.12 enhanced authentication (source options): method name +
+        # shared secret, forwarded to the transport's client. EMQX
+        # deployments requiring SCRAM-class auth refuse plain CONNECTs
+        # with CONNACK 0x8C — a permanent refusal the reader cedes on.
+        self.auth_method = options.get("auth_method")
+        self.auth_secret = options.get("auth_secret")
         # "map" (default, MAP<STRING,STRING>, duplicate keys last-win) or
         # "list" (ordered ARRAY<STRUCT<key,value>> — full Mqtt5UserProperties
         # fidelity, EMQXMessage.java:3,9)
@@ -220,6 +226,8 @@ class EMQXStreamReader(DataSourceStreamReader):
                 self.group,
                 session_expiry=self.session_expiry,
                 max_inflight=self.max_inflight,
+                auth_method=self.auth_method,
+                auth_secret=self.auth_secret,
             )
             # commit() ran on the driver; the executor learns the committed
             # frontier from the batch window start and acks below it (ST3).

@@ -479,9 +479,13 @@ class PahoTransport:
         group: str,
         session_expiry: int | None = None,
         max_inflight: int | None = None,
+        auth_method: str | None = None,
+        auth_secret: "str | bytes | None" = None,
     ):
         import queue
 
+        self.auth_method = auth_method
+        self.auth_secret = auth_secret
         self.clientid = clientid
         self.session_expiry = (
             self.SESSION_EXPIRY if session_expiry is None else int(session_expiry)
@@ -552,6 +556,19 @@ class PahoTransport:
         cli.on_connect = on_connect
         cli.on_message = on_message
         cli.on_disconnect = on_disconnect
+        if self.auth_method is not None:
+            # §4.12 enhanced authentication: the embedded MQTT 5 client
+            # implements the AUTH exchange; a real paho build without
+            # enhanced-auth support cannot speak it — fail loud rather
+            # than silently connecting unauthenticated (the broker would
+            # refuse 0x8C anyway, but with a misleading symptom).
+            if not hasattr(cli, "enhanced_auth"):
+                raise ValueError(
+                    "auth_method set but this MQTT client has no "
+                    "enhanced-auth support (pip paho-mqtt lacks the "
+                    "AUTH exchange; the embedded client provides it)"
+                )
+            cli.enhanced_auth(self.auth_method, self.auth_secret or b"")
         cli.reconnect_delay_set(min_delay=1, max_delay=10)
         try:
             cli.connect(host, port, clean_start=False, properties=props, keepalive=30)
@@ -620,6 +637,8 @@ class PahoTransport:
         group,
         session_expiry=None,
         max_inflight=None,
+        auth_method=None,
+        auth_secret=None,
     ) -> "PahoTransport":
         t = _CLIENTS.get(clientid)
         if t is None:
@@ -632,6 +651,8 @@ class PahoTransport:
                 group,
                 session_expiry,
                 max_inflight,
+                auth_method=auth_method,
+                auth_secret=auth_secret,
             )
             _CLIENTS[clientid] = t
         return t

@@ -119,3 +119,30 @@ def test_reauthentication_failure_draws_disconnect_0x87(broker):
     cli.reauthenticate()
     assert _wait(lambda: 0x87 in reasons), reasons
     cli.loop_stop()
+
+
+def test_paho_transport_enhanced_auth_end_to_end(broker):
+    """Connector-surface plumbing: a PahoTransport constructed with the
+    auth_method/auth_secret source options completes the §4.12 exchange
+    (embedded-client leg) and receives traffic from an authenticated
+    publisher — the reader path a SCRAM-enforcing EMQX requires."""
+    from flink_emqx_connector_spark.sources.transport import PahoTransport
+
+    broker.auth.secrets["auth-reader"] = SECRET
+    t = PahoTransport(
+        "127.0.0.1", broker.port, "auth-reader", "at/#", 1, "",
+        auth_method=ScramLiteAuth.method, auth_secret=SECRET,
+    )
+    try:
+        assert _wait(
+            lambda: broker.sessions.get("auth-reader") is not None
+            and broker.sessions["auth-reader"].subs
+        )
+        pub = _client(broker, "auth-ok")
+        pub.publish("at/x", b"authed-payload", qos=1).wait_for_publish()
+        assert _wait(lambda: not t.queue.empty())
+        _seq, _ts, msg = t.queue.get_nowait()
+        assert bytes(msg.payload) == b"authed-payload"
+        pub.loop_stop()
+    finally:
+        t.close() if hasattr(t, "close") else t.client.loop_stop()
