@@ -70,6 +70,14 @@ Scope — exactly the protocol surface the connector semantics need
   (MQTT-4.3.3 / MQTT-4.9.0-2; pre-r13 each rejected QoS 2 publish
   leaked a quota slot), and Server Reference (0x1C) surfacing from
   DISCONNECT 0x9C/0x9D and refused CONNACKs (§4.11 redirects);
+- (round 13) topic aliasing in the CLIENT→BROKER direction — the
+  round-10 work covered broker→client only: the broker now advertises
+  a Topic-Alias-Maximum in CONNACK (§3.2.2.3.8) and RESOLVES inbound
+  aliases (bind/resolve per connection; 0x94 above-max, 0x82
+  unknown-alias / bare empty topic per MQTT-3.3.2-8/9, 4.7.3-1), and
+  the client compresses repeated publish topics up to the server's
+  advertised cap (decide+send atomic under the write lock so a bind
+  frame can never be overtaken by an empty-topic use);
 - (round 13) enhanced authentication (§4.12): the full AUTH-packet
   choreography — CONNECT 0x15/0x16, server challenge AUTH 0x18,
   client HMAC response, CONNACK (deferred per MQTT-4.12.0-1, method
@@ -285,11 +293,15 @@ def connect_packet(
 
 def connack_packet(
     session_present: bool, reason: int = 0, receive_maximum: int | None = None,
-    auth_method: str | None = None,
+    auth_method: str | None = None, topic_alias_maximum: int | None = None,
 ) -> bytes:
     props = b""
     if receive_maximum is not None:
         props += b"\x21" + struct.pack(">H", receive_maximum)
+    if topic_alias_maximum is not None:
+        # server-side Topic-Alias-Maximum (§3.2.2.3.8): how many aliases
+        # the CLIENT may bind on its publishes to us
+        props += b"\x22" + struct.pack(">H", topic_alias_maximum)
     if auth_method is not None:
         # §4.12: the CONNACK completing an enhanced-auth exchange
         # carries the same Authentication Method
@@ -611,6 +623,10 @@ class _BrokerConn:
         #: live and die with the network connection (never the session).
         self.alias_max = 0
         self.tx_alias: dict[str, int] = {}
+        #: INBOUND alias table (client→broker publishes, §3.3.2.3.4):
+        #: alias → topic, bound by the first aliased publish naming the
+        #: topic; per network connection like tx_alias
+        self.rx_alias: dict[int, str] = {}
         #: §4.12 in-flight state: (clientid, clean_start) parked while
         #: the AUTH exchange runs (CONNACK deferred per MQTT-4.12.0-1),
         #: the outstanding challenge nonce, and whether the exchange is
@@ -692,9 +708,15 @@ class EmbeddedBroker:
         port: int = 0,
         credentials: dict[str, str] | None = None,
         auth: "ScramLiteAuth | None" = None,
+        topic_alias_maximum: int = 16,
     ):
         self.host = host
         self.port = port
+        #: Topic-Alias-Maximum WE advertise in CONNACK (§3.2.2.3.8):
+        #: publishers may then compress repeated topics to 2-byte
+        #: aliases — EMQX advertises this by default (65535; 16 here
+        #: keeps tables tiny). 0 disables inbound aliasing.
+        self.topic_alias_maximum = int(topic_alias_maximum)
         #: enhanced-authentication mechanism (§4.12), or None. When set,
         #: EVERY connect must run the AUTH exchange (a CONNECT without
         #: the matching Authentication Method draws CONNACK 0x8C Bad
@@ -975,7 +997,12 @@ class EmbeddedBroker:
             session.expiry = session_expiry  # latest CONNECT wins
             session.conn = conn
             conn.session = session
-            conn.send(connack_packet(session_present, auth_method=auth_method))
+            conn.send(
+                connack_packet(
+                    session_present, auth_method=auth_method,
+                    topic_alias_maximum=self.topic_alias_maximum or None,
+                )
+            )
             self._resume(session)
 
     def _on_auth(self, conn: _BrokerConn, reason: int, props: dict) -> None:
@@ -1197,6 +1224,36 @@ class EmbeddedBroker:
             i += 2
         props, i = _parse_props(body, i)
         payload = body[i:]
+        alias = props.get(0x23)
+        if alias is not None:
+            # inbound Topic Alias (§3.3.2.3.4): 0 or above what we
+            # advertised → DISCONNECT 0x94 Topic Alias invalid
+            # (MQTT-3.3.2-8/9); an empty topic resolves through this
+            # connection's table; a named topic (re)binds the alias.
+            if not 0 < alias <= self.topic_alias_maximum:
+                try:
+                    conn.send(disconnect_packet(0x94))
+                except OSError:
+                    pass
+                raise ValueError(f"inbound topic alias {alias} out of range")
+            if topic:
+                conn.rx_alias[alias] = topic
+            elif alias in conn.rx_alias:
+                topic = conn.rx_alias[alias]
+            else:
+                try:
+                    conn.send(disconnect_packet(0x82))
+                except OSError:
+                    pass
+                raise ValueError(f"unknown inbound topic alias {alias}")
+        if not topic:
+            # MQTT-4.7.3-1: a PUBLISH with no topic and no (resolvable)
+            # alias is a Protocol Error
+            try:
+                conn.send(disconnect_packet(0x82))
+            except OSError:
+                pass
+            raise ValueError("PUBLISH with empty topic and no alias")
         if 0x0B in props:
             # MQTT-3.3.4-6: a client→server PUBLISH must not carry a
             # Subscription Identifier — it exists only on the
@@ -1725,6 +1782,13 @@ class Client:
         #: aliases never outlive the network connection).
         self.topic_alias_maximum = 16
         self._rx_alias: dict[int, str] = {}
+        #: outbound aliasing (client→server, §3.3.2.3.4): the server's
+        #: CONNACK Topic-Alias-Maximum caps how many repeated publish
+        #: topics WE may compress; table and cap are per-connection
+        #: (0 until a CONNACK advertises — publishes before that go
+        #: plain, MQTT-3.2.2-17's absent-property default)
+        self._server_alias_max = 0
+        self._tx_alias: dict[str, int] = {}
         #: pid → tuple of SUBACK reason codes, for callers that need to
         #: confirm a grant (EMQX answers unauthorized filters with 0x87
         #: per-topic in the SUBACK, NOT with a connection teardown).
@@ -1951,21 +2015,15 @@ class Client:
             pid = self._next_pid()
             self._pub_events[pid] = ev
             try:
-                self._send(
-                    publish_packet(
-                        topic, bytes(payload), qos, pid, retain,
-                        user_props=uprops, message_expiry=mexp,
-                    )
+                self._send_publish(
+                    topic, bytes(payload), qos, pid, retain, uprops, mexp
                 )
             except BaseException:
                 self._release_quota()
                 raise
         else:
-            self._send(
-                publish_packet(
-                    topic, bytes(payload), 0, None, retain,
-                    user_props=uprops, message_expiry=mexp,
-                )
+            self._send_publish(
+                topic, bytes(payload), 0, None, retain, uprops, mexp
             )
             ev.set()
         return MQTTMessageInfo(ev)
@@ -2031,6 +2089,11 @@ class Client:
         )
         self._preader = _PacketReader(sock)
         self._ping_outstanding = None
+        # aliases never outlive the network connection (MQTT-3.3.2-7):
+        # no outbound compression until THIS connection's CONNACK
+        # advertises a maximum
+        self._server_alias_max = 0
+        self._tx_alias = {}
         self._last_send = time.monotonic()
         self._sock = sock
 
@@ -2044,6 +2107,35 @@ class Client:
             raise ConnectionError("not connected")
         with self._wlock:
             sock.sendall(data)
+            self._last_send = time.monotonic()
+
+    def _send_publish(
+        self, topic, payload, qos, pid, retain, uprops, mexp
+    ) -> None:
+        """Publish with outbound topic-alias compression (§3.3.2.3.4):
+        a repeated topic sends as empty-topic + 2-byte alias once the
+        server's CONNACK advertised a Topic-Alias-Maximum. Decide and
+        send under ONE _wlock hold — two racing publishers must not
+        reorder an empty-topic use ahead of its binding frame."""
+        sock = self._sock
+        if sock is None:
+            raise ConnectionError("not connected")
+        with self._wlock:
+            wire_topic, alias = topic, None
+            if self._server_alias_max:
+                alias = self._tx_alias.get(topic)
+                if alias is not None:
+                    wire_topic = ""
+                elif len(self._tx_alias) < self._server_alias_max:
+                    alias = len(self._tx_alias) + 1
+                    self._tx_alias[topic] = alias  # bind: topic + alias
+            sock.sendall(
+                publish_packet(
+                    wire_topic, payload, qos, pid, retain,
+                    user_props=uprops, message_expiry=mexp,
+                    topic_alias=alias,
+                )
+            )
             self._last_send = time.monotonic()
 
     def _keepalive_loop(self) -> None:
@@ -2185,6 +2277,8 @@ class Client:
                 self._inflight_out = 0
                 self._quota_cv.notify_all()
             self._rx_alias.clear()  # MQTT-3.3.2-7: aliases are per-connection
+            self._tx_alias.clear()
+            self._server_alias_max = props.get(0x22, 0)
             if self.on_connect is not None:
                 self._safe_callback(
                     self.on_connect, self, None, _Flags(session_present), 0, None

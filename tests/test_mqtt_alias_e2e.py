@@ -122,3 +122,57 @@ def test_aliases_reset_on_reconnect(broker):
     assert new_conn is not old_conn
     assert new_conn.tx_alias == {"t/r": 1}  # rebound on the new conn
     pub.disconnect(), cli2.disconnect()
+
+
+def test_outbound_alias_roundtrip_through_broker(broker):
+    """Client→broker aliasing E2E: the embedded broker advertises a
+    Topic-Alias-Maximum in CONNACK, the publisher compresses repeats,
+    the broker RESOLVES them — the subscriber sees every copy on the
+    full topic. The publisher connection's inbound table on the broker
+    proves compression actually happened on the wire."""
+    sub, got = _sub(broker, "oalias-sub", alias_max=16, topic="oa/#")
+    pub = Client(
+        CallbackAPIVersion.VERSION2, client_id="oalias-pub", protocol=MQTTv5
+    )
+    pub.connect("127.0.0.1", broker.port)
+    pub.loop_start()
+    for i in range(3):
+        pub.publish("oa/rep", b"m%d" % i, qos=1).wait_for_publish()
+    assert _wait(lambda: len(got) == 3), got
+    assert [(m.topic, bytes(m.payload)) for m in got] == [
+        ("oa/rep", b"m0"), ("oa/rep", b"m1"), ("oa/rep", b"m2"),
+    ]
+    pconn = broker.sessions["oalias-pub"].conn
+    assert pconn.rx_alias == {1: "oa/rep"}, pconn.rx_alias
+    sub.loop_stop()
+    pub.loop_stop()
+
+
+def test_inbound_alias_out_of_range_is_0x94(broker):
+    """MQTT-3.3.2-8/9: an alias above the broker's advertised maximum
+    draws DISCONNECT 0x94 Topic Alias invalid."""
+    from flink_emqx_connector_spark.sources.mqtt_wire import publish_packet
+
+    reasons = []
+    cli = _pub(broker)
+    cli.on_disconnect = lambda c, u, f, r, p=None: reasons.append(r)
+    cli._send(publish_packet("t/x", b"p", 0, topic_alias=99))
+    assert _wait(lambda: 0x94 in reasons), reasons
+    cli.loop_stop()
+
+
+def test_inbound_unknown_alias_and_bare_empty_topic_are_0x82(broker):
+    """An empty-topic publish whose alias was never bound — or with no
+    alias at all (MQTT-4.7.3-1) — is a Protocol Error."""
+    from flink_emqx_connector_spark.sources.mqtt_wire import publish_packet
+
+    for cid, pkt_args in [
+        ("oalias-unk", {"topic_alias": 3}),   # alias never bound
+        ("oalias-mt", {}),                     # no topic, no alias
+    ]:
+        reasons = []
+        cli = _pub(broker)
+        cli.on_disconnect = lambda c, u, f, r, p=None: reasons.append(r)
+        cli._send(publish_packet("", b"p", 0, **pkt_args))
+        assert _wait(lambda: 0x82 in reasons), (cid, reasons)
+        cli.loop_stop()

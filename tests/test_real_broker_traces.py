@@ -1400,3 +1400,40 @@ def test_trace_enhanced_auth_challenge_response_and_connack_gate():
     assert not ts.errors, ts.errors
     cli.loop_stop()
     ts.close()
+
+
+def test_trace_outbound_topic_alias_compression():
+    """Client→server topic aliasing (§3.3.2.3.4): once the CONNACK
+    advertises a Topic-Alias-Maximum, the client's FIRST publish of a
+    topic binds an alias (full topic + 0x23) and every repeat sends a
+    zero-length topic + the alias; a second topic binds the next
+    alias. EMQX advertises this by default — the compression matters
+    for a sink hammering one telemetry topic."""
+    frames = []
+    done = threading.Event()
+
+    def handler(conn):
+        read_packet(conn)  # CONNECT
+        conn.sendall(connack_packet(False, topic_alias_maximum=5))
+        for _ in range(3):
+            ptype, _f, body = read_packet(conn)
+            assert ptype == PUBLISH, ptype
+            topic, mid, props = _parse_publish_props(body)
+            frames.append((topic, props.get(0x23)))
+            conn.sendall(struct.pack(">BBH", (PUBACK << 4), 2, mid))
+        done.set()
+        time.sleep(0.2)
+
+    ts = _TraceServer(handler)
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="oalias-c", protocol=MQTTv5)
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+    cli.publish("t/rep", b"a", qos=1).wait_for_publish()
+    cli.publish("t/rep", b"b", qos=1).wait_for_publish()
+    cli.publish("t/other", b"c", qos=1).wait_for_publish()
+
+    assert _wait(done.is_set, timeout=15), (frames, ts.errors)
+    assert frames == [("t/rep", 1), ("", 1), ("t/other", 2)], frames
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
