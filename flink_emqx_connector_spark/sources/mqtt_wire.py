@@ -70,6 +70,12 @@ Scope — exactly the protocol surface the connector semantics need
   (MQTT-4.3.3 / MQTT-4.9.0-2; pre-r13 each rejected QoS 2 publish
   leaked a quota slot), and Server Reference (0x1C) surfacing from
   DISCONNECT 0x9C/0x9D and refused CONNACKs (§4.11 redirects);
+- (round 13) request/response envelope pass-through (§3.3.2.3):
+  Response Topic (0x08), Correlation Data (0x09), Content Type
+  (0x03), Payload Format Indicator (0x01) are forwarded UNALTERED
+  through live routing, offline queues, and the retained store
+  (MQTT-3.3.2-4/-15/-16/-20) and surfaced both ways on the client —
+  the RPC-over-MQTT pattern closes end-to-end;
 - (round 13) topic aliasing in the CLIENT→BROKER direction — the
   round-10 work covered broker→client only: the broker now advertises
   a Topic-Alias-Maximum in CONNACK (§3.2.2.3.8) and RESOLVES inbound
@@ -376,6 +382,7 @@ def publish_packet(
     topic_alias: int | None = None,
     message_expiry: int | None = None,
     subscription_id: int | None = None,
+    fwd_props: dict | None = None,
 ) -> bytes:
     flags = (8 if dup else 0) | (qos << 1) | (1 if retain else 0)
     body = _mqtt_str(topic)
@@ -393,6 +400,19 @@ def publish_packet(
         # broker→client deliveries whose matching subscription carried
         # one; never on client→broker publishes (MQTT-3.3.4-6)
         extra += b"\x0b" + _varint(subscription_id)
+    for fpid in sorted(fwd_props or ()):
+        # pass-through properties the server must forward UNALTERED:
+        # Payload Format Indicator (0x01, MQTT-3.3.2-4), Content Type
+        # (0x03, MQTT-3.3.2-20), Response Topic (0x08, MQTT-3.3.2-15),
+        # Correlation Data (0x09, MQTT-3.3.2-16) — the request/response
+        # pattern's routing envelope
+        val = fwd_props[fpid]
+        if fpid == 0x01:
+            extra += b"\x01" + bytes([val])
+        elif fpid in (0x03, 0x08):
+            extra += bytes([fpid]) + _mqtt_str(val)
+        elif fpid == 0x09:
+            extra += b"\x09" + struct.pack(">H", len(val)) + val
     if topic_alias is not None:
         # append the Topic Alias property (0x22 is the CONNECT-side max;
         # the PUBLISH-side property id is 0x23)
@@ -586,11 +606,14 @@ class _Session:
         #: (retain-handling is a SUBSCRIBE-time-only behavior and is
         #: not session state)
         self.subs: dict[str, tuple[int, str | None, bool, bool, int | None]] = {}
-        #: (topic, payload, qos, retain, uprops, dup, deadline, subid) —
+        #: (topic, payload, qos, retain, uprops, dup, deadline, subid,
+        #: fwd) —
         #: deadline is the monotonic instant the Message Expiry Interval
         #: elapses (None = does not expire, §3.3.2.3.3); subid is the
         #: matched subscription's identifier to echo on delivery
-        #: (MQTT-3.3.4-3), riding the queue so offline backlog keeps it
+        #: (MQTT-3.3.4-3), riding the queue so offline backlog keeps it;
+        #: fwd is the {pid: value} dict of pass-through properties the
+        #: server forwards unaltered (0x01/0x03/0x08/0x09) or None
         self.queue: deque = deque()
         self.inflight: dict[int, tuple] = {}
         # shared (bare, group) filters this session UNSUBSCRIBED while
@@ -1079,9 +1102,11 @@ class EmbeddedBroker:
         inflight = [session.inflight[pid] for pid in sorted(session.inflight)]
         session.inflight.clear()
         for msg in reversed(inflight):
-            topic, payload, qos, retain, uprops, _dup, deadline, subid = msg
+            (topic, payload, qos, retain, uprops, _dup, deadline, subid,
+             fwd) = msg
             session.queue.appendleft(
-                (topic, payload, qos, retain, uprops, True, deadline, subid)
+                (topic, payload, qos, retain, uprops, True, deadline, subid,
+                 fwd)
             )
         while session.queue and session.conn is not None:
             self._deliver(session, session.queue.popleft())
@@ -1165,21 +1190,24 @@ class EmbeddedBroker:
                         # (MQTT-3.3.2-5).
                         now = time.monotonic()
                         for rtopic in list(self.retained):
-                            rpay, rqos, rup, rdeadline = self.retained[rtopic]
+                            (rpay, rqos, rup, rdeadline,
+                             rfwd) = self.retained[rtopic]
                             if rdeadline is not None and rdeadline <= now:
                                 self.retained.pop(rtopic)
                                 continue
                             if topic_matches_py(bare, rtopic):
                                 retained_out.append(
-                                    (rtopic, rpay, min(qos, rqos), rup, rdeadline)
+                                    (rtopic, rpay, min(qos, rqos), rup,
+                                     rdeadline, rfwd)
                                 )
                 reasons.append(qos)
             conn.send(suback_packet(pid, reasons))
             if conn.session is not None:
-                for rtopic, rpay, rqos, rup, rdeadline in retained_out:
+                for rtopic, rpay, rqos, rup, rdeadline, rfwd in retained_out:
                     self._deliver(
                         conn.session,
-                        (rtopic, rpay, rqos, True, rup, False, rdeadline, subid),
+                        (rtopic, rpay, rqos, True, rup, False, rdeadline,
+                         subid, rfwd),
                     )
 
     def _on_unsubscribe(self, conn: _BrokerConn, body: bytes) -> None:
@@ -1281,15 +1309,20 @@ class EmbeddedBroker:
         # (MQTT-3.3.2-5)
         mexp = props.get(0x02)
         deadline = time.monotonic() + mexp if mexp is not None else None
+        # pass-through properties (MQTT-3.3.2-4/-15/-16/-20): forwarded
+        # to every subscriber unaltered — the request/response envelope
+        fwd = {k: props[k] for k in (0x01, 0x03, 0x08, 0x09) if k in props}
         with self._lock:
             self._dispatch(
                 topic, payload, qos, retain, props["user"],
                 deadline=deadline,
                 src=conn.session.clientid if conn.session is not None else None,
+                fwd=fwd or None,
             )
 
     def _dispatch(
-        self, topic, payload, qos, retain, uprops, deadline=None, src=None
+        self, topic, payload, qos, retain, uprops, deadline=None, src=None,
+        fwd=None,
     ) -> None:
         # Retained STORE (§3.3.1.3): a retained publish replaces the
         # topic's retained message; a zero-byte retained publish clears
@@ -1299,7 +1332,7 @@ class EmbeddedBroker:
         if retain:
             if payload:
                 self.retained[topic] = (
-                    bytes(payload), qos, list(uprops), deadline,
+                    bytes(payload), qos, list(uprops), deadline, fwd,
                 )
             else:
                 self.retained.pop(topic, None)
@@ -1334,7 +1367,7 @@ class EmbeddedBroker:
                         (
                             topic, payload, min(qos, sub_qos),
                             retain if rap else False, uprops, False, deadline,
-                            subid,
+                            subid, fwd,
                         ),
                     )
                 else:
@@ -1352,12 +1385,12 @@ class EmbeddedBroker:
                 session,
                 (
                     topic, payload, min(qos, sub_qos), False, uprops, False,
-                    deadline, subid,
+                    deadline, subid, fwd,
                 ),
             )
 
     def _deliver(self, session: _Session, msg: tuple) -> None:
-        topic, payload, qos, retain, uprops, dup, deadline, subid = msg
+        topic, payload, qos, retain, uprops, dup, deadline, subid, fwd = msg
         mexp = None
         if deadline is not None:
             remaining = deadline - time.monotonic()
@@ -1399,7 +1432,7 @@ class EmbeddedBroker:
                 publish_packet(
                     wire_topic, payload, qos, pid, retain, dup, uprops,
                     topic_alias=alias, message_expiry=mexp,
-                    subscription_id=subid,
+                    subscription_id=subid, fwd_props=fwd,
                 )
             )
         except OSError:
@@ -1451,11 +1484,11 @@ class EmbeddedBroker:
                 # the head of the queue for DUP redelivery on resume
                 inflight = [session.inflight[pid] for pid in sorted(session.inflight)]
                 session.inflight.clear()
-                for topic, payload, qos, retain, uprops, _d, dl, sid in reversed(
-                    inflight
-                ):
+                for (topic, payload, qos, retain, uprops, _d, dl, sid,
+                     fw) in reversed(inflight):
                     session.queue.appendleft(
-                        (topic, payload, qos, retain, uprops, True, dl, sid)
+                        (topic, payload, qos, retain, uprops, True, dl, sid,
+                         fw)
                     )
                 live_shared = [
                     (strip_share(filt)[1], group)
@@ -1586,12 +1619,12 @@ class EmbeddedBroker:
                 # identifier is the TARGET subscription's, not the
                 # departed member's (MQTT-3.3.4-3 keys on the
                 # subscription causing THIS delivery)
-                topic, payload, qos, retain, uprops, _d, dl, _sid = msg
+                topic, payload, qos, retain, uprops, _d, dl, _sid, fw = msg
                 self._deliver(
                     target,
                     (
                         topic, payload, min(qos, target_qos), retain, uprops,
-                        True, dl, target_sid,
+                        True, dl, target_sid, fw,
                     ),
                 )
             else:
@@ -1642,6 +1675,14 @@ class Properties:
         # broker echoes it on every delivery the subscription causes, so
         # a consumer routes by identifier instead of re-matching filters
         self.SubscriptionIdentifier: int | None = None
+        # request/response + content envelope (§3.3.2.3): forwarded by
+        # the server UNALTERED to every subscriber — the RPC-over-MQTT
+        # pattern (responder publishes its answer to ResponseTopic,
+        # tagging it with the requester's CorrelationData)
+        self.ResponseTopic: str | None = None
+        self.CorrelationData: bytes | None = None
+        self.ContentType: str | None = None
+        self.PayloadFormatIndicator: int | None = None
 
 
 class SubscribeOptions:
@@ -1670,8 +1711,16 @@ class _Flags:
 
 
 class _UserProperties:
-    def __init__(self, pairs, message_expiry=None, subscription_id=None):
+    def __init__(self, pairs, message_expiry=None, subscription_id=None,
+                 recv=None):
         self.UserProperty = pairs
+        recv = recv or {}
+        #: §3.3.2.3 pass-through envelope, forwarded unaltered by the
+        #: server (None when absent)
+        self.ResponseTopic = recv.get(0x08)
+        self.CorrelationData = recv.get(0x09)
+        self.ContentType = recv.get(0x03)
+        self.PayloadFormatIndicator = recv.get(0x01)
         #: Message Expiry Interval from the received PUBLISH (0x02), or
         #: None when absent — on a broker-forwarded copy this is the
         #: published value minus its queueing time (MQTT-3.3.2-6), so a
@@ -1685,7 +1734,7 @@ class MQTTMessage:
     __slots__ = ("topic", "qos", "retain", "payload", "mid", "dup", "properties")
 
     def __init__(self, topic, qos, retain, payload, mid, dup, uprops,
-                 message_expiry=None, subscription_id=None):
+                 message_expiry=None, subscription_id=None, recv=None):
         self.topic = topic
         self.qos = qos
         self.retain = retain
@@ -1693,7 +1742,7 @@ class MQTTMessage:
         self.mid = mid
         self.dup = dup
         self.properties = _UserProperties(
-            list(uprops), message_expiry, subscription_id
+            list(uprops), message_expiry, subscription_id, recv
         )
 
 
@@ -1974,6 +2023,16 @@ class Client:
             payload = payload.encode("utf-8")
         uprops = getattr(properties, "UserProperty", None) or []
         mexp = getattr(properties, "MessageExpiryInterval", None)
+        fwd = {}
+        for fpid, attr in (
+            (0x01, "PayloadFormatIndicator"),
+            (0x03, "ContentType"),
+            (0x08, "ResponseTopic"),
+            (0x09, "CorrelationData"),
+        ):
+            val = getattr(properties, attr, None)
+            if val is not None:
+                fwd[fpid] = val
         ev = threading.Event()
         if qos:
             # MQTT-3.3.4-9: block while un-acked QoS>=1 publishes sit at
@@ -2016,14 +2075,16 @@ class Client:
             self._pub_events[pid] = ev
             try:
                 self._send_publish(
-                    topic, bytes(payload), qos, pid, retain, uprops, mexp
+                    topic, bytes(payload), qos, pid, retain, uprops, mexp,
+                    fwd or None,
                 )
             except BaseException:
                 self._release_quota()
                 raise
         else:
             self._send_publish(
-                topic, bytes(payload), 0, None, retain, uprops, mexp
+                topic, bytes(payload), 0, None, retain, uprops, mexp,
+                fwd or None,
             )
             ev.set()
         return MQTTMessageInfo(ev)
@@ -2110,7 +2171,7 @@ class Client:
             self._last_send = time.monotonic()
 
     def _send_publish(
-        self, topic, payload, qos, pid, retain, uprops, mexp
+        self, topic, payload, qos, pid, retain, uprops, mexp, fwd=None
     ) -> None:
         """Publish with outbound topic-alias compression (§3.3.2.3.4):
         a repeated topic sends as empty-topic + 2-byte alias once the
@@ -2133,7 +2194,7 @@ class Client:
                 publish_packet(
                     wire_topic, payload, qos, pid, retain,
                     user_props=uprops, message_expiry=mexp,
-                    topic_alias=alias,
+                    topic_alias=alias, fwd_props=fwd,
                 )
             )
             self._last_send = time.monotonic()
@@ -2312,6 +2373,7 @@ class Client:
                 topic, qos, retain, body[i:], mid, dup, props["user"],
                 message_expiry=props.get(0x02),
                 subscription_id=props.get(0x0B),
+                recv=props,
             )
             if qos == 2 and mid in self._rx_qos2:
                 # DUP retransmission of a message we already PUBREC'd

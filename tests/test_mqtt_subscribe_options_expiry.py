@@ -356,3 +356,95 @@ def test_subscription_identifier_on_outbound_publish_is_protocol_error(broker):
     cli._send(publish_packet("sid/bad", b"x", 0, subscription_id=3))
     assert _wait(lambda: 0x82 in reasons), reasons
     cli.loop_stop()
+
+
+# ---------------------------------------------------------------------------
+# Request/Response envelope pass-through (§3.3.2.3, MQTT-3.3.2-15/16/20)
+# ---------------------------------------------------------------------------
+
+
+def test_request_response_envelope_passes_through_unaltered(broker):
+    """The RPC-over-MQTT pattern: the requester publishes with
+    ResponseTopic + CorrelationData (+ ContentType / PayloadFormat);
+    the broker must forward ALL FOUR unaltered (MQTT-3.3.2-4/-15/-16/
+    -20 — pre-r13 the double silently dropped them); the responder
+    answers on the ResponseTopic echoing the CorrelationData, closing
+    the loop."""
+    answered = []
+
+    def respond(c, u, m):
+        rt = m.properties.ResponseTopic
+        assert rt == "rpc/replies/req-1", rt
+        assert m.properties.ContentType == "application/json"
+        assert m.properties.PayloadFormatIndicator == 1
+        p = Properties()
+        p.CorrelationData = m.properties.CorrelationData
+        c.publish(rt, b'{"ok":true}', qos=1, properties=p)
+
+    responder = _client(broker, "rr-responder", on_message=respond)
+    responder.subscribe("rpc/calls", qos=1)
+    assert _wait(lambda: broker.sessions["rr-responder"].subs)
+
+    requester = _client(
+        broker, "rr-requester",
+        on_message=lambda c, u, m: answered.append(
+            (bytes(m.payload), m.properties.CorrelationData)
+        ),
+    )
+    requester.subscribe("rpc/replies/req-1", qos=1)
+    assert _wait(lambda: broker.sessions["rr-requester"].subs)
+
+    p = Properties()
+    p.ResponseTopic = "rpc/replies/req-1"
+    p.CorrelationData = b"\x00\x01corr\xff"
+    p.ContentType = "application/json"
+    p.PayloadFormatIndicator = 1
+    requester.publish("rpc/calls", b'{"op":"ping"}', qos=1, properties=p)
+
+    assert _wait(lambda: answered == [(b'{"ok":true}', b"\x00\x01corr\xff")]), (
+        answered
+    )
+    responder.loop_stop()
+    requester.loop_stop()
+
+
+def test_envelope_survives_offline_queue_and_retained(broker):
+    """Pass-through properties ride the offline queue (session resume)
+    and the retained store — a late responder still sees where to
+    answer."""
+    got = []
+    sub = _client(
+        broker, "rr-late",
+        on_message=lambda c, u, m: got.append(
+            (m.retain, m.properties.ResponseTopic, m.properties.CorrelationData)
+        ),
+        session_expiry=300,
+    )
+    sub.subscribe("rr/q", qos=1)
+    assert _wait(lambda: broker.sessions["rr-late"].subs)
+    sub.loop_stop()
+
+    pub = _client(broker, "rr-pub")
+    p = Properties()
+    p.ResponseTopic = "rr/back"
+    p.CorrelationData = b"c-42"
+    pub.publish("rr/q", b"queued", qos=1, properties=p).wait_for_publish()
+    pub.publish("rr/state", b"snap", qos=1, retain=True, properties=p
+                ).wait_for_publish()
+    assert _wait(lambda: broker.session_backlog("rr-late") >= 1)
+
+    sub2 = _client(broker, "rr-late", on_message=sub.on_message,
+                   session_expiry=300, clean=False)
+    assert _wait(lambda: (False, "rr/back", b"c-42") in got), got
+
+    late = _client(
+        broker, "rr-very-late",
+        on_message=lambda c, u, m: got.append(
+            (m.retain, m.properties.ResponseTopic, m.properties.CorrelationData)
+        ),
+    )
+    late.subscribe("rr/state", qos=1)
+    assert _wait(lambda: (True, "rr/back", b"c-42") in got), got
+    sub2.loop_stop()
+    pub.loop_stop()
+    late.loop_stop()

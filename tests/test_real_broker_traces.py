@@ -1437,3 +1437,66 @@ def test_trace_outbound_topic_alias_compression():
     assert not ts.errors, ts.errors
     cli.loop_stop()
     ts.close()
+
+
+def test_trace_request_response_properties_on_the_wire():
+    """§3.3.2.3 envelope, both directions on the wire: a publish built
+    with ResponseTopic/CorrelationData/ContentType/PayloadFormat must
+    carry 0x08/0x09/0x03/0x01 (pinned by parsing the client's frame);
+    a delivery carrying them must surface ALL FOUR to the app."""
+    seen = {}
+    done = threading.Event()
+
+    def handler(conn):
+        read_packet(conn)  # CONNECT
+        conn.sendall(connack_packet(False))
+        ptype, _f, body = read_packet(conn)  # SUBSCRIBE
+        (pid,) = struct.unpack_from(">H", body, 0)
+        conn.sendall(suback_packet(pid, [1]))
+        ptype, _f, body = read_packet(conn)  # the outbound request
+        assert ptype == PUBLISH, ptype
+        _topic, mid, props = _parse_publish_props(body)
+        seen.update(
+            rt=props.get(0x08), cd=props.get(0x09),
+            ct=props.get(0x03), pf=props.get(0x01),
+        )
+        conn.sendall(struct.pack(">BBH", (PUBACK << 4), 2, mid))
+        # inbound delivery with the same envelope
+        conn.sendall(
+            publish_packet(
+                "rpc/in", b"req", 1, 71,
+                fwd_props={0x01: 1, 0x03: "text/plain",
+                           0x08: "rpc/back", 0x09: b"k-9"},
+            )
+        )
+        ptype, _f, body = read_packet(conn)
+        assert ptype == PUBACK, ptype
+        done.set()
+        time.sleep(0.2)
+
+    ts = _TraceServer(handler)
+    delivered = []
+    cli = Client(CallbackAPIVersion.VERSION2, client_id="rrt-c", protocol=MQTTv5)
+    cli.on_connect = lambda c, u, f, r, p=None: c.subscribe("rpc/in", qos=1)
+    cli.on_message = lambda c, u, m: delivered.append(
+        (
+            m.properties.ResponseTopic, m.properties.CorrelationData,
+            m.properties.ContentType, m.properties.PayloadFormatIndicator,
+        )
+    )
+    cli.connect("127.0.0.1", ts.port)
+    cli.loop_start()
+    p = Properties()
+    p.ResponseTopic = "rpc/out-back"
+    p.CorrelationData = b"q-7"
+    p.ContentType = "application/cbor"
+    p.PayloadFormatIndicator = 0
+    cli.publish("rpc/out", b"call", qos=1, properties=p)
+
+    assert _wait(done.is_set, timeout=15), (seen, delivered, ts.errors)
+    assert seen == {"rt": "rpc/out-back", "cd": b"q-7",
+                    "ct": "application/cbor", "pf": 0}, seen
+    assert delivered == [("rpc/back", b"k-9", "text/plain", 1)], delivered
+    assert not ts.errors, ts.errors
+    cli.loop_stop()
+    ts.close()
