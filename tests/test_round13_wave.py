@@ -242,3 +242,88 @@ def test_cluster_quality_matches_bruteforce(spark, sf_dir):
         assert r.nn_cid == nn_ref[k] + 1, (r, nn_ref[k] + 1)
         assert r.nn_d2 == G[k, nn_ref[k]], (r, G[k, nn_ref[k]])
     assert sum(r.n_members for r in rows) == len(ids)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: the cross-engine arithmetic identities X176-X178 rely on
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    s=st.integers(min_value=-(10**15), max_value=10**15),
+    n=st.integers(min_value=1, max_value=10**6),
+)
+def test_trunc_div_identity_duckdb_vs_python(s, n):
+    """The toward-zero division both engines must agree on:
+    CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END in DuckDB ==
+    the same abs/negate split in python (== numpy's sign*(|s|//n)).
+    DuckDB's bare // FLOORS on negatives — the split is what makes the
+    centroid update engine-identical."""
+    import duckdb
+
+    want = s // n if s >= 0 else -((-s) // n)
+    got = duckdb.sql(
+        f"SELECT CASE WHEN {s} >= 0 THEN {s} // {n} "
+        f"ELSE -((-({s})) // {n}) END"
+    ).fetchone()[0]
+    assert got == want, (s, n, got, want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+        min_size=1, max_size=8,
+    )
+)
+def test_quantization_identity_duckdb_vs_numpy(vals):
+    """floor(x*1000 + 0.5) must run the SAME IEEE steps on both engines
+    for float32-representable inputs — the milli-quantization every
+    clustering distance is built on."""
+    import duckdb
+
+    lit = "[" + ",".join(repr(v) for v in vals) + "]"
+    got = duckdb.sql(
+        f"SELECT list_transform(CAST({lit} AS DOUBLE[]), "
+        "e -> CAST(floor(e * 1000 + 0.5) AS BIGINT))"
+    ).fetchone()[0]
+    want = np.floor(np.array(vals, dtype=np.float64) * 1000.0 + 0.5).astype(
+        np.int64
+    )
+    assert list(got) == want.tolist(), (vals, got, want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-2000, max_value=2000),
+        min_size=2, max_size=64,
+    ).flatmap(
+        lambda a: st.tuples(
+            st.just(a),
+            st.lists(
+                st.integers(min_value=-2000, max_value=2000),
+                min_size=len(a), max_size=len(a),
+            ),
+        )
+    )
+)
+def test_integer_double_dot_product_exact(pair):
+    """list_dot_product over integer-valued DOUBLE lists is EXACT for
+    milli-unit magnitudes (|terms| ≤ 64·4e6 « 2^53) — the identity
+    that lets the k-means oracle avoid a per-dim explosion."""
+    import duckdb
+
+    a, b = pair
+    la = "[" + ",".join(map(str, a)) + "]"
+    lb = "[" + ",".join(map(str, b)) + "]"
+    got = duckdb.sql(
+        f"SELECT list_dot_product(CAST({la} AS DOUBLE[]), "
+        f"CAST({lb} AS DOUBLE[]))"
+    ).fetchone()[0]
+    want = int(np.dot(np.array(a, dtype=np.int64), np.array(b, dtype=np.int64)))
+    assert int(got) == want and float(got) == float(want), (got, want)
