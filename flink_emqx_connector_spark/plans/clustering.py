@@ -1,7 +1,8 @@
-"""Learned clustering for the vector store: integer Lloyd k-means and the
-IVF ANN index re-pointed at the learned codebook (VERDICT r11 item 4 /
-r12 item 3 — "the ONE genuinely missing primitive in the clustering
-story").
+"""Learned clustering for the vector store — X176 integer Lloyd
+k-means, X177 IVF ANN re-pointed at the learned codebook (VERDICT r11
+item 4 / r12 item 3 — "the ONE genuinely missing primitive in the
+clustering story"), X178 cluster-quality census (cohesion +
+separation) completing train → index → evaluate.
 
 Determinism contract (the X121/X122 arithmetic pattern): embeddings
 quantize to exact milli-unit int64 (same ``floor(x*1000+0.5)`` IEEE

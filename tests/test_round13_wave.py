@@ -1,15 +1,15 @@
-"""Round-13 semantic invariants: integer Lloyd k-means (X176) and the
-learned-codebook IVF (X177) against an INDEPENDENT brute-force numpy
-reimplementation of the whole contract — md5 init, exact-integer
-assignment, toward-zero mean updates, empty-cluster hold, learned-cell
-probing and cosine re-rank — plus basic sanity (partition/cluster
-accounting, recall floor vs exact top-k).
+"""Round-13 semantic invariants: the clustering trio (X176 k-means,
+X177 learned-codebook IVF, X178 quality census) against an INDEPENDENT
+brute-force numpy reimplementation of the whole contract — md5 init,
+exact-integer assignment, toward-zero mean updates, empty-cluster
+hold, learned-cell probing, cosine re-rank, cohesion/separation — plus
+sanity (cluster accounting, recall floor vs exact top-k) and
+hypothesis fuzz of the cross-engine arithmetic identities.
 """
 
 import hashlib
 
 import numpy as np
-import pytest
 
 from flink_emqx_connector_spark.plans import QUERIES
 from flink_emqx_connector_spark.plans.clustering import (
