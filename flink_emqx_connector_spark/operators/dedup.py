@@ -718,27 +718,38 @@ def minhash_lsh_pairs(
     base = docs.select(
         F.col(id_col).alias("doc"), F.col(text_col).alias(text_col)
     ).filter(F.size(F.split(F.col(text_col), " ")) >= F.lit(n))
-    # Cheap probe: canonicalization only pays when the corpus actually has
-    # exact copies — on an already-distinct corpus the group/expansion
-    # stages are pure overhead (an extra corpus-wide join ahead of the
-    # signature scan).
-    probe = base.agg(
-        F.count("*").alias("n"), F.approx_count_distinct(text_col).alias("nd")
+    # ONE corpus text scan produces the 24-byte (doc, fp) digest proxy,
+    # checkpointed; the dup-ratio probe, the rep groups, AND the
+    # within-group pair expansion below all read the checkpoint instead of
+    # re-scanning/re-hashing the text column (r13 optimization — the old
+    # shape paid a separate approx-distinct probe scan plus TWO md5 corpus
+    # scans in the within-group self-join: 4 text passes where 1 suffices;
+    # guide §8: decide on lightweight proxies, touch the payload once).
+    # The checkpoint preserves the corpus-scan partitioning, so the hot-fp
+    # skew-split property of the within-group join is unchanged (pinned by
+    # tests/test_dedup.py::test_minhash_within_group_expansion_is_skew_splittable).
+    doc_fp = base.select(
+        "doc", F.md5(F.encode(text_col, "UTF-8")).alias("fp")
+    ).localCheckpoint(eager=False)
+    # Dup-ratio probe on the digest rows: exact count_distinct(fp) replaces
+    # the old approx_count_distinct(text) sketch — same decision variable
+    # (md5 collisions are ~|docs|²/2¹²⁸, vanishing), now exact and free of
+    # the extra corpus pass. The lazy checkpoint + this agg are ONE job
+    # (the connected_components pattern): on an already-distinct corpus the
+    # probe costs exactly what the old sketch pass did, and the group/
+    # expansion stages are skipped as before (they are pure overhead there —
+    # an extra corpus-wide join ahead of the signature scan).
+    probe = doc_fp.agg(
+        F.count("*").alias("n"), F.count_distinct("fp").alias("nd")
     ).collect()[0]
     groups = None
-    doc_fp = None
     if (probe["nd"] or 0) < 0.95 * (probe["n"] or 0):
-        # Pre-group (doc, fp) rows: kept around because the within-group
-        # pair expansion below must join THESE (spread across all corpus-
-        # scan map tasks), not the collected members arrays (whose hot
-        # group is one row written by ONE mapper — see the within comment).
-        doc_fp = base.select("doc", F.md5(F.encode(text_col, "UTF-8")).alias("fp"))
         groups = (
             doc_fp.groupBy("fp")
             .agg(F.min("doc").alias("rep"), F.collect_list("doc").alias("members"))
-            # consumed three times below (rep filter, 2-sided member
-            # expansion, within-group pairs); one row per distinct text —
-            # same eager-driver-step pattern as connected_components
+            # consumed twice below (rep filter, 2-sided member expansion);
+            # one row per distinct text — same eager-driver-step pattern
+            # as connected_components
             .localCheckpoint()
         )
         rep_ids = groups.select(F.col("rep").alias("doc"))
@@ -790,8 +801,11 @@ def minhash_lsh_pairs(
         # much smaller screened output — materializing 100k+ raw
         # band-collision pairs here would be pure overhead.
     )
+    # The verify stage filters by candidate id anyway (cand_ids ⊆ reps), so
+    # hand it `base` rather than the canonicalized `base ⋈ rep_ids`: one
+    # id-join over the corpus scan instead of two (identical row set).
     rep_pairs = _verify_candidates(
-        docs, cand, sigs, threshold, num_hashes, n, text_col, id_col
+        base, cand, sigs, threshold, num_hashes, n, text_col, id_col
     )
     if groups is None:  # corpus already distinct — nothing to expand
         return rep_pairs
@@ -821,12 +835,14 @@ def minhash_lsh_pairs(
     #    materializing the full members array per output row;
     #  - parallelism: AQE's skew split can only cut a reduce partition at
     #    MAP-OUTPUT boundaries. Exploding the one collected group row
-    #    yields a single-mapper block (unsplittable); the pre-group rows
-    #    come from every corpus-scan task, so the hot fp's reduce block
-    #    has as many split points as scan partitions and the C(m,2)
-    #    expansion fans out across tasks (pinned by
+    #    yields a single-mapper block (unsplittable); the checkpointed
+    #    doc_fp rows keep the corpus-scan partitioning, so the hot fp's
+    #    reduce block has as many split points as scan partitions and the
+    #    C(m,2) expansion fans out across tasks (pinned by
     #    tests/test_dedup.py::test_minhash_within_group_expansion_is_skew_splittable).
     # Singleton fps produce no a<b pairs, so no pre-filter is needed.
+    # Both join legs read the doc_fp checkpoint — zero additional corpus
+    # scans (the old shape re-computed md5-over-text on each leg).
     within = (
         doc_fp.select("fp", F.col("doc").alias("doc_a"))
         .join(doc_fp.select("fp", F.col("doc").alias("doc_b")), "fp")
