@@ -806,10 +806,15 @@ def basket_brand_lift(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # The basket build (fact⋈dim join + distinct) feeds FIVE consumers
+    # (brand_n, tot, both self-join sides via a/b); without the lazy
+    # checkpoint the final plan recomputed the join+distinct subtree five
+    # times (r13 audit: 10 parquet scans / 5 distinct shuffles → 1 each).
     basket = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     brand_n = basket.groupBy("brand").agg(F.count("*").cast("bigint").alias("n"))
     tot = basket.agg(F.count_distinct("okey").cast("bigint").alias("t"))

@@ -227,6 +227,11 @@ def fk_integrity_audit(spark, sf_dir):
             .distinct()
         )
         parents = p if parents is None else parents.unionByName(p)
+    # The tagged parent key-set union feeds two consumers (the per-relation
+    # key counts and the census join); without the lazy checkpoint the
+    # final plan scanned all seven parent tables and ran their distincts
+    # TWICE (r13 audit: 19 parquet scans / 17 exchanges → 12 / 10).
+    parents = parents.localCheckpoint(eager=False)
     pn = parents.groupBy("prel").agg(
         F.count("*").cast("bigint").alias("n_parent")
     )
@@ -437,26 +442,40 @@ def zorder_layout_stats(spark, sf_dir):
     k = keyed.crossJoin(F.broadcast(stats))  # 1-row stats broadcast
     # `div` (exact integer division) — double `/` + cast can round the
     # quotient up across a bucket boundary before truncation.
-    natural = k.select(
-        F.lit("natural").alias("layout"),
-        F.expr(f"(ok - min_ok) * {_N_FILES} div (max_ok - min_ok + 1)").alias(
-            "file_id"
-        ),
+    # Both layouts are emitted from ONE pass via an exploded 2-element
+    # struct array instead of a union of two selects over `k`: the union
+    # form re-ran the lineitem scan + Morton interleave per branch (r13
+    # audit: 4 parquet scans → 2 — the remaining two are the stats agg
+    # and the single fused scoring pass).
+    both = k.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("natural").alias("layout"),
+                    F.expr(
+                        f"(ok - min_ok) * {_N_FILES} div (max_ok - min_ok + 1)"
+                    ).alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(
+                        f"(z - min_z) * {_N_FILES} div (max_z - min_z + 1)"
+                    ).alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
         "x",
         "min_x",
         "max_x",
-    )
-    zord = k.select(
-        F.lit("zorder").alias("layout"),
-        F.expr(f"(z - min_z) * {_N_FILES} div (max_z - min_z + 1)").alias(
-            "file_id"
-        ),
+    ).select(
+        F.col("lf.layout").alias("layout"),
+        F.col("lf.file_id").alias("file_id"),
         "x",
         "min_x",
         "max_x",
     )
     zone = (
-        natural.unionByName(zord)
+        both
         .groupBy("layout", "file_id")
         .agg(
             F.count("*").alias("n_rows"),

@@ -578,7 +578,12 @@ def dynamic_partition_overwrite(spark, sf_dir):
     out = os.path.join(
         tempfile.gettempdir(), f"dyn_overwrite_{abs(hash(sf_dir)) % (1 << 30)}"
     )
-    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    # Cluster by the partition column before the partitioned write (guide
+    # §6): without it every scan task writes one file per day it sees —
+    # tasks × days files (at 100 TB: millions of small files); with it each
+    # day lands in exactly one task → one file per day, written in
+    # parallel across tasks instead of serially by one.
+    ev.repartition("day").write.mode("overwrite").partitionBy("day").parquet(out)
     d0 = ev.agg(F.min("day")).head()[0]  # the day being backfilled
     backfill = ev.filter((F.col("day") == d0) & (F.col("value") >= 0.5))
     prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
