@@ -632,19 +632,27 @@ def token_cooccurrence_pmi(spark, sf_dir):
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    big = (
+    # One bigram census pass serves both the PMI numerator AND the total
+    # bigram count (nb = Σ counts over the unfiltered census — identical
+    # to count(*) over the instances); one unigram census pass serves the
+    # marginals and the token total. Both checkpointed once: the old
+    # shape re-tokenized the corpus five times (r13 audit: 5 document
+    # scans → 2, one per census).
+    cen = (
         bg.groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
-        .filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .localCheckpoint()
     )
+    big = cen.filter(F.col("c12") >= _PMI_MIN_COUNT)
     uni = (
         _docs(spark, sf_dir)
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
     tots = uni.agg(F.sum("c").alias("nu")).crossJoin(
-        bg.agg(F.count("*").alias("nb"))
+        cen.agg(F.sum("c12").alias("nb"))
     )
     pmi_raw = F.log(
         (F.col("c12").cast("double") / F.col("nb"))
@@ -807,14 +815,14 @@ def basket_brand_lift(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # The basket build (fact⋈dim join + distinct) feeds FIVE consumers
-    # (brand_n, tot, both self-join sides via a/b); without the lazy
-    # checkpoint the final plan recomputed the join+distinct subtree five
+    # (brand_n, tot, both self-join sides via a/b); without the checkpoint,
+    # the final plan recomputed the join+distinct subtree five
     # times (r13 audit: 10 parquet scans / 5 distinct shuffles → 1 each).
     basket = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     brand_n = basket.groupBy("brand").agg(F.count("*").cast("bigint").alias("n"))
     tot = basket.agg(F.count_distinct("okey").cast("bigint").alias("t"))
@@ -999,8 +1007,14 @@ def ks_distance_sources(spark, sf_dir):
     lens = _docs(spark, sf_dir).select(
         "source", F.size(F.split("text", " ")).alias("v")
     )
-    census = lens.groupBy("source", "v").agg(
-        F.count("*").cast("bigint").alias("cnt")
+    # The (source, length) census feeds FIVE consumers (sources, vs, the
+    # grid join, and — via the derivation below — the per-source totals);
+    # checkpoint it once so the corpus tokenize-and-count runs once
+    # (r13 audit: 8 document scans → 1).
+    census = (
+        lens.groupBy("source", "v")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()
     )
     sources = census.select("source").distinct()
     vs = census.select("v").distinct()
@@ -1023,8 +1037,14 @@ def ks_distance_sources(spark, sf_dir):
             F.sum("cnt").over(w_cum).cast("bigint").alias("cw"),
         )
     )
-    tot = lens.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    # Per-source totals derived from the census (Σ cnt ≡ count of rows),
+    # not from a second corpus scan.
+    tot = census.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
     w_lead = Window.partitionBy("source").orderBy("v")
+    # Grid-sized (|sources| × |distinct lengths|) cumulative table feeds
+    # both self-join legs; checkpoint so the grid build + windows run once.
     gaps = cum.select(
         "source",
         "v",
@@ -1032,7 +1052,7 @@ def ks_distance_sources(spark, sf_dir):
         F.coalesce(F.lead("v").over(w_lead) - F.col("v"), F.lit(0)).alias(
             "gap"
         ),
-    )
+    ).localCheckpoint()
     a = gaps.select(
         F.col("source").alias("source_a"), "v", F.col("cw").alias("cw_a"),
         F.col("gap").alias("gap_a"),

@@ -133,10 +133,14 @@ def token_entropy_docs(spark, sf_dir):
 )
 def source_token_kl(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    # The (source,term) census feeds four consumers (t, s, tot, scoring
+    # join); checkpoint it once so the corpus tokenize + census shuffle
+    # runs once, not four times (r13 audit: 4 document scans → 1).
     st = (
         d.select("source", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
     t = st.groupBy("term").agg(F.sum("c").cast("double").alias("ct"))
     s = st.groupBy("source").agg(F.sum("c").cast("double").alias("cs"))
@@ -329,7 +333,16 @@ def prefix_truncation_dupes(spark, sf_dir):
 )
 def mad_outlier_events(spark, sf_dir):
     ev = _events(spark, sf_dir).select("event_type", "value")
-    med = ev.groupBy("event_type").agg(F.median("value").alias("m"))
+    # The per-type median is broadcast into BOTH deviation passes (mad,
+    # final scoring); checkpoint the 5-row table so the median shuffle
+    # runs once. MAD stays an honest 3-pass algorithm (median →
+    # deviation median → score): materializing the corpus-sized deviation
+    # frame to save the third narrow scan would cost more than it saves.
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.median("value").alias("m"))
+        .localCheckpoint()
+    )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "d", F.abs(F.col("value") - F.col("m"))
     )

@@ -214,8 +214,8 @@ def dedup_lsh_recall_eval(spark, sf_dir):
             )
         )
 
-    exact = pairs("dedup_ngram_jaccard").localCheckpoint(eager=False)
-    lsh = pairs("dedup_minhash_lsh").localCheckpoint(eager=False)
+    exact = pairs("dedup_ngram_jaccard").localCheckpoint()
+    lsh = pairs("dedup_minhash_lsh").localCheckpoint()
     ne = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
     nl = lsh.agg(F.count("*").cast("bigint").alias("n_lsh"))
     nc = (

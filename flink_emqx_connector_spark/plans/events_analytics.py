@@ -168,10 +168,15 @@ def retention_cohorts(spark, sf_dir):
 )
 def funnel_stage_conversion(spark, sf_dir):
     ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    # Each stage's per-user table feeds the next stage AND its own count;
+    # checkpoint v and c once so each funnel stage scans events once
+    # (r13 audit: 6 event scans → 3, one per stage — the algorithmic
+    # floor: the sequential ts constraint needs each stage's raw events).
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -179,6 +184,7 @@ def funnel_stage_conversion(spark, sf_dir):
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -228,10 +228,10 @@ def fk_integrity_audit(spark, sf_dir):
         )
         parents = p if parents is None else parents.unionByName(p)
     # The tagged parent key-set union feeds two consumers (the per-relation
-    # key counts and the census join); without the lazy checkpoint the
+    # key counts and the census join); without the checkpoint the
     # final plan scanned all seven parent tables and ran their distincts
     # TWICE (r13 audit: 19 parquet scans / 17 exchanges → 12 / 10).
-    parents = parents.localCheckpoint(eager=False)
+    parents = parents.localCheckpoint()
     pn = parents.groupBy("prel").agg(
         F.count("*").cast("bigint").alias("n_parent")
     )

@@ -108,10 +108,20 @@ def _emb(spark, sf_dir):
     tags=("retrieval", "text", "topk"),
 )
 def bm25_search_topk(spark, sf_dir):
+    # NOT checkpointed: toks is the raw (doc, term) explosion — storing it
+    # costs more than the split() it saves at any scale (guide §5: cache
+    # only when recompute beats the memory pressure). The REDUCED doc-length
+    # table below IS checkpointed: it feeds the corpus scalars and the
+    # scoring join, saving one full tokenize+agg pass (r13 audit: 4
+    # document scans → 3, the per-stage floor).
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    dl = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("dl"))
+        .localCheckpoint()
+    )
     corpus = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         (

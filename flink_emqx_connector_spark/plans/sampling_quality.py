@@ -306,7 +306,16 @@ def dup_inflation_by_source(spark, sf_dir):
     tags=("events", "stats", "pipeline"),
 )
 def event_type_cooccurrence(spark, sf_dir):
-    ut = _events(spark, sf_dir).select("user_id", "event_type").distinct()
+    # The distinct (user, type) table feeds four consumers (freq, tot,
+    # both self-join legs); checkpoint it once so the events scan +
+    # distinct shuffle run once, not four times (r13 audit: 5 event
+    # scans → 1).
+    ut = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint()
+    )
     freq = ut.groupBy("event_type").agg(F.count("*").alias("n"))
     tot = ut.agg(F.count_distinct("user_id").alias("nu"))
     a = ut.select("user_id", F.col("event_type").alias("type_a"))

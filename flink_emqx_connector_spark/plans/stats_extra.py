@@ -223,8 +223,14 @@ _LCM16 = 720720  # lcm(1..16): quotient n/d scaled by LCM16 is exact integer
 )
 def apportionment_dhondt_vs_hamilton(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    census = docs.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs")
+    # |sources|-row census checkpointed: it feeds four consumers (tot,
+    # the divisor grid, the Hamilton base, the final join) — the old
+    # shape re-ran the corpus census scan four times (r13 audit: 4
+    # document scans → 1).
+    census = (
+        docs.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .localCheckpoint()
     )
     tot = census.agg(F.sum("n_docs").cast("bigint").alias("t"))
     divisors = spark.range(1, 17).select(F.col("id").alias("d"))
@@ -1304,6 +1310,9 @@ def zone_map_skipping_audit(spark, sf_dir):
 def chunk_stitch_census(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     w = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    # The prefix/suffix proxy rows feed three censuses (pre, suf, selfm);
+    # checkpoint once so the text split runs once, not three times
+    # (r13 audit: 3 document scans → 1).
     k = w.filter(F.size("ws") >= 4).select(
         "doc_id",
         F.concat(
@@ -1312,7 +1321,7 @@ def chunk_stitch_census(spark, sf_dir):
         F.concat(
             F.element_at(F.col("ws"), -2), F.lit(" "), F.element_at(F.col("ws"), -1)
         ).alias("suf2"),
-    )
+    ).localCheckpoint()
     pre = k.groupBy(F.col("pre2").alias("key")).agg(
         F.count("*").cast("bigint").alias("np")
     )
@@ -2082,6 +2091,9 @@ def odds_ratio_long_docs_by_source(spark, sf_dir):
         .filter(F.col("cw") * 2 >= F.col("n"))
         .agg(F.min("v").alias("m"))
     )
+    # |sources|-row 2×2 table checkpointed: it feeds the totals AND the
+    # final projection — the old shape re-ran the corpus classification
+    # scan twice (r13 audit: 4 document scans → 2).
     cls = (
         docs.crossJoin(F.broadcast(med))
         .groupBy("source")
@@ -2093,6 +2105,7 @@ def odds_ratio_long_docs_by_source(spark, sf_dir):
             .cast("bigint")
             .alias("b"),
         )
+        .localCheckpoint()
     )
     tot = cls.agg(
         F.sum("a").cast("bigint").alias("ta"),

@@ -211,12 +211,15 @@ def token_hapax_ratio(spark, sf_dir):
 def typo_token_pairs(spark, sf_dir):
     from ..session import load_table
 
+    # Vocab census checkpointed: it feeds the typo channel AND the union
+    # merge — the old shape tokenized the corpus twice (r13 audit).
     real_toks = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .filter((F.length("tok") >= 3) & (F.length("tok") <= 12))
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("df"))
+        .localCheckpoint()
     )
     # deterministic typo channel — see oracle comment
     noisy = real_toks.filter(
@@ -233,7 +236,9 @@ def typo_token_pairs(spark, sf_dir):
         .groupBy("tok")
         .agg(F.sum("df").cast("bigint").alias("df"))
     )
-    # token itself + one-char deletions: shared variant <=> edit dist <= 1
+    # token itself + one-char deletions: shared variant <=> edit dist <= 1.
+    # Checkpointed: both self-join legs read the variant table, so the
+    # deletion-variant explode over the vocabulary runs once, not twice.
     vars_ = toks.select(
         "tok",
         "df",
@@ -247,7 +252,7 @@ def typo_token_pairs(spark, sf_dir):
                 ),
             )
         ).alias("v"),
-    )
+    ).localCheckpoint()
     a = vars_.select(
         F.col("v"),
         F.col("tok").alias("tok_a"),

@@ -85,7 +85,15 @@ _PII_PHONE = r"\+\d{7,15}\b"
 def tfidf_top_terms(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # The (doc,term) tf census feeds df AND the scoring join; once
+    # checkpoint it so the corpus tokenize+shuffle runs once, not twice
+    # (r13 audit: 3 document scans → 2 — the remaining extra is the 1-row
+    # doc count).
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     score = F.col("tf") * F.log(
@@ -429,7 +437,17 @@ def lm_perplexity_docs(spark, sf_dir):
             F.substring_index("bg", " ", -1).alias("w2"),
         )
     )
-    pc = inst.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    # The (w1,w2) count census feeds three consumers (wc, vocab, scoring
+    # join); checkpoint it once so the bigram explode + census shuffle
+    # runs once, not three times (r13 audit: 4 document scans → 2 — the
+    # per-doc scoring join legitimately re-reads the bigram instances;
+    # checkpointing THOSE would write a stream larger than the text
+    # itself, so the instance pass stays at 2).
+    pc = (
+        inst.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
     wc = pc.groupBy("w1").agg(F.sum("cnt").alias("tot"))
     v = pc.agg(F.countDistinct("w2").cast("double").alias("vocab"))
     bits = -F.log2(

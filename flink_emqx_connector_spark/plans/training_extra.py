@@ -445,13 +445,13 @@ def temperature_resample_sources(spark, sf_dir):
     alpha = 0.5
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
     # The |sources|-row histogram feeds three consumers (tot, weighted,
-    # norm); Spark does not share common subtrees, so without the lazy
-    # checkpoint the corpus scan + census shuffle ran THREE times in the
+    # norm); Spark does not share common subtrees, so without the checkpoint,
+    # the corpus scan + census shuffle ran THREE times in the
     # final plan (r13 audit: 5 parquet scans → 2).
     counts = (
         d.groupBy("source")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     tot = counts.agg(F.sum("n").cast("double").alias("total"))
     weighted = counts.crossJoin(F.broadcast(tot)).withColumn(
@@ -602,7 +602,7 @@ def token_budget_selection(spark, sf_dir):
     toks = F.split("text", " ")
     # Tokenize ONCE: the 32-byte (doc_id, source, n_tok, ttr) proxy rows
     # feed three consumers (budget, band subtotals, in-band window);
-    # without the lazy checkpoint the final plan re-ran split()+
+    # without the checkpoint the final plan re-ran split()+
     # array_distinct() over the full text column three times (r13 audit:
     # 3 parquet text scans → 1; guide §8 — compute the heavy derivation
     # once, decide on the lightweight proxy).
@@ -616,7 +616,7 @@ def token_budget_selection(spark, sf_dir):
                 " div size(split(text, ' '))"
             )
         ).alias("ttr_milli"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     # phase 1: per-band token subtotals (band = exact milli-TTR value;
     # bounded domain 0..1000 regardless of corpus size)
     band = st.groupBy("ttr_milli").agg(

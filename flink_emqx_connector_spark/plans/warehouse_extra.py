@@ -255,7 +255,7 @@ def dedup_common_substring(spark, sf_dir):
             df.filter((F.col("df") >= 2) & (F.col("df") <= _SPAN_DF_CAP)), "sd"
         )
         .select("doc_id", "sd")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     a, b = ex_f.alias("a"), ex_f.alias("b")
     return (

@@ -495,13 +495,22 @@ def test_retention_cohort_join_reuses_agg_partitioning(plans):
 
 
 def test_funnel_filters_pushed_to_stage_scans(plans):
-    """funnel_stage_conversion: each stage's event_type filter must reach
-    its parquet scan as a pushed filter, so every stage reads only its own
-    slice of the fact table."""
+    """funnel_stage_conversion: the view/click stage tables are
+    checkpointed once (r13 — the old shape re-ran their event scans for
+    both the next stage AND the stage count: 6 scans for 3 stages), so
+    the FINAL plan must read exactly two checkpoint RDDs plus ONE
+    parquet scan — the purchase stage — whose event_type filter is
+    pushed down. A view/click parquet scan reappearing in the final
+    plan means the stage reuse regressed to recomputation."""
     p = plans("funnel_stage_conversion")
     flat = p.replace(" ", "")
-    for t in ("view", "click", "purchase"):
-        assert f"EqualTo(event_type,{t})" in flat, (t, p)
+    assert "EqualTo(event_type,purchase)" in flat, p
+    for t in ("view", "click"):
+        assert f"EqualTo(event_type,{t})" not in flat, (t, p)
+    import re
+
+    rdd_nodes = set(re.findall(r"\((\d+)\) Scan ExistingRDD", p))
+    assert len(rdd_nodes) == 3, (rdd_nodes, p)  # v (count), c (count + p-stage)
     assert "Python" not in p, p
 
 
