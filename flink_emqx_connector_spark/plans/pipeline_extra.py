@@ -462,11 +462,15 @@ def bucketed_colocated_join(spark, sf_dir):
 )
 def merge_upsert_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
+    # The cents-staged base feeds three consumers (updates, inserts, the
+    # merge target); checkpoint it once so the orders scan + cents
+    # conversion run once, not three times (r13 audit: 3 scans → 1 —
+    # the real MERGE shape stages its delta once too).
     cents = o.select(
         "o_orderkey",
         "o_orderstatus",
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
-    )
+    ).localCheckpoint()
     upd = cents.filter(F.col("o_orderkey") % 10 == 7).select(
         "o_orderkey", (F.col("c") + 1000).alias("new_c")
     )

@@ -473,7 +473,10 @@ def fd_violation_audit(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment"
     )
-    ov = o.join(c, o.o_custkey == c.c_custkey)
+    # The fact⋈dim join feeds all four FD checks; checkpoint it once so
+    # the join runs once, not four times (r13 audit: 4 joins / 8 parquet
+    # scans / 12 exchanges → 1 join + 4 census aggregates).
+    ov = o.join(c, o.o_custkey == c.c_custkey).localCheckpoint()
 
     def fd(name, det, dep):
         per_key = ov.groupBy(F.col(det).alias("det")).agg(
