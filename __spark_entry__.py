@@ -57,45 +57,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_survey_consistency.py asserts the literal is duplicate-free
 # and registry-known (the 40596e4 bug class).
 _DRIVER_RECORDED = {
+        # round-13 OPTIMIZATION deletions (re-record-on-change): the 25
+        # queries whose physical plans were restructured this round
+        # (shared-subtree checkpointing, minhash single-hash-pass,
+        # partitioned-write repartition — OPTIMIZATION_r13.md; outputs
+        # hash-identical at 4 scales locally) are deleted so the driver
+        # re-verifies the NEW plans, not the old records.
         # round 11 deletions (re-record-on-change): user_ltv_deciles
         # (integer-cents + discrete-order-statistic rewrite, new schema)
         # and doc_length_percentile_bands (discrete quantile bounds) so
         # the driver re-verifies the rewritten plans.
         # latest green driver record: round 5 (2 names; 15 round-5 names
         # re-recorded green in round 12 and moved to that block)
-        "daily_anomaly_events": 5, "funnel_stage_conversion": 5,
-        # latest green driver record: round 6 (13 names)
-        "dup_inflation_by_source": 6, "event_type_cooccurrence": 6,
-        "events_weekday_enrichment": 6, "late_arrival_accounting": 6,
+        "daily_anomaly_events": 5, # latest green driver record: round 6 (13 names)
+        "dup_inflation_by_source": 6, "events_weekday_enrichment": 6, "late_arrival_accounting": 6,
         "latest_state_per_user": 6, "ngram_coverage_curve": 6,
         "pairwise_centroid_distances": 6, "reservoir_sample_per_source": 6,
-        "session_gap_stats": 6, "token_cooccurrence_pmi": 6,
-        "tokenizer_fertility_by_lang": 6, "top_token_coverage_by_lang": 6,
+        "session_gap_stats": 6, "tokenizer_fertility_by_lang": 6, "top_token_coverage_by_lang": 6,
         "zipf_fit_docs": 6,
         # latest green driver record: round 7 (25 names)
         "ann_ivf_topk": 7, "ann_lsh_topk": 7, "ann_topk_cosine": 7,
         "approx_aggregates_bounded": 7, "asof_join_purchase_view": 7,
         "dedup_clusters": 7, "dedup_embedding_cosine": 7, "dedup_exact": 7,
-        "dedup_keep_list": 7, "dedup_minhash_lsh": 7,
-        "dedup_ngram_jaccard": 7, "dedup_pipeline_report": 7,
+        "dedup_keep_list": 7, "dedup_ngram_jaccard": 7, "dedup_pipeline_report": 7,
         "doc_fingerprint_dupes": 7, "embedding_clusters": 7,
         "embedding_quantization_stats": 7, "knn_join_topk": 7,
-        "lang_id_confusion": 7, "merge_upsert_orders": 7,
-        "multimodal_features": 7, "nearest_centroid_confusion": 7,
+        "lang_id_confusion": 7, "multimodal_features": 7, "nearest_centroid_confusion": 7,
         "pivot_lineitem_status": 7, "text_quality_scores": 7,
         "text_token_stats": 7, "token_hapax_ratio": 7,
         "vector_norm_outliers": 7,
         # latest green driver record: round 8 (40 names)
         "ann_truncated_dim_recall": 8,
         "anti_join_customers_without_orders": 8, "bloom_membership_eval": 8,
-        "bm25_search_topk": 8, "boilerplate_bigrams_by_source": 8,
+        "boilerplate_bigrams_by_source": 8,
         "compaction_bins_by_source": 8, "decode_json": 8,
-        "dedup_common_substring": 8, "dedup_containment_pairs": 8,
+        "dedup_containment_pairs": 8,
         "dedup_exact_normalized": 8, "dedup_graph_walk_centrality": 8,
-        "dedup_lsh_recall_eval": 8, "distinct_counts": 8,
-        "dynamic_partition_overwrite": 8, "embedding_gram_matrix": 8,
+        "distinct_counts": 8,
+        "embedding_gram_matrix": 8,
         "event_trigrams_top": 8, "events_rollup_reaggregate": 8,
-        "fk_integrity_audit": 8, "hash_split_train_val_test": 8,
+        "hash_split_train_val_test": 8,
         "heavy_hitters_cms": 8, "hll_manual_registers": 8,
         "knn_label_agreement": 8, "markov_stationary_events": 8,
         "q3_top_revenue_orders": 8, "rolling_sum": 8, "rollup_lineitem": 8,
@@ -105,7 +106,6 @@ _DRIVER_RECORDED = {
         "set_except_users": 8, "set_intersect_users": 8, "topic_filter": 8,
         "topk_global_lineitems": 8, "window_running_total": 8,
         "window_topk_orders_per_customer": 8, "wordcount": 8,
-        "zorder_layout_stats": 8,
         # latest green driver record: round 9 (43 names)
         # round 13 deletion (re-record-on-change): bucketed_colocated_join
         # (4-decimal fixed-point revenue — sum-then-round semantics, new
@@ -137,8 +137,7 @@ _DRIVER_RECORDED = {
         "decode_xml_payload": 10, "embedding_covariance_exact": 10,
         "embedding_pca_power_iteration": 10, "event_order_inversions": 10,
         "event_rate_cusum": 10, "fuzzy_match_nations": 10,
-        "grouping_sets_orders": 10, "hybrid_rrf_search": 10,
-        "join_size_cms_estimate": 10, "knn_graph_lsh": 10,
+        "grouping_sets_orders": 10, "join_size_cms_estimate": 10, "knn_graph_lsh": 10,
         "multimodal_audio_windows": 10, "multimodal_shot_boundaries": 10,
         "multiset_ops_users": 10, "null_safe_join_segments": 10,
         "posexplode_doc_tokens": 10, "profile_documents": 10,
@@ -160,24 +159,22 @@ _DRIVER_RECORDED = {
         "sql_monthly_ship_flow": 10, "sql_returnflag_status_matrix": 10,
         "sql_segment_revenue": 10, "star_join_supplier_region": 10,
         "stratified_kfold_assignment": 10, "stratified_sample_docs": 10,
-        "token_budget_selection": 10, "tumbling_window": 10,
+        "tumbling_window": 10,
         "udtf_tokenize": 10,
         # latest green driver record: round 11 (50 names)
         "asof_nearest_purchase_view": 11, "balance_lang_sample": 11,
-        "basket_brand_lift": 11, "benford_digit_audit": 11,
+        "benford_digit_audit": 11,
         "bigram_lm_topk": 11, "bpe_merge_candidates": 11,
         "chunk_docs_overlap": 11, "cluster_weighted_sample": 11,
         "code_switch_docs": 11, "contamination_check_docs": 11,
         "cross_lang_neardup_census": 11, "cross_source_duplication": 11,
         "dedup_graph_pagerank": 11, "dedup_graph_triangles": 11,
         "dedup_incremental": 11, "dedup_ngram_jaccard_dfcap": 11,
-        "event_periodicity_acf": 11, "fd_violation_audit": 11,
-        "gini_by_priority": 11, "global_shuffle_docs": 11,
+        "event_periodicity_acf": 11, "gini_by_priority": 11, "global_shuffle_docs": 11,
         "hll_rollup_merge": 11, "jl_projection_distortion": 11,
-        "ks_distance_sources": 11, "line_dedup_docs": 11,
+        "line_dedup_docs": 11,
         # round 12 deletion (re-record-on-change): mix_waterfill_allocation
         # (exact closed-form water level, new schema) re-verifies fresh.
-        "lm_perplexity_docs": 11,
         "partitioned_layout_pruning": 11, "pii_redact_docs": 11,
         "pit_join_purchase_state": 11, "q10_returned_revenue_topk": 11,
         "q11_important_stock": 11, "q12_priority_by_status": 11,
@@ -186,19 +183,17 @@ _DRIVER_RECORDED = {
         "quality_score_calibration": 11, "regression_per_segment": 11,
         "repetition_filter_docs": 11, "sample_apportionment_hamilton": 11,
         "shard_assignment_docs": 11, "split_by_cluster": 11,
-        "temperature_resample_sources": 11, "tfidf_top_terms": 11,
         "token_vocab_coverage": 11, "try_functions_safety": 11,
-        "typo_token_pairs": 11, "variant_props_stats": 11,
+        "variant_props_stats": 11,
         "weighted_median_price": 11, "weighted_sample_docs": 11,
         "zscore_per_priority": 11,
         # latest green driver record: round 12 (49 of 50 names; the 50th,
         # hill_tail_index_sources, is OMITTED per re-record-on-change —
         # round 13 moves its FP ln() sum into a deterministic-order
         # cumulative window per r12 ADVICE, so the driver re-verifies it).
-        "apportionment_dhondt_vs_hamilton": 12,
         "capture_recapture_estimate": 12, "changepoint_daily_events": 12,
         "chao1_vocab_richness": 12, "chi2_lang_source_residuals": 12,
-        "chunk_stitch_census": 12, "cumulative_new_users_daily": 12,
+        "cumulative_new_users_daily": 12,
         "curriculum_token_phases": 12, "dedup_graph_bfs_reach": 12,
         "doc_length_percentile_bands": 12, "dp_noisy_source_counts": 12,
         "durbin_watson_daily_events": 12, "event_transition_matrix": 12,
@@ -206,17 +201,16 @@ _DRIVER_RECORDED = {
         "histogram_events": 12, "intra_label_cosine": 12,
         "k_anonymity_audit": 12, "kaplan_meier_time_to_purchase": 12,
         "label_centroids": 12, "log2_latency_histogram": 12,
-        "mad_outlier_events": 12, "mannwhitney_auc_sources": 12,
+        "mannwhitney_auc_sources": 12,
         "median_ci_order_statistic": 12, "mix_waterfill_allocation": 12,
         "mode_event_type_by_hour": 12, "ngram_novelty_docs": 12,
-        "odds_ratio_long_docs_by_source": 12, "poisson_bootstrap_mean_ci": 12,
+        "poisson_bootstrap_mean_ci": 12,
         "prefix_truncation_dupes": 12, "q16_supplier_part_variety": 12,
         "q20_part_share_suppliers": 12, "q21_last_shipper_census": 12,
         "q2_min_cost_supplier": 12, "quantile_normalize_doclen": 12,
         "range_partition_plan": 12, "retention_cohorts": 12,
         "runs_test_daily_events": 12, "simpson_diversity_sources": 12,
-        "skew_salt_planner": 12, "source_token_kl": 12,
-        # table_checksum_by_source deleted r13: its r12 record pre-dates
+        "skew_salt_planner": 12, # table_checksum_by_source deleted r13: its r12 record pre-dates
         # the 866c31f digest-column rewrite — driver must re-verify
         "sql_group_by_all_status_priority": 12,
         "time_decay_user_scores": 12, "token_entropy_docs": 12,
