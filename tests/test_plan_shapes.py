@@ -1011,3 +1011,91 @@ def test_cluster_quality_single_scan_k_row_shuffle(plans):
     assert "BroadcastHashJoin" in p, p
     assert p.count("HashAggregate") >= 2, p
     assert "CartesianProduct" not in p, p
+
+
+# --------------------------------------------------------------------------
+# Round-13 optimization pins: shared subtrees materialized ONCE.
+# Catalyst performs no cross-reference common-subexpression elimination, so
+# a census referenced N times re-executes N times unless checkpointed at
+# the shared frontier (OPTIMIZATION_r13.md). These tests pin the fixed
+# scan counts; a duplicate-scan regression is a silent N× corpus re-read
+# at 100 TB that correctness gates never notice.
+# --------------------------------------------------------------------------
+
+def _parquet_scan_nodes(p: str) -> int:
+    import re
+
+    return len(set(re.findall(r"\((\d+)\) Scan parquet", p)))
+
+
+def test_temperature_resample_single_corpus_scan(plans):
+    """X42: the |sources|-row histogram is checkpointed; the final plan
+    scans documents exactly once (the rank-window pass) — the old shape
+    re-ran the census subtree three times (5 scans)."""
+    p = plans("temperature_resample_sources")
+    assert _parquet_scan_nodes(p) == 1, p
+
+
+def test_token_budget_selection_single_tokenize(plans):
+    """X116: the (doc, n_tok, ttr) proxy is checkpointed; the final plan
+    contains NO parquet scan (all three consumers read the proxy) — the
+    old shape tokenized the text column three times."""
+    p = plans("token_budget_selection")
+    assert _parquet_scan_nodes(p) == 0, p
+    assert "Scan ExistingRDD" in p, p
+
+
+def test_fk_integrity_audit_single_parent_pass(plans):
+    """X97: the tagged parent key-set union is checkpointed; each of the
+    five child/parent tables is scanned at most once in the final plan —
+    the old shape scanned all seven parent tables twice (19 scans /
+    17 exchanges)."""
+    import re
+
+    p = plans("fk_integrity_audit")
+    assert _parquet_scan_nodes(p) <= 5, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4, p
+
+
+def test_basket_brand_lift_single_basket_build(plans):
+    """X130: the basket (fact⋈dim join + distinct) is checkpointed; the
+    final plan contains no parquet scan and at most one distinct-census
+    exchange per consumer — the old shape rebuilt the join+distinct five
+    times (10 scans / 5 distinct shuffles)."""
+    p = plans("basket_brand_lift")
+    assert _parquet_scan_nodes(p) == 0, p
+    assert "Scan ExistingRDD" in p, p
+
+
+def test_ks_distance_single_tokenize(plans):
+    """X144: the (source, length) census is checkpointed and the
+    per-source totals derive from it; the final plan contains no parquet
+    scan — the old shape tokenized the corpus EIGHT times."""
+    p = plans("ks_distance_sources")
+    assert _parquet_scan_nodes(p) == 0, p
+
+
+def test_zorder_single_fused_scoring_pass(plans):
+    """X99: both layouts are emitted from one pass via an exploded struct
+    array; the final plan scans lineitem exactly twice (global stats +
+    the fused scoring pass) — the union form scanned it four times."""
+    p = plans("zorder_layout_stats")
+    assert _parquet_scan_nodes(p) == 2, p
+    assert "Generate" in p, p  # the explode that fuses the two layouts
+
+
+def test_merge_upsert_single_orders_scan(plans):
+    """X83: the cents-staged base is checkpointed; updates, inserts and
+    the merge target all read it — the final plan contains no parquet
+    scan (the old shape scanned orders three times)."""
+    p = plans("merge_upsert_orders")
+    assert _parquet_scan_nodes(p) == 0, p
+
+
+def test_fd_violation_audit_single_join(plans):
+    """X136: the orders⋈customer join is checkpointed; all four FD
+    checks read it — the final plan contains no parquet scan and no join
+    (the old shape ran the join four times)."""
+    p = plans("fd_violation_audit")
+    assert _parquet_scan_nodes(p) == 0, p
+    assert "Join" not in p, p
