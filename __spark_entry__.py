@@ -69,31 +69,28 @@ _DRIVER_RECORDED = {
         # the driver re-verifies the rewritten plans.
         # latest green driver record: round 5 (2 names; 15 round-5 names
         # re-recorded green in round 12 and moved to that block)
-        "daily_anomaly_events": 5, # latest green driver record: round 6 (13 names)
-        "dup_inflation_by_source": 6, "events_weekday_enrichment": 6, "late_arrival_accounting": 6,
-        "latest_state_per_user": 6, "ngram_coverage_curve": 6,
-        "pairwise_centroid_distances": 6, "reservoir_sample_per_source": 6,
-        "session_gap_stats": 6, "tokenizer_fertility_by_lang": 6, "top_token_coverage_by_lang": 6,
-        "zipf_fit_docs": 6,
+        "daily_anomaly_events": 13, # latest green driver record: round 6 (13 names)
+        "dup_inflation_by_source": 13, "events_weekday_enrichment": 13, "late_arrival_accounting": 13,
+        "latest_state_per_user": 13, "ngram_coverage_curve": 13,
+        "pairwise_centroid_distances": 13, "reservoir_sample_per_source": 13,
+        "session_gap_stats": 13, "tokenizer_fertility_by_lang": 13, "top_token_coverage_by_lang": 13,
+        "zipf_fit_docs": 13,
         # latest green driver record: round 7 (25 names)
         "ann_ivf_topk": 7, "ann_lsh_topk": 7, "ann_topk_cosine": 7,
-        "approx_aggregates_bounded": 7, "asof_join_purchase_view": 7,
-        "dedup_clusters": 7, "dedup_embedding_cosine": 7, "dedup_exact": 7,
-        "dedup_keep_list": 7, "dedup_ngram_jaccard": 7, "dedup_pipeline_report": 7,
-        "doc_fingerprint_dupes": 7, "embedding_clusters": 7,
+        "approx_aggregates_bounded": 7, "asof_join_purchase_view": 13,
+        "dedup_embedding_cosine": 7, "dedup_exact": 7,
+        "doc_fingerprint_dupes": 13, "embedding_clusters": 7,
         "embedding_quantization_stats": 7, "knn_join_topk": 7,
-        "lang_id_confusion": 7, "multimodal_features": 7, "nearest_centroid_confusion": 7,
-        "pivot_lineitem_status": 7, "text_quality_scores": 7,
-        "text_token_stats": 7, "token_hapax_ratio": 7,
+        "lang_id_confusion": 13, "multimodal_features": 7, "nearest_centroid_confusion": 7,
+        "pivot_lineitem_status": 13, "text_quality_scores": 13,
+        "text_token_stats": 13, "token_hapax_ratio": 7,
         "vector_norm_outliers": 7,
         # latest green driver record: round 8 (40 names)
         "ann_truncated_dim_recall": 8,
         "anti_join_customers_without_orders": 8, "bloom_membership_eval": 8,
         "boilerplate_bigrams_by_source": 8,
         "compaction_bins_by_source": 8, "decode_json": 8,
-        "dedup_containment_pairs": 8,
-        "dedup_exact_normalized": 8, "dedup_graph_walk_centrality": 8,
-        "distinct_counts": 8,
+        "dedup_exact_normalized": 8, "distinct_counts": 8,
         "embedding_gram_matrix": 8,
         "event_trigrams_top": 8, "events_rollup_reaggregate": 8,
         "hash_split_train_val_test": 8,
@@ -113,8 +110,7 @@ _DRIVER_RECORDED = {
         "approx_aggregates": 9, "array_agg_order_quantities": 9,
         "codec_roundtrip_docs": 9,
         "correlated_subquery_agg": 9, "cross_join_grid": 9, "cube_orders": 9,
-        "decode_dead_letter_split": 9, "dedup_method_agreement": 9,
-        "dedup_simhash": 9, "dedup_simhash_hamming": 9,
+        "decode_dead_letter_split": 9, "dedup_simhash": 9, "dedup_simhash_hamming": 9,
         "doc_winnowing_fingerprints": 9, "embedding_drift_scores": 9,
         "full_outer_join_coverage": 9, "interval_join_event_pairs": 9,
         "json_functions_events": 9, "left_outer_join_nulls": 9,
@@ -165,11 +161,8 @@ _DRIVER_RECORDED = {
         "asof_nearest_purchase_view": 11, "balance_lang_sample": 11,
         "benford_digit_audit": 11,
         "bigram_lm_topk": 11, "bpe_merge_candidates": 11,
-        "chunk_docs_overlap": 11, "cluster_weighted_sample": 11,
-        "code_switch_docs": 11, "contamination_check_docs": 11,
-        "cross_lang_neardup_census": 11, "cross_source_duplication": 11,
-        "dedup_graph_pagerank": 11, "dedup_graph_triangles": 11,
-        "dedup_incremental": 11, "dedup_ngram_jaccard_dfcap": 11,
+        "chunk_docs_overlap": 11, "code_switch_docs": 11, "contamination_check_docs": 11,
+        "dedup_ngram_jaccard_dfcap": 11,
         "event_periodicity_acf": 11, "gini_by_priority": 11, "global_shuffle_docs": 11,
         "hll_rollup_merge": 11, "jl_projection_distortion": 11,
         "line_dedup_docs": 11,
@@ -182,8 +175,7 @@ _DRIVER_RECORDED = {
         "q4_late_shipment_priority": 11, "quality_model_score": 11,
         "quality_score_calibration": 11, "regression_per_segment": 11,
         "repetition_filter_docs": 11, "sample_apportionment_hamilton": 11,
-        "shard_assignment_docs": 11, "split_by_cluster": 11,
-        "token_vocab_coverage": 11, "try_functions_safety": 11,
+        "shard_assignment_docs": 11, "token_vocab_coverage": 11, "try_functions_safety": 11,
         "variant_props_stats": 11,
         "weighted_median_price": 11, "weighted_sample_docs": 11,
         "zscore_per_priority": 11,
@@ -194,8 +186,7 @@ _DRIVER_RECORDED = {
         "capture_recapture_estimate": 12, "changepoint_daily_events": 12,
         "chao1_vocab_richness": 12, "chi2_lang_source_residuals": 12,
         "cumulative_new_users_daily": 12,
-        "curriculum_token_phases": 12, "dedup_graph_bfs_reach": 12,
-        "doc_length_percentile_bands": 12, "dp_noisy_source_counts": 12,
+        "curriculum_token_phases": 12, "doc_length_percentile_bands": 12, "dp_noisy_source_counts": 12,
         "durbin_watson_daily_events": 12, "event_transition_matrix": 12,
         "fano_burstiness_event_types": 12, "gaps_islands_activity_streaks": 12,
         "histogram_events": 12, "intra_label_cosine": 12,
@@ -216,6 +207,45 @@ _DRIVER_RECORDED = {
         "time_decay_user_scores": 12, "token_entropy_docs": 12,
         "trimmed_winsorized_order_stats": 12, "twap_user_value": 12,
         "user_ltv_deciles": 12, "zone_map_skipping_audit": 12,
+        # latest green driver record: round 13 (46 of 50 names; the other
+        # 4 — dedup_minhash_lsh, dedup_lsh_recall_eval, fd_violation_audit,
+        # dynamic_partition_overwrite — are OMITTED per re-record-on-change:
+        # their plans were restructured by the round-14 optimization wave.
+        # round-14 deletions (re-record-on-change): the 15 further queries
+        # whose physical plans changed this round (minhash array signatures
+        # + cheap probe, auto-selector single-tokenize eager pair checkpoint,
+        # fd tall census, day-salted partitioned write, composition shared
+        # frames — OPTIMIZATION_r14.md; outputs hash-identical locally at
+        # sf0.001/sf0.01/sf0.1) are deleted so the driver re-verifies the
+        # NEW plans, not the old records.
+        "ann_ivf_kmeans_topk": 13,
+        "apportionment_dhondt_vs_hamilton": 13,
+        "basket_brand_lift": 13,
+        "bm25_search_topk": 13,
+        "bucketed_colocated_join": 13,
+        "chunk_stitch_census": 13,
+        "dedup_common_substring": 13,
+        "event_type_cooccurrence": 13,
+        "fk_integrity_audit": 13,
+        "funnel_stage_conversion": 13,
+        "hill_tail_index_sources": 13,
+        "hybrid_rrf_search": 13,
+        "kmeans_cluster_quality": 13,
+        "kmeans_lloyd_embeddings": 13,
+        "ks_distance_sources": 13,
+        "lm_perplexity_docs": 13,
+        "mad_outlier_events": 13,
+        "merge_upsert_orders": 13,
+        "odds_ratio_long_docs_by_source": 13,
+        "sketch_merge_cms": 13,
+        "source_token_kl": 13,
+        "table_checksum_by_source": 13,
+        "temperature_resample_sources": 13,
+        "tfidf_top_terms": 13,
+        "token_budget_selection": 13,
+        "token_cooccurrence_pmi": 13,
+        "typo_token_pairs": 13,
+        "zorder_layout_stats": 13,
 }
 
 

@@ -442,6 +442,7 @@ def ngram_jaccard_pairs_auto(
     id_col: str = "doc_id",
     stats: dict | None = None,
     measure: str = "jaccard",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Cost-based strategy pick for n-gram pair generation (Jaccard or
     containment — the ``_measure_exprs`` hook; identical physical plans).
@@ -464,15 +465,31 @@ def ngram_jaccard_pairs_auto(
        df_cap² instead; recall cost documented on
        ``ngram_jaccard_pairs_dfcap``.
 
-    The persisted stats-pass table is handed to the chosen strategy so the
-    corpus is shingled once, not three times; it is unpersisted before
-    return (the lazy strategies recompute the scan once at execution — net
-    two scans worst-case, and no session-lifetime cache leak).
+    The persisted stats-pass table is handed to the chosen strategy, and
+    the strategy's ANSWER-SIZED pair output is checkpointed eagerly before
+    the shingle frame is unpersisted — so the corpus is shingled exactly
+    ONCE per execution (r14; the r13 shape unpersisted before returning a
+    lazy plan, which re-tokenized the corpus a second time at execution in
+    every one of this function's ~10 registered callers). No
+    session-lifetime cache: the persist is released inside this call, and
+    the checkpoint is freed with the returned DataFrame.
     ``stats``, when passed, records the decision for tests/observability.
+    ``shingles``: optional caller-OWNED precomputed ``_shingle_table``
+    frame (a composition sharing one persisted frame across member plans);
+    when given, this function neither persists nor unpersists it — the
+    caller keeps it alive until the returned plan (or its checkpoint) has
+    materialized.
     """
     from pyspark import StorageLevel
 
-    sh = _shingle_table(docs, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    caller_owned = shingles is not None
+    sh = (
+        shingles
+        if caller_owned
+        else _shingle_table(docs, text_col, id_col, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     try:
         ex = sh.select("doc", F.explode_outer("sh").alias("s"))
         row = ex.agg(
@@ -485,9 +502,12 @@ def ngram_jaccard_pairs_auto(
             decision["strategy"] = "dense"
             if stats is not None:
                 stats.update(decision)
+            # eager checkpoint of the answer-sized pair list WHILE sh is
+            # still persisted: the one tokenize pass (the stats pass above)
+            # serves the whole execution
             return ngram_jaccard_pairs_dense(
                 docs, threshold, n, text_col, id_col, shingles=sh, measure=measure
-            )
+            ).localCheckpoint()
         join_rows = (
             ex.groupBy("s")
             .agg(F.count("*").alias("df"))
@@ -501,7 +521,7 @@ def ngram_jaccard_pairs_auto(
                 stats.update(decision)
             return ngram_jaccard_pairs(
                 docs, threshold, n, text_col, id_col, shingles=sh, measure=measure
-            )
+            ).localCheckpoint()
         if measure == "containment":
             decision["strategy"] = "dfcap"
             if stats is not None:
@@ -509,15 +529,26 @@ def ngram_jaccard_pairs_auto(
             return ngram_jaccard_pairs_dfcap(
                 docs, threshold, n=n, text_col=text_col, id_col=id_col,
                 measure=measure, shingles=sh,
-            )
+            ).localCheckpoint()
         decision["strategy"] = "minhash_lsh"
         if stats is not None:
             stats.update(decision)
+        # sh is safe to hand over even when auto owns it: the signature
+        # table is checkpointed EAGERLY inside minhash_lsh_pairs (i.e.
+        # before the finally-unpersist), and nothing else in the returned
+        # plan references the shingle frame — so NO extra output checkpoint
+        # is needed on this branch.
         return minhash_lsh_pairs(
-            docs, threshold=threshold, n=n, text_col=text_col, id_col=id_col
+            docs,
+            threshold=threshold,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+            shingles=sh,
         )
     finally:
-        sh.unpersist()
+        if not caller_owned:
+            sh.unpersist()
 
 
 def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -560,32 +591,47 @@ def minhash_signatures(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature: ``doc, mh0..mh{k-1}``.
+    """Per-doc MinHash signature: ``doc, sig`` (``sig`` = array of k longs).
 
     Shingles are exploded, hashed JVM-side with the md5-derived 32-bit
     element hash (``_shingle_hash_expr`` — deterministic across engines,
     so the DuckDB oracle replays the exact signatures), and the k
     universal-hash permutations fold as ``min()`` aggregates over the
-    exploded rows. Every expression is plain arithmetic
-    — whole-stage-codegen'd — where the earlier ``transform``/``array_min``
-    HOF form ran interpreted lambdas per array element; and the groupBy's
-    partial (map-side) aggregation means the shuffle moves only
-    |docs|×(k+1) longs, never the exploded shingle stream. Docs whose text
-    yields no shingles (< n words) have no signature row — they cannot
-    near-dup anything. (An Arrow/numpy formulation was also benchmarked
-    and lost: the Python-worker round-trip cost more than the JVM kernel.)
+    exploded rows, packed into ONE array column (r14 — the previous
+    ``mh0..mh{k-1}`` scalar layout made every downstream projection
+    k+1 columns wide; the widest dedup plans paid 36–45 s of cold
+    whole-stage-codegen compilation for it, and the banding/screen plan
+    text grew with k). The aggregation itself is unchanged — k partial
+    (map-side) min aggregates, so the shuffle moves |docs| rows of k+1
+    longs, never the exploded shingle stream — and every expression stays
+    plain codegen'd arithmetic. Docs whose text yields no shingles
+    (< n words) have no signature row — they cannot near-dup anything.
+    (An Arrow/numpy formulation was also benchmarked and lost: the
+    Python-worker round-trip cost more than the JVM kernel.)
+
+    ``shingles``: optional precomputed ``_shingle_table`` output (a
+    composition's shared frame) — short/null-text docs carry empty/null
+    arrays there, which the explode drops, so signatures are identical to
+    building from ``docs`` directly.
     """
     params = _minhash_params(num_hashes)
-    sh = _shingle_table(docs, text_col, id_col, n)
+    sh = shingles if shingles is not None else _shingle_table(docs, text_col, id_col, n)
     ex = sh.select("doc", F.explode("sh").alias("s")).select(
         "doc", _shingle_hash_expr(F.col("s")).alias("h")
     )
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{j}")
-        for j, (a, b) in enumerate(params)
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
+        for a, b in params
     ]
-    return ex.groupBy("doc").agg(*aggs)
+    # nsh = |distinct shingle set| (one exploded row per array element —
+    # word_ngrams arrays are array_distinct'ed) rides along for free in
+    # the same aggregate; the verify stage's exact size-ratio prefilter
+    # reads it instead of paying a size-lookup join.
+    return ex.groupBy("doc").agg(
+        F.array(*mins).alias("sig"), F.count("*").alias("nsh")
+    )
 
 
 def _verify_candidates(
@@ -628,20 +674,39 @@ def _verify_candidates(
     )
     siga = sigs.select(
         F.col("doc").alias("doc_a"),
-        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)],
+        F.col("sig").alias("sig_a"),
+        F.col("nsh").alias("nsh_a"),
     )
     sigb = sigs.select(
         F.col("doc").alias("doc_b"),
-        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)],
+        F.col("sig").alias("sig_b"),
+        F.col("nsh").alias("nsh_b"),
     )
-    est = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-        for j in range(num_hashes)
+    # agreement fraction over the two k-long signature ARRAYS: the screen
+    # joins now carry one array column per side instead of k scalar
+    # columns (r14 — same count/k value as the old k-term when-sum, far
+    # smaller generated code on the widest plan in the registry)
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
     ) / F.lit(num_hashes)
+    # EXACT size-ratio pre-drop, first conjunct so it short-circuits the
+    # estimator for mismatched pairs: |A∩B| ≤ min ⟹ jaccard ≤ min/max, so
+    # a pair with least/greatest < threshold can NEVER verify — dropping
+    # it is output-neutral (measured: 26% of screened pairs on the sf0.1
+    # templated corpus), and the screened checkpoint + exact verify
+    # shrink by the same fraction.
+    # (the 1e-9 slack guards the one-ulp boundary for non-dyadic
+    # thresholds; at the registry's 0.5 the comparison is exact anyway)
+    ratio_ok = F.least("nsh_a", "nsh_b") >= F.lit(threshold) * F.greatest(
+        "nsh_a", "nsh_b"
+    ) - F.lit(1e-9)
     screened = (
         cand.join(siga, "doc_a")
         .join(sigb, "doc_b")
-        .filter(est >= F.lit(est_floor))
+        .filter(ratio_ok & (est >= F.lit(est_floor)))
         .select("doc_a", "doc_b")
         # Materialize the screened pair list (small by construction — LSH
         # + the estimator filter exist to make it small): the exact verify
@@ -653,8 +718,16 @@ def _verify_candidates(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     ).distinct()
     cand_docs = docs.join(cand_ids, id_col)
-    sh = _shingle_table(cand_docs, text_col, id_col, n).select(
-        "doc", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    # Checkpoint the candidate shingle table: BOTH legs of the pair
+    # self-join below read it, and a self-join gets no ReuseExchange under
+    # AQE — without the checkpoint the corpus scan + tokenize + xxhash64
+    # of the candidate docs ran twice (r14; candidate-bounded by
+    # construction, 8 B/shingle — the §5 cache-selection rule's "reduced
+    # table").
+    sh = (
+        _shingle_table(cand_docs, text_col, id_col, n)
+        .select("doc", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"))
+        .localCheckpoint()
     )
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -681,6 +754,7 @@ def minhash_lsh_pairs(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
@@ -710,6 +784,13 @@ def minhash_lsh_pairs(
 
     Docs whose text has < n words produce no shingles and cannot pair
     (Jaccard on two empty sets is 0/0): excluded up front.
+
+    ``shingles``: optional precomputed ``_shingle_table`` output shared by
+    a composition (e.g. ``dedup_lsh_recall_eval`` runs this plan AND the
+    exact-Jaccard plan over one persisted shingle frame) — signatures are
+    built from it instead of re-tokenizing the corpus; results identical
+    (empty/null shingle arrays explode away, and the dup-heavy branch
+    rep-filters the frame by an id join exactly like the docs side).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -718,32 +799,36 @@ def minhash_lsh_pairs(
     base = docs.select(
         F.col(id_col).alias("doc"), F.col(text_col).alias(text_col)
     ).filter(F.size(F.split(F.col(text_col), " ")) >= F.lit(n))
-    # ONE corpus text scan produces the 24-byte (doc, fp) digest proxy,
-    # checkpointed; the dup-ratio probe, the rep groups, AND the
-    # within-group pair expansion below all read the checkpoint instead of
-    # re-scanning/re-hashing the text column (r13 optimization — the old
-    # shape paid a separate approx-distinct probe scan plus TWO md5 corpus
-    # scans in the within-group self-join: 4 text passes where 1 suffices;
-    # guide §8: decide on lightweight proxies, touch the payload once).
-    # The checkpoint preserves the corpus-scan partitioning, so the hot-fp
-    # skew-split property of the within-group join is unchanged (pinned by
-    # tests/test_dedup.py::test_minhash_within_group_expansion_is_skew_splittable).
-    doc_fp = base.select(
-        "doc", F.md5(F.encode(text_col, "UTF-8")).alias("fp")
-    ).localCheckpoint(eager=False)
-    # Dup-ratio probe on the digest rows: exact count_distinct(fp) replaces
-    # the old approx_count_distinct(text) sketch — same decision variable
-    # (md5 collisions are ~|docs|²/2¹²⁸, vanishing), now exact and free of
-    # the extra corpus pass. The lazy checkpoint + this agg are ONE job
-    # (the connected_components pattern): on an already-distinct corpus the
-    # probe costs exactly what the old sketch pass did, and the group/
-    # expansion stages are skipped as before (they are pure overhead there —
-    # an extra corpus-wide join ahead of the signature scan).
-    probe = doc_fp.agg(
-        F.count("*").alias("n"), F.count_distinct("fp").alias("nd")
+    # Cheap dup-ratio probe: ONE corpus scan feeding an HLL sketch, no
+    # materialization. The branch it picks only selects a faster plan —
+    # both branches are output-identical (identical texts have identical
+    # signatures, collide in every band, screen at 1 and verify at exactly
+    # 1.0; the oracle always canonicalizes), so an approximate count is
+    # safe. The r13 shape paid md5 over the whole text column PLUS a full
+    # (doc, fp) localCheckpoint PLUS an exact count_distinct shuffle before
+    # making the same decision — on an already-distinct corpus (the common
+    # case) all of it thrown away (driver-measured 3.4 s → 19.8 s). The
+    # digest proxy is now built ONLY inside the dup-heavy branch, where its
+    # three consumers (rep groups + both within-join legs) exist.
+    probe = base.agg(
+        F.count("*").alias("n"), F.approx_count_distinct(text_col).alias("nd")
     ).collect()[0]
     groups = None
+    doc_fp = None
     if (probe["nd"] or 0) < 0.95 * (probe["n"] or 0):
+        # Dup-heavy branch: one corpus text scan produces the 24-byte
+        # (doc, fp) digest proxy, checkpointed EAGERLY (broadcast-thread
+        # deadlock rule, OPTIMIZATION_r13.md); the rep groups AND the
+        # within-group pair expansion below read the checkpoint instead of
+        # re-hashing the text column (the pre-r13 shape paid TWO more md5
+        # corpus scans in the within self-join; guide §8: decide on
+        # lightweight proxies, touch the payload once). The checkpoint
+        # preserves the corpus-scan partitioning, so the hot-fp skew-split
+        # property of the within-group join is unchanged (pinned by
+        # tests/test_dedup.py::test_minhash_within_group_expansion_is_skew_splittable).
+        doc_fp = base.select(
+            "doc", F.md5(F.encode(text_col, "UTF-8")).alias("fp")
+        ).localCheckpoint()
         groups = (
             doc_fp.groupBy("fp")
             .agg(F.min("doc").alias("rep"), F.collect_list("doc").alias("members"))
@@ -756,6 +841,8 @@ def minhash_lsh_pairs(
         # no broadcast hint: |distinct texts| is data-proportional — AQE
         # broadcasts when it is actually small, shuffles when it isn't
         docs = base.join(rep_ids, "doc")
+        if shingles is not None:
+            shingles = shingles.join(rep_ids, "doc")
     else:
         docs = base
     id_col = "doc"
@@ -768,18 +855,26 @@ def minhash_lsh_pairs(
     # are per-distinct-text thanks to the canonicalization above; an
     # adversarial templated corpus still collides heavily at r rows/band —
     # which the estimator filter absorbs.
-    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col).localCheckpoint()
+    sigs = minhash_signatures(
+        docs, num_hashes, n, text_col, id_col, shingles=shingles
+    ).localCheckpoint()
     # Exact band key (concat of the band's r signature slots) instead of a
     # murmur3 hash of them: grouping is identical-or-better (no bucket-hash
     # collisions) and the key is trivially reproducible in the SQL oracle.
     # The shuffle rows grow from 4-byte ints to ~2×20-char strings — still
-    # short rows, |docs|×bands of them.
+    # short rows, |docs|×bands of them. Slots come out of the signature
+    # ARRAY (element_at is 1-based); cast(bigint→string) matches the
+    # implicit coercion the old scalar-column concat_ws applied.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
                 F.concat_ws(
-                    ":", *[F.col(f"mh{bi * r + j}") for j in range(r)]
+                    ":",
+                    *[
+                        F.element_at("sig", bi * r + j + 1).cast("string")
+                        for j in range(r)
+                    ],
                 ).alias("bh"),
             )
             for bi in range(bands)

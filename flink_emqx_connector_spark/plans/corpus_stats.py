@@ -276,9 +276,11 @@ def time_decay_user_scores(spark, sf_dir):
     "boilerplate-prefix key is skewed: AQE skew-join splits hot blocks.",
     tags=("dedup", "prefix", "join", "pipeline"),
 )
-def prefix_truncation_dupes(spark, sf_dir):
+def prefix_truncation_dupes(spark, sf_dir, docs=None):
+    # ``docs``: optional shared (doc_id, text) frame from a composition
+    # (dedup_method_agreement) — results and the standalone plan unchanged.
     d = (
-        _docs(spark, sf_dir)
+        (docs if docs is not None else _docs(spark, sf_dir))
         .filter(F.col("text").isNotNull())
         .filter(F.length("text") >= _PREFIX_W)
         .select(

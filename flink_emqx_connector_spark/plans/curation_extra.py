@@ -204,12 +204,31 @@ def dedup_incremental(spark, sf_dir):
         .withColumn("dig_hit", F.lit(True))
     )
     sh_old = D._shingle_table(old, "text", "doc_id", 2)
-    sh_new = D._shingle_table(new, "text", "doc_id", 2)
+    # The NEW side is derived in ONE fused text pass yielding (doc_id,
+    # digest, shingles), checkpointed (r14 — the old shape scanned the new
+    # batch twice: once to shingle, once to re-digest for the output join;
+    # 4 corpus scans → 3). Storing the shingle arrays is fine HERE and only
+    # here: the new batch is bounded by ingest rate by design (module
+    # docstring), never corpus-sized — the standing corpus side stays
+    # recompute-on-use. Repartition first for the same single-file-scan
+    # spread reason as _shingle_table.
+    par = spark.sparkContext.defaultParallelism
+    new_feat = (
+        new.repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            F.md5(F.encode("text", "UTF-8")).alias("dig"),
+            D.word_ngrams(F.col("text"), 2).alias("sh"),
+        )
+        .localCheckpoint()
+    )
     ex_old = sh_old.select(
         F.col("doc").alias("od"), F.size("sh").alias("on"), F.explode("sh").alias("s")
     )
-    ex_new = sh_new.select(
-        F.col("doc").alias("nd"), F.size("sh").alias("nn"), F.explode("sh").alias("s")
+    ex_new = new_feat.select(
+        F.col("doc_id").alias("nd"),
+        F.size("sh").alias("nn"),
+        F.explode("sh").alias("s"),
     )
     near = (
         ex_new.join(ex_old, "s")
@@ -224,7 +243,7 @@ def dedup_incremental(spark, sf_dir):
     dup_exact = F.coalesce("dig_hit", F.lit(False))
     n_near = F.coalesce("n_near", F.lit(0)).cast("bigint")
     return (
-        new.withColumn("dig", F.md5(F.encode("text", "UTF-8")))
+        new_feat.select("doc_id", "dig")
         .join(old_dig, "dig", "left")
         .join(near, F.col("doc_id") == F.col("nd"), "left")
         .select(

@@ -108,8 +108,16 @@ def dedup_exact(spark, sf_dir):
     "(sparse). operators/dedup.py:ngram_jaccard_pairs_auto.",
     tags=("dedup", "ngram"),
 )
-def dedup_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs_auto(_docs(spark, sf_dir), threshold=0.5, n=2)
+def dedup_ngram_jaccard(spark, sf_dir, docs=None, shingles=None):
+    # ``docs``/``shingles``: optional shared frames a composition passes so
+    # its members reuse one scan / one tokenize pass (results identical;
+    # the standalone plan — both None — is unchanged).
+    return D.ngram_jaccard_pairs_auto(
+        docs if docs is not None else _docs(spark, sf_dir),
+        threshold=0.5,
+        n=2,
+        shingles=shingles,
+    )
 
 
 def _minhash_oracle_sql(
@@ -244,8 +252,15 @@ def _minhash_oracle_sql(
     "the DuckDB oracle replays signatures→bands→screen→verify exactly.",
     tags=("dedup", "minhash", "approx"),
 )
-def dedup_minhash_lsh(spark, sf_dir):
-    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+def dedup_minhash_lsh(spark, sf_dir, docs=None, shingles=None):
+    # ``docs``/``shingles``: optional shared frames a composition passes so
+    # its members reuse one scan / one tokenize pass (results identical;
+    # the standalone plan — both None — is unchanged).
+    return D.minhash_lsh_pairs(
+        docs if docs is not None else _docs(spark, sf_dir),
+        threshold=0.5,
+        shingles=shingles,
+    )
 
 
 @register(

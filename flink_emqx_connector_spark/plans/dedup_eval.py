@@ -95,6 +95,17 @@ def _agreement_oracle() -> str:
     tags=("dedup", "quality", "evaluation", "pipeline"),
 )
 def dedup_method_agreement(spark, sf_dir):
+    # r14 note: a shared-frame variant (one persisted (doc_id, text)
+    # projection + one persisted shingle frame threaded through the
+    # jaccard/spans/prefix members, census checkpointed, frames released)
+    # was BUILT AND MEASURED WORSE warm on this host (isolated 5-action
+    # floors: 6.29 s → 7.43 s; cold 22.4 → 16.6) — the two corpus-sized
+    # cache fills plus the extra eager barriers cost more than the three
+    # parquet re-scans they save, because the members' scans already ran
+    # in parallel inside the one census action. Reverted per guide §1;
+    # the member builders keep their optional shared-frame kwargs (used by
+    # dedup_lsh_recall_eval, where sharing measured BETTER: one shingle
+    # frame serves both members' tokenize-heavy pipelines).
     census = None
     for tag, qname, (ca, cb) in _METHODS:
         pairs = (
@@ -204,18 +215,38 @@ def _lsh_recall_oracle() -> str:
     tags=("dedup", "evaluation", "lsh", "quality"),
 )
 def dedup_lsh_recall_eval(spark, sf_dir):
-    def pairs(name):
+    from pyspark import StorageLevel
+
+    from ..operators import dedup as D
+
+    # Both members tokenize the SAME corpus into the SAME bigram shingle
+    # frame; share ONE persisted copy across them (r14 — the r13 shape paid
+    # ~3 independent tokenize passes within a single execution: the exact
+    # member's stats pass + its strategy re-scan + the LSH signature pass).
+    # persist (lineage kept — recompute on executor loss, no §5 truncation
+    # hazard), then unpersist as soon as both member pair lists are
+    # eagerly checkpointed: the returned plan reads only the checkpoints.
+    from .dedup import _docs
+
+    sh = D._shingle_table(_docs(spark, sf_dir), "text", "doc_id", 2).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def pairs(name, **shared):
         return (
             QUERIES[name]
-            .spark(spark, sf_dir)
+            .spark(spark, sf_dir, **shared)
             .select(
                 F.least("doc_a", "doc_b").alias("lo"),
                 F.greatest("doc_a", "doc_b").alias("hi"),
             )
         )
 
-    exact = pairs("dedup_ngram_jaccard").localCheckpoint()
-    lsh = pairs("dedup_minhash_lsh").localCheckpoint()
+    try:
+        exact = pairs("dedup_ngram_jaccard", shingles=sh).localCheckpoint()
+        lsh = pairs("dedup_minhash_lsh", shingles=sh).localCheckpoint()
+    finally:
+        sh.unpersist()
     ne = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
     nl = lsh.agg(F.count("*").cast("bigint").alias("n_lsh"))
     nc = (

@@ -584,16 +584,30 @@ def dynamic_partition_overwrite(spark, sf_dir):
     )
     # Cluster by the partition column before the partitioned write (guide
     # §6): without it every scan task writes one file per day it sees —
-    # tasks × days files (at 100 TB: millions of small files); with it each
-    # day lands in exactly one task → one file per day, written in
-    # parallel across tasks instead of serially by one.
-    ev.repartition("day").write.mode("overwrite").partitionBy("day").parquet(out)
+    # tasks × days files (at 100 TB: millions of small files). Plain
+    # repartition("day") routes each day into exactly ONE task, which fixes
+    # the file count but serializes each day's write — at scale a heavy day
+    # becomes a straggler emitting one giant file (ADVICE r13). A bounded
+    # deterministic salt (guide §2.5 — derived from data, never rand())
+    # splits each day across up to SPARK_GRAFT_DAY_WRITE_SPLITS tasks/files:
+    # still O(days × splits) files, parallel within a day. Local default 4
+    # keeps sf0.1 files reasonably sized; at 100 TB set it so per-file
+    # output lands in the 128 MB–1 GB band (day_bytes / ~512 MB).
+    splits = int(os.environ.get("SPARK_GRAFT_DAY_WRITE_SPLITS", "4"))
+    salt = F.pmod(F.xxhash64("value"), F.lit(splits))
+    ev.repartition(F.col("day"), salt).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(out)
     d0 = ev.agg(F.min("day")).head()[0]  # the day being backfilled
     backfill = ev.filter((F.col("day") == d0) & (F.col("value") >= 0.5))
     prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        backfill.write.mode("overwrite").partitionBy("day").parquet(out)
+        # the single backfilled day is salted too: its rewrite runs on
+        # `splits` tasks instead of dribbling one file per scan task
+        backfill.repartition(F.col("day"), salt).write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(out)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
     return (

@@ -233,9 +233,11 @@ def boilerplate_bigrams_by_source(spark, sf_dir):
     "the span generation would run twice.".format(cap=_SPAN_DF_CAP),
     tags=("dedup", "text", "substring", "pipeline"),
 )
-def dedup_common_substring(spark, sf_dir):
+def dedup_common_substring(spark, sf_dir, docs=None):
+    # ``docs``: optional shared (doc_id, text) frame from a composition
+    # (dedup_method_agreement) — results and the standalone plan unchanged.
     d = (
-        _docs(spark, sf_dir)
+        (docs if docs is not None else _docs(spark, sf_dir))
         .filter(F.col("text").isNotNull())
         .select("doc_id", F.split("text", " ").alias("w"))
     )
@@ -468,39 +470,59 @@ def fd_violation_audit(spark, sf_dir):
     from ..session import load_table
 
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"
+        "o_orderkey", "o_custkey", "o_orderpriority"
     )
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment"
     )
-    # The fact⋈dim join feeds all four FD checks; checkpoint it once so
-    # the join runs once, not four times (r13 audit: 4 joins / 8 parquet
-    # scans / 12 exchanges → 1 join + 4 census aggregates).
-    ov = o.join(c, o.o_custkey == c.c_custkey).localCheckpoint()
-
-    def fd(name, det, dep):
-        per_key = ov.groupBy(F.col(det).alias("det")).agg(
-            F.count_distinct(F.col(dep)).alias("d")
-        )
-        return per_key.agg(
-            F.lit(name).alias("fd"),
-            F.count("*").cast("bigint").alias("n_keys"),
-            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_violating"),
-            F.max("d").cast("bigint").alias("max_distinct"),
-            F.expr(
-                "CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) * 1000"
-                " div count(*) AS BIGINT)"
-            ).alias("viol_milli"),
-        )
-    out = (
-        fd("o_orderkey->o_custkey", "o_orderkey", "o_custkey")
-        .unionAll(fd("o_custkey->c_mktsegment", "o_custkey", "c_mktsegment"))
-        .unionAll(fd("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
-        .unionAll(fd("c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"))
+    # ONE pass over the fact⋈dim join: each joined row fans out into four
+    # (fd, det, dep) census rows via an exploded struct array, so all four
+    # FD checks share a single join execution with NO materialization.
+    # The r13 shape localCheckpoint'ed the raw join instead — at 100 TB
+    # that pins a fact-sized frame on unreplicated executor-local storage
+    # (lineage truncated: one executor loss fails the query) — the exact
+    # §5 hazard VERDICT/ADVICE r13 flagged. The explode shuffles 4×
+    # narrow (tinyint, bigint, dep) rows; partial (map-side) distinct
+    # aggregation collapses them before the exchange, and the dep values
+    # are cast to string only to share one column (injective — distinct
+    # counts unchanged).
+    fds = [
+        ("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+        ("o_custkey->c_mktsegment", "o_custkey", "c_mktsegment"),
+        ("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"),
+        ("c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"),
+    ]
+    ov = o.join(c, o.o_custkey == c.c_custkey)
+    tall = ov.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("tinyint").alias("f"),
+                        F.col(det).cast("bigint").alias("det"),
+                        F.col(dep).cast("string").alias("dep"),
+                    )
+                    for i, (_, det, dep) in enumerate(fds)
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+    per_key = tall.groupBy("f", "det").agg(F.count_distinct("dep").alias("d"))
+    stats = per_key.groupBy("f").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.max("d").cast("bigint").alias("max_distinct"),
+        F.expr(
+            "CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) * 1000"
+            " div count(*) AS BIGINT)"
+        ).alias("viol_milli"),
     )
-    return out.orderBy("fd")
+    name = F.element_at(F.array(*[F.lit(n) for n, _, _ in fds]), F.col("f") + 1)
+    return stats.select(
+        name.alias("fd"), "n_keys", "n_violating", "max_distinct", "viol_milli"
+    ).orderBy("fd")
 
 
 @register(

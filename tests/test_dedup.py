@@ -287,7 +287,10 @@ def test_minhash_lsh_leaves_no_cache_behind(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert plan.count("mh31") == 0, plan.count("mh31")
+    # the permutation modulus literal appears ONLY in the signature
+    # min-hash aggregates (r14: signatures are an array column now, so the
+    # old "mh31" column-name probe would be vacuously absent)
+    assert plan.count(str((1 << 61) - 1)) == 0, plan
 
 
 def test_lsh_exact_dup_canonicalization(spark, sf_dir):

@@ -1093,9 +1093,15 @@ def test_merge_upsert_single_orders_scan(plans):
 
 
 def test_fd_violation_audit_single_join(plans):
-    """X136: the orders⋈customer join is checkpointed; all four FD
-    checks read it — the final plan contains no parquet scan and no join
-    (the old shape ran the join four times)."""
+    """X136: all four FD checks share ONE execution of the orders⋈customer
+    join via the exploded (fd, det, dep) census — exactly one join over
+    exactly two parquet scans, and NO checkpointed fact-sized frame (the
+    r13 shape localCheckpoint'ed the raw join: a §5 scale hazard; the
+    pre-r13 shape ran the join four times)."""
+    import re
+
     p = plans("fd_violation_audit")
-    assert _parquet_scan_nodes(p) == 0, p
-    assert "Join" not in p, p
+    assert _parquet_scan_nodes(p) == 2, p
+    assert len(set(re.findall(r"\((\d+)\) [A-Za-z]*HashJoin", p))) == 1, p
+    assert "Generate" in p, p  # the 4-way census explode
+    assert "ExistingRDD" not in p, p  # nothing fact-sized is materialized
