@@ -810,7 +810,11 @@ def minhash_lsh_pairs(
     # case) all of it thrown away (driver-measured 3.4 s → 19.8 s). The
     # digest proxy is now built ONLY inside the dup-heavy branch, where its
     # three consumers (rep groups + both within-join legs) exist.
-    probe = base.agg(
+    # (probed on raw docs, not `base`: the ≥n-words filter would evaluate
+    # split(text) across the whole corpus inside the probe scan — a full
+    # tokenize pass spent on a heuristic; the distinct ratio of the raw
+    # corpus is the same signal, and the branch choice is output-neutral)
+    probe = docs.agg(
         F.count("*").alias("n"), F.approx_count_distinct(text_col).alias("nd")
     ).collect()[0]
     groups = None
